@@ -1,0 +1,149 @@
+"""MinHash + LSH near-duplicate detection, Spark-first.
+
+Pipeline: word shingles → crc32 base hash (JVM built-in) → k seeded
+affine permutations min-reduced per doc → band keys → bucket self-join →
+candidate pairs with estimated Jaccard.
+
+Scale shape: one explode (docs × shingles), one groupBy(doc) for
+signatures, one groupBy(band) join for candidates. No Python in the row
+path; permutation constants are plan literals. Band buckets are the
+classic LSH guarantee: two docs with Jaccard ≥ t collide in ≥1 band with
+probability 1-(1-t^r)^b.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..textops.analysis import tokens
+
+# prime just above 2^32 (crc32 range)
+_MERSENNE_P = 4294967311
+# permutation multipliers stay < 2^31 so crc32 (< 2^32) × a < 2^63 — no
+# signed-64 overflow inside the JVM arithmetic
+_A_MAX = 2**31
+
+
+def _permutation_constants(k: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _A_MAX), rng.randrange(0, _A_MAX)) for _ in range(k)]
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles as array<string> (documents shorter than n
+    words yield their full token string as a single shingle)."""
+    t = tokens(text_col)
+    return F.when(
+        F.size(t) <= n,
+        F.array(F.concat_ws(" ", t)),
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) per document."""
+    consts = _permutation_constants(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    base = sh.select(id_col, F.crc32(F.col("shingle")).alias("x"))
+    mins = base.groupBy(id_col).agg(
+        *[
+            F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    est_jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding over signatures → candidate near-dup pairs with
+    ``est_jaccard`` (share of equal signature positions).
+
+    rows-per-band r = len(signature)/bands. The bucket join shuffles on
+    (band_idx, band_hash) — hot buckets (boilerplate docs) are exactly the
+    skew case AQE skew-join handles.
+    """
+    sig = signatures.select(F.col(id_col).alias("id"), "signature")
+    r_expr = F.floor(F.size("signature") / bands).cast("int")
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.hash(
+                        F.slice(
+                            F.col("signature"),
+                            (b * r_expr) + 1,
+                            r_expr,
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "signature", "band.band_idx", "band.band_hash")
+
+    l = banded.select(
+        F.col("id").alias("id_l"),
+        F.col("signature").alias("sig_l"),
+        "band_idx",
+        "band_hash",
+    )
+    r = banded.select(
+        F.col("id").alias("id_r"),
+        F.col("signature").alias("sig_r"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = (
+        l.join(r, on=["band_idx", "band_hash"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", "sig_l", "sig_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_l"), F.col("sig_r"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_l")
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_jaccard_threshold)
+        .select(
+            F.col("id_l").alias(f"{id_col}_l"),
+            F.col("id_r").alias(f"{id_col}_r"),
+            "est_jaccard",
+        )
+    )

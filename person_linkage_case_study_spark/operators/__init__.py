@@ -1,0 +1,20 @@
+from .blocking import blocked_pairs, estimate_pair_count
+from .dedup import keep_best, max_per_group_with_ties
+from .gamma import Comparison, ComparisonLevel, add_gammas
+from .joins import anti_join, semi_join, validated_one_to_one_join
+from .scoring import LinkageModel, score_pairs
+
+__all__ = [
+    "blocked_pairs",
+    "estimate_pair_count",
+    "keep_best",
+    "max_per_group_with_ties",
+    "Comparison",
+    "ComparisonLevel",
+    "add_gammas",
+    "anti_join",
+    "semi_join",
+    "validated_one_to_one_join",
+    "LinkageModel",
+    "score_pairs",
+]

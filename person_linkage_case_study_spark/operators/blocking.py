@@ -1,0 +1,82 @@
+"""Blocked candidate-pair generation (SURVEY.md §2.3 J6/J7, §2.9 K2/K8).
+
+A blocking pass is a conjunctive equi-join between the input file and a
+reference file on ``cut_columns + blocking_columns``
+(reference 03_link_datasets.ipynb:1966-2001). Semantics to preserve
+(SURVEY.md §7.3.3): records NULL in any blocking key silently skip the pass
+— exactly what a Spark inner equi-join does with NULL keys.
+
+Scale notes:
+- The join is a plain shuffled hash/sort-merge join; Catalyst picks.
+- Hot blocks (e.g. surname SMITH at USA scale) skew the shuffle; AQE
+  skew-join (on in session defaults) splits oversized partitions at
+  runtime. ``salt_partitions`` adds the reference's explicit salting
+  (03_link_datasets.ipynb:1971-1975) for keys AQE can't help (a single
+  monster block): both sides get a salt in [0, n) derived from *additional*
+  non-blocking columns... salting an equi-join without losing pairs requires
+  replicating one side n times, so we salt by replicating the (smaller)
+  right side and hashing the left — classic skew-salting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: Sequence[str],
+    left_suffix: str = "_l",
+    right_suffix: str = "_r",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """J6/J7/K2: equi-join on blocking keys; emit all non-key columns with
+    ``_l``/``_r`` suffixes plus the keys once.
+
+    With ``salt_partitions=n``, the left side gets ``salt = pmod(hash(cols),
+    n)`` and the right side is replicated across all n salt values
+    (``explode(sequence(...))``) so no pair is lost — the hot block's pairs
+    spread over n reducers.
+    """
+    keys = list(block_on)
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+
+    l = left.select(*keys, *[F.col(c).alias(c + left_suffix) for c in lcols])
+    r = right.select(*keys, *[F.col(c).alias(c + right_suffix) for c in rcols])
+
+    if salt_partitions and salt_partitions > 1:
+        n = salt_partitions
+        l = l.withColumn(
+            "__salt", F.pmod(F.hash(*[F.col(c) for c in l.columns]), F.lit(n))
+        )
+        r = r.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        joined = l.join(r, on=keys + ["__salt"], how="inner").drop("__salt")
+    else:
+        joined = l.join(r, on=keys, how="inner")
+    return joined
+
+
+def estimate_pair_count(
+    left: DataFrame, right: DataFrame, block_on: Sequence[str]
+) -> int:
+    """K8: pre-join pair-count estimate — per-key counts on each side,
+    joined, Σ count_l × count_r (Splink's
+    ``count_num_comparisons_from_blocking_rule``). Two partial aggs plus a
+    tiny join: never materializes the pairs.
+    """
+    keys = list(block_on)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cl"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cr"))
+    row = (
+        lc.join(rc, on=keys, how="inner")
+        .agg(F.sum(F.col("__cl") * F.col("__cr")).alias("pairs"))
+        .first()
+    )
+    return int(row["pairs"] or 0)

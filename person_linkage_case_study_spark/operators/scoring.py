@@ -1,0 +1,127 @@
+"""Fellegi-Sunter scoring (SURVEY.md §2.9 K4, K7).
+
+match_weight = log2(λ/(1-λ)) + Σ_k log2(m_k[γ_k]/u_k[γ_k])   (γ_k ≥ 0)
+match_probability = 1 / (1 + 2^(-match_weight))
+
+γ = -1 (null level) contributes nothing, exactly as in Splink
+(reference 03_link_datasets.ipynb:1266-1352). m/u land in the plan as
+literal CASE arms — a broadcast-free constant lookup inside codegen.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .gamma import Comparison, add_gammas
+
+
+@dataclass
+class LinkageModel:
+    """A trained Fellegi-Sunter model: prior λ plus per-comparison m/u.
+
+    Serializes to/from a plain dict (the reference pickles Splink's
+    settings dict, 03_link_datasets.ipynb:1750-1774); json-safe.
+    """
+
+    comparisons: list[Comparison]
+    lambda_prior: float = 1e-4
+    bayes_factor_cut_columns: float | None = None
+
+    def prior_odds(self) -> float:
+        """λ odds, optionally scaled by the cut-column Bayes factor
+        (reference 03_link_datasets.ipynb:1986-2000 adjusts λ per pass by
+        the Bayes factor of the cut columns — driver-side scalar math M2)."""
+        odds = self.lambda_prior / (1 - self.lambda_prior)
+        if self.bayes_factor_cut_columns:
+            odds *= self.bayes_factor_cut_columns
+        return odds
+
+    def to_dict(self) -> dict:
+        return {
+            "lambda_prior": self.lambda_prior,
+            "bayes_factor_cut_columns": self.bayes_factor_cut_columns,
+            "comparisons": [
+                {
+                    "col": c.col,
+                    "levels": [
+                        {
+                            "kind": lv.kind,
+                            "threshold": lv.threshold,
+                            "band": lv.band,
+                        }
+                        for lv in c.levels
+                    ],
+                    "m": c.m,
+                    "u": c.u,
+                }
+                for c in self.comparisons
+            ],
+        }
+
+    def subset(self, cols: list[str]) -> "LinkageModel":
+        """Pass-specific model: comparisons filtered to this pass's matching
+        columns (reference deep-copies trained settings and filters,
+        03_link_datasets.ipynb:1980-1985)."""
+        return LinkageModel(
+            comparisons=[c for c in self.comparisons if c.col in cols],
+            lambda_prior=self.lambda_prior,
+            bayes_factor_cut_columns=self.bayes_factor_cut_columns,
+        )
+
+
+def _log2_bayes_factor(c: Comparison) -> Column:
+    """CASE over gamma values → log2(m/u) literal; 0.0 for gamma = -1."""
+    g = F.col(c.gamma_col)
+    expr = F.when(g == -1, F.lit(0.0))
+    for gamma in range(len(c.m)):
+        m, u = c.m[gamma], c.u[gamma]
+        if u <= 0 or m <= 0:
+            raise ValueError(f"m/u must be positive for {c.col} gamma={gamma}")
+        expr = expr.when(g == gamma, F.lit(math.log2(m / u)))
+    return expr.otherwise(F.lit(0.0))
+
+
+def log2_bayes_factor_sql(c: Comparison) -> str:
+    """DuckDB SQL mirror of ``_log2_bayes_factor`` — emits the *same* double
+    constants (shortest round-trip repr) the Spark plan uses, so oracle and
+    engine agree bit-for-bit before any rounding."""
+    arms = [f"WHEN {c.gamma_col} = -1 THEN 0.0"]
+    for gamma in range(len(c.m)):
+        const = math.log2(c.m[gamma] / c.u[gamma])
+        arms.append(f"WHEN {c.gamma_col} = {gamma} THEN {const!r}")
+    return "CASE " + " ".join(arms) + " ELSE 0.0 END"
+
+
+def match_weight_sql(model: "LinkageModel") -> str:
+    """SQL expression for match_weight over gamma_* columns."""
+    parts = [repr(math.log2(model.prior_odds()))]
+    parts += [f"({log2_bayes_factor_sql(c)})" for c in model.comparisons]
+    return " + ".join(parts)
+
+
+def score_pairs(
+    pairs: DataFrame,
+    model: LinkageModel,
+    threshold_match_probability: float | None = None,
+    compute_gammas: bool = True,
+) -> DataFrame:
+    """K4/K7: gamma evaluation + FS arithmetic + optional probability filter.
+
+    One projection for gammas, one for the weight sum — Catalyst collapses
+    them into a single WholeStageCodegen stage over the blocked join output.
+    """
+    df = add_gammas(pairs, model.comparisons) if compute_gammas else pairs
+    weight = F.lit(math.log2(model.prior_odds()))
+    for c in model.comparisons:
+        weight = weight + _log2_bayes_factor(c)
+    df = df.withColumn("match_weight", weight).withColumn(
+        "match_probability",
+        F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("match_weight"))),
+    )
+    if threshold_match_probability is not None:
+        df = df.filter(F.col("match_probability") >= threshold_match_probability)
+    return df

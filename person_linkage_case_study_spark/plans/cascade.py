@@ -1,0 +1,401 @@
+"""The PVS linkage cascade (SURVEY.md §3.3, §7.1 step 6).
+
+The reference's ``PersonLinkageCascade`` / ``PersonLinkageModule``
+(03_link_datasets.ipynb:1781-2234) orchestrates 4 modules × up to 5 passes:
+each pass equi-joins the not-yet-linked input file against a reference file
+on cut+blocking columns, scores the pairs with a trained Fellegi-Sunter
+model restricted to the pass's matching columns, keeps pairs over a
+probability threshold, and removes the linked records; each module ends by
+confirming at most one PIK per raw input record.
+
+Spark-first shape: the whole pass is ONE DataFrame pipeline
+(block-join → gamma → score → filter), and the cascade is a driver loop
+over persisted DataFrames — the reference's engine-boundary parquet
+round-trips (steps 2/6 of §3.3) disappear. Cross-pass state is persisted
+and the previous state unpersisted each pass so lineage doesn't grow
+(reference clears checkpoints at the same points, K12).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.storagelevel import StorageLevel
+
+from ..operators.blocking import blocked_pairs, estimate_pair_count
+from ..operators.dedup import keep_best, max_per_group_with_ties
+from ..operators.joins import anti_join
+from ..operators.scoring import LinkageModel, score_pairs
+
+CENSUS_DAY = "2030-04-01"
+
+
+def switch_first_and_last_names(df: DataFrame) -> DataFrame:
+    """Name-switch input transformation for the transposed-name passes
+    (reference 03_link_datasets.ipynb:2496-2520): swap every first_*/last_*
+    derived column pair."""
+    pairs = [
+        (c, "last_" + c.removeprefix("first_"))
+        for c in df.columns
+        if c.startswith("first_") and ("last_" + c.removeprefix("first_")) in df.columns
+    ]
+    out = df
+    for fcol, lcol in pairs:
+        out = out.withColumnRenamed(fcol, "__tmp__").withColumnRenamed(
+            lcol, fcol
+        ).withColumnRenamed("__tmp__", lcol)
+    return out
+
+
+@dataclass
+class PassConfig:
+    name: str
+    blocking_columns: list[str]
+    probability_threshold: float = 0.97
+    input_data_transformation: Callable[[DataFrame], DataFrame] | None = None
+    salt_partitions: int | None = None
+
+
+@dataclass
+class ModuleConfig:
+    name: str
+    reference_file_name: str
+    cut_columns: list[str]
+    matching_columns: list[str]
+    passes: list[PassConfig]
+    bayes_factor_cut_columns: float = 1.0
+
+
+@dataclass
+class CascadeConfig:
+    modules: list[ModuleConfig]
+
+
+@dataclass
+class PassStats:
+    module: str
+    pass_name: str
+    n_pairs_estimated: int
+    n_links: int
+    n_still_eligible: int
+
+
+class PersonLinkageCascade:
+    """Driver-side cascade state machine.
+
+    Parameters
+    ----------
+    census:          preprocessed input file (must carry ``record_id`` and
+                     ``record_id_raw_input_file``)
+    reference_files: name → preprocessed reference DataFrame (each with
+                     ``record_id`` and ``pik``)
+    model:           trained LinkageModel covering the union of all
+                     matching columns
+    dates_of_death:  (pik, date_of_death DATE) — deceased links dropped at
+                     confirm (reference 03:2146-2169)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        census: DataFrame,
+        reference_files: dict[str, DataFrame],
+        model: LinkageModel,
+        dates_of_death: DataFrame | None = None,
+        collect_stats: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.census = census.persist(StorageLevel.MEMORY_AND_DISK)
+        self.reference_files = reference_files
+        self.model = model
+        self.dates_of_death = dates_of_death
+        self.collect_stats = collect_stats
+        self.stats: list[PassStats] = []
+        # accumulator: ≤1 row per record_id_raw_input_file after each module
+        self.confirmed_piks: DataFrame = spark.createDataFrame(
+            [],
+            "record_id_raw_input_file string, record_id_census_2030 string, "
+            "record_id_reference_file string, pik string, module_name string, "
+            "pass_name string, match_probability double",
+        )
+        self._module: ModuleConfig | None = None
+        self._census_to_match: DataFrame | None = None
+        self._provisional_links: DataFrame | None = None
+        self._reference_file: DataFrame | None = None
+
+    # -- module lifecycle ---------------------------------------------------
+
+    def start_module(self, cfg: ModuleConfig) -> None:
+        self._module = cfg
+        self._reference_file = self.reference_files[cfg.reference_file_name]
+        # exclude raw input records already PIKed by earlier modules (J3)
+        self._census_to_match = anti_join(
+            self.census,
+            self.confirmed_piks.select("record_id_raw_input_file"),
+            on="record_id_raw_input_file",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self._provisional_links = self.spark.createDataFrame(
+            [],
+            "record_id_census_2030 string, record_id_reference_file string, "
+            "record_id_raw_input_file string, match_weight double, "
+            "match_probability double, module_name string, pass_name string",
+        )
+
+    def run_matching_pass(self, pass_cfg: PassConfig) -> None:
+        assert self._module is not None, "start_module first"
+        cfg = self._module
+        block_on = cfg.cut_columns + pass_cfg.blocking_columns
+        columns_needed = list(
+            dict.fromkeys(["record_id"] + block_on + cfg.matching_columns)
+        )
+
+        census_side = self._census_to_match
+        if pass_cfg.input_data_transformation is not None:
+            census_side = pass_cfg.input_data_transformation(census_side)
+        census_side = census_side.select(
+            *[c for c in columns_needed if c in census_side.columns],
+            "record_id_raw_input_file",
+        )
+        ref_side = self._reference_file.select(
+            *[c for c in columns_needed if c in self._reference_file.columns]
+        )
+
+        n_pairs = (
+            estimate_pair_count(census_side, ref_side, block_on)
+            if self.collect_stats
+            else -1
+        )
+
+        # pass-specific model: comparisons restricted to matching columns,
+        # prior scaled by the cut-column Bayes factor (reference 03:1977-2001)
+        pass_model = self.model.subset(cfg.matching_columns)
+        pass_model.bayes_factor_cut_columns = cfg.bayes_factor_cut_columns
+
+        pairs = blocked_pairs(
+            census_side, ref_side, block_on, salt_partitions=pass_cfg.salt_partitions
+        )
+        scored = score_pairs(
+            pairs, pass_model, threshold_match_probability=pass_cfg.probability_threshold
+        )
+        new_links = scored.select(
+            F.col("record_id_l").alias("record_id_census_2030"),
+            F.col("record_id_r").alias("record_id_reference_file"),
+            F.col("record_id_raw_input_file_l").alias("record_id_raw_input_file"),
+            "match_weight",
+            "match_probability",
+            F.lit(cfg.name).alias("module_name"),
+            F.lit(pass_cfg.name).alias("pass_name"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        n_links = new_links.count()  # materializes before we mutate state
+
+        self._provisional_links = self._provisional_links.unionByName(new_links)
+
+        # remove matched linkage records (NOT raw records — a nickname
+        # variant matching doesn't stop the canonical record, SURVEY §7.3.5)
+        prev = self._census_to_match
+        self._census_to_match = anti_join(
+            prev,
+            new_links.select(F.col("record_id_census_2030").alias("record_id")).distinct(),
+            on="record_id",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_eligible = self._census_to_match.count()
+        prev.unpersist()
+
+        if self.collect_stats:
+            self.stats.append(
+                PassStats(cfg.name, pass_cfg.name, n_pairs, n_links, n_eligible)
+            )
+
+    def confirm_piks(self) -> DataFrame:
+        """Module post-search confirm (reference 03:2132-2234): attach PIKs,
+        drop deceased, argmax by probability per raw record, drop raw
+        records whose best links disagree on PIK, dedup deterministically.
+        Returns the newly confirmed links and folds them into the
+        accumulator."""
+        assert self._module is not None
+        cfg = self._module
+
+        piks = self._reference_file.select(
+            F.col("record_id").alias("record_id_reference_file"), "pik"
+        )
+        links = self._provisional_links.join(
+            piks, on="record_id_reference_file", how="left"
+        )
+
+        if self.dates_of_death is not None:
+            dod = self.dates_of_death.select("pik", "date_of_death")
+            links = links.join(F.broadcast(dod), on="pik", how="left").filter(
+                F.col("date_of_death").isNull()
+                | (F.col("date_of_death") > F.lit(CENSUS_DAY).cast("date"))
+            ).drop("date_of_death")
+
+        # best links per raw input record (ties kept), then drop records
+        # whose tied best links name >1 distinct PIK (reference 03:2171-2207)
+        best = max_per_group_with_ties(
+            links, ["record_id_raw_input_file"], "match_probability"
+        )
+        pik_counts = best.groupBy("record_id_raw_input_file").agg(
+            F.count_distinct("pik").alias("num_unique_piks")
+        )
+        single = pik_counts.filter(F.col("num_unique_piks") <= 1).select(
+            "record_id_raw_input_file"
+        )
+        confirmed = keep_best(
+            best.join(single, on="record_id_raw_input_file", how="left_semi"),
+            keys=["record_id_raw_input_file"],
+            order_by=[F.desc("match_probability")],
+            tiebreak="record_id_census_2030",
+        ).select(
+            "record_id_raw_input_file",
+            "record_id_census_2030",
+            "record_id_reference_file",
+            "pik",
+            "module_name",
+            "pass_name",
+            "match_probability",
+        )
+
+        self.confirmed_piks = self.confirmed_piks.unionByName(confirmed).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._module = None
+        self._census_to_match.unpersist()
+        self._census_to_match = None
+        self._provisional_links = None
+        return confirmed
+
+    # -- whole-cascade driver ----------------------------------------------
+
+    def run(self, config: CascadeConfig) -> DataFrame:
+        for mod in config.modules:
+            self.start_module(mod)
+            for p in mod.passes:
+                self.run_matching_pass(p)
+            self.confirm_piks()
+        return self.confirmed_piks
+
+    def attach_piks(self, census_raw: DataFrame) -> DataFrame:
+        """Final 1:1 PIK attach onto the raw input file (J8; reference
+        03:3274-3285)."""
+        piks = self.confirmed_piks.select(
+            F.col("record_id_raw_input_file").alias("record_id"), "pik"
+        )
+        return census_raw.join(piks, on="record_id", how="left")
+
+
+def default_cascade_config(salt_hot_passes: bool = False) -> CascadeConfig:
+    """The reference's 4-module / 15-pass configuration (FIXTURES.md §8;
+    reference 03_link_datasets.ipynb:2332-3210)."""
+    name_dob_matching = [
+        "first_name_15",
+        "last_name_12",
+        "middle_initial",
+        "day_of_birth",
+        "month_of_birth",
+        "year_of_birth",
+    ]
+    salt = 10 if salt_hot_passes else None
+    return CascadeConfig(
+        modules=[
+            ModuleConfig(
+                name="geosearch",
+                reference_file_name="geobase_reference_file",
+                cut_columns=["zip3"],
+                matching_columns=name_dob_matching + ["geokey"],
+                passes=[
+                    PassConfig("geokey", ["geokey_for_blocking"], salt_partitions=salt),
+                    PassConfig(
+                        "geokey name switch",
+                        ["geokey_for_blocking"],
+                        input_data_transformation=switch_first_and_last_names,
+                        salt_partitions=salt,
+                    ),
+                    PassConfig(
+                        "street address",
+                        ["street_number_for_blocking", "street_name_for_blocking_soundex"],
+                        salt_partitions=salt,
+                    ),
+                    PassConfig(
+                        "street address name switch",
+                        ["street_number_for_blocking", "street_name_for_blocking_soundex"],
+                        input_data_transformation=switch_first_and_last_names,
+                        salt_partitions=salt,
+                    ),
+                    PassConfig(
+                        "name and birth year",
+                        ["first_name_2", "last_name_2", "year_of_birth"],
+                    ),
+                ],
+            ),
+            ModuleConfig(
+                name="namesearch",
+                reference_file_name="name_dob_reference_file",
+                cut_columns=["first_initial_cut", "last_initial_cut"],
+                matching_columns=name_dob_matching,
+                passes=[
+                    PassConfig(
+                        "dob and nysiis",
+                        [
+                            "day_of_birth",
+                            "month_of_birth",
+                            "year_of_birth",
+                            "first_name_nysiis",
+                            "last_name_nysiis",
+                        ],
+                    ),
+                    PassConfig(
+                        "dob and first initial",
+                        [
+                            "day_of_birth",
+                            "month_of_birth",
+                            "year_of_birth",
+                            "first_name_1",
+                            "last_name_1",
+                        ],
+                    ),
+                    PassConfig(
+                        "birth year and name_2",
+                        ["year_of_birth", "first_name_2", "last_name_2"],
+                    ),
+                    PassConfig(
+                        "birth day-month and name_2",
+                        ["day_of_birth", "month_of_birth", "first_name_2", "last_name_2"],
+                    ),
+                ],
+            ),
+            ModuleConfig(
+                name="dobsearch",
+                reference_file_name="name_dob_reference_file",
+                cut_columns=["day_of_birth", "month_of_birth"],
+                matching_columns=name_dob_matching,
+                passes=[
+                    PassConfig(
+                        "name_1 switched",
+                        ["first_name_1", "last_name_1"],
+                        input_data_transformation=switch_first_and_last_names,
+                    ),
+                    PassConfig("name_3", ["first_name_3", "last_name_3"]),
+                    PassConfig(
+                        "reverse soundex",
+                        ["first_name_reverse_soundex", "last_name_reverse_soundex"],
+                    ),
+                    PassConfig("first_2 and year", ["first_name_2", "year_of_birth"]),
+                ],
+            ),
+            ModuleConfig(
+                name="hhcompsearch",
+                reference_file_name="hhcomp_reference_file",
+                cut_columns=["pseudo_household_id"],
+                matching_columns=name_dob_matching,
+                bayes_factor_cut_columns=1000.0,
+                passes=[
+                    PassConfig("name_1", ["first_name_1", "last_name_1"]),
+                    PassConfig("birth year", ["year_of_birth"]),
+                ],
+            ),
+        ]
+    )

@@ -1,0 +1,124 @@
+"""Relational operator unit tests (SURVEY.md §2.3-2.7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.operators.blocking import (
+    blocked_pairs,
+    estimate_pair_count,
+)
+from person_linkage_case_study_spark.operators.dedup import (
+    keep_best,
+    max_per_group_with_ties,
+)
+from person_linkage_case_study_spark.operators.joins import (
+    anti_join,
+    semi_join,
+    validated_one_to_one_join,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "SMITH", 0.99, 1),
+            ("a", "SMITH", 0.80, 2),
+            ("a", "SMYTH", 0.99, 3),
+            ("b", "JONES", 0.50, 4),
+            (None, "NOKEY", 0.10, 5),
+        ],
+        ["key", "name", "prob", "rid"],
+    )
+
+
+def test_keep_best_deterministic(people):
+    best = keep_best(people, ["key"], [F.desc("prob")], tiebreak="rid").collect()
+    by_key = {r["key"]: r for r in best}
+    # ties on prob=0.99 broken by lowest rid
+    assert by_key["a"]["rid"] == 1
+    assert by_key["b"]["rid"] == 4
+    assert by_key[None]["rid"] == 5  # null key forms its own group
+
+
+def test_max_per_group_with_ties(people):
+    rows = max_per_group_with_ties(people, ["key"], "prob").collect()
+    a_rows = [r for r in rows if r["key"] == "a"]
+    assert sorted(r["rid"] for r in a_rows) == [1, 3]
+
+
+def test_anti_semi_join(spark):
+    left = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "v"])
+    right = spark.createDataFrame([(2,), (3,)], ["k"])
+    assert {r["k"] for r in anti_join(left, right, "k").collect()} == {1}
+    assert {r["k"] for r in semi_join(left, right, "k").collect()} == {2, 3}
+
+
+def test_validated_one_to_one_join(spark):
+    l = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "lv"])
+    r = spark.createDataFrame([(1, "A"), (2, "B")], ["k", "rv"])
+    assert validated_one_to_one_join(l, r, "k").count() == 2
+    r_dup = spark.createDataFrame([(1, "A"), (1, "B")], ["k", "rv"])
+    with pytest.raises(ValueError, match="1:1"):
+        validated_one_to_one_join(l, r_dup, "k")
+
+
+def test_blocked_pairs_null_keys_skip(spark):
+    """SURVEY.md §7.3.3: records NULL in any blocking key skip the pass."""
+    l = spark.createDataFrame([("z1", 1), (None, 2)], ["blk", "lid"])
+    r = spark.createDataFrame([("z1", 10), (None, 20)], ["blk", "rid"])
+    pairs = blocked_pairs(l, r, ["blk"]).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["lid_l"] == 1 and pairs[0]["rid_r"] == 10
+
+
+def test_blocked_pairs_salting_preserves_pairs(spark):
+    l = spark.createDataFrame([("k", i) for i in range(20)], ["blk", "lid"])
+    r = spark.createDataFrame([("k", i) for i in range(15)], ["blk", "rid"])
+    plain = blocked_pairs(l, r, ["blk"])
+    salted = blocked_pairs(l, r, ["blk"], salt_partitions=7)
+    assert plain.count() == 20 * 15
+    assert salted.count() == 20 * 15
+    # same pair set, not just same count
+    key = lambda rows: sorted((r["lid_l"], r["rid_r"]) for r in rows)
+    assert key(plain.collect()) == key(salted.collect())
+
+
+def test_estimate_pair_count(spark):
+    l = spark.createDataFrame([("a",), ("a",), ("b",)], ["blk"])
+    r = spark.createDataFrame([("a",), ("b",), ("b",), ("c",)], ["blk"])
+    # a: 2*1, b: 1*2 => 4
+    assert estimate_pair_count(l, r, ["blk"]) == 4
+
+
+def test_record_id_minting(spark):
+    from person_linkage_case_study_spark.sources.io import add_record_id
+
+    df = spark.range(100).repartition(4)
+    with_id = add_record_id(df, "testds")
+    ids = [r["record_id"] for r in with_id.collect()]
+    assert len(set(ids)) == 100
+    assert all(i.startswith("testds_") for i in ids)
+
+
+def test_lineage_merge(spark):
+    from person_linkage_case_study_spark.sources.lineage import (
+        merge_preserving_source_records,
+        new_lineage,
+    )
+
+    t1 = spark.createDataFrame(
+        [("s1", "r1", "Alice"), ("s2", "r2", "Bob")], ["ssn", "record_id", "name"]
+    )
+    t2 = spark.createDataFrame(
+        [("s1", "r3", "90210"), ("s3", "r4", "02134")], ["ssn", "record_id", "zip"]
+    )
+    merged, lineage = merge_preserving_source_records(
+        [(t1, new_lineage(t1)), (t2, new_lineage(t2))], key="ssn"
+    )
+    rows = {r["ssn"]: r for r in merged.collect()}
+    assert rows["s1"]["name"] == "Alice" and rows["s1"]["zip"] == "90210"
+    assert rows["s3"]["name"] is None and rows["s3"]["zip"] == "02134"
+    lin = {(r["record_id"], r["source_record_id"]) for r in lineage.collect()}
+    # s1's merged row (keeps r1) carries both r1 and r3 as sources
+    assert ("r1", "r1") in lin and ("r1", "r3") in lin

@@ -1,0 +1,83 @@
+"""Gamma compiler + Fellegi-Sunter arithmetic (SURVEY.md §2.9 K3/K4)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.operators.gamma import (
+    add_gammas,
+    banded_comparison,
+    jw_comparison,
+)
+from person_linkage_case_study_spark.operators.scoring import (
+    LinkageModel,
+    score_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    return spark.createDataFrame(
+        [
+            # name_l, name_r, year_l, year_r
+            ("MARTHA", "MARTHA", 1980, 1980),  # exact, exact
+            ("MARTHA", "MARHTA", 1980, 1982),  # jw .961 -> gamma 2, banded
+            ("MARTHA", "XAVIER", 1980, 1990),  # else, else
+            (None, "MARTHA", None, 1980),  # null, null
+        ],
+        ["name_l", "name_r", "year_l", "year_r"],
+    )
+
+
+def make_model():
+    name = jw_comparison("name", thresholds=(0.9, 0.7))
+    name.m = [0.02, 0.05, 0.2, 0.73]
+    name.u = [0.9, 0.05, 0.03, 0.02]
+    year = banded_comparison("year", band=5)
+    year.m = [0.05, 0.25, 0.7]
+    year.u = [0.8, 0.15, 0.05]
+    return LinkageModel([name, year], lambda_prior=0.01)
+
+
+def test_gamma_levels(pairs):
+    model = make_model()
+    got = add_gammas(pairs, model.comparisons).collect()
+    assert [r["gamma_name"] for r in got] == [3, 2, 0, -1]
+    assert [r["gamma_year"] for r in got] == [2, 1, 0, -1]
+
+
+def test_fs_score_closed_form(pairs):
+    model = make_model()
+    rows = score_pairs(pairs, model).collect()
+    prior = math.log2(0.01 / 0.99)
+    # row 0: exact/exact
+    expected0 = prior + math.log2(0.73 / 0.02) + math.log2(0.7 / 0.05)
+    assert rows[0]["match_weight"] == pytest.approx(expected0, abs=1e-12)
+    # row 3: all null -> prior only
+    assert rows[3]["match_weight"] == pytest.approx(prior, abs=1e-12)
+    for r in rows:
+        assert r["match_probability"] == pytest.approx(
+            1 / (1 + 2 ** -r["match_weight"]), abs=1e-12
+        )
+
+
+def test_threshold_filter(pairs):
+    model = make_model()
+    kept = score_pairs(pairs, model, threshold_match_probability=0.5).collect()
+    assert len(kept) == 1  # only the exact/exact pair crosses 0.5
+
+
+def test_model_subset_and_roundtrip():
+    model = make_model()
+    sub = model.subset(["name"])
+    assert [c.col for c in sub.comparisons] == ["name"]
+    d = model.to_dict()
+    assert d["lambda_prior"] == 0.01
+    assert len(d["comparisons"]) == 2
+
+
+def test_bayes_factor_cut_columns():
+    model = make_model()
+    model.bayes_factor_cut_columns = 1000.0
+    assert model.prior_odds() == pytest.approx((0.01 / 0.99) * 1000.0)
