@@ -31,7 +31,12 @@ HEADLINE = [
     "fs_customer_supplier_scores",
     "k8_blocking_pair_count",
     "events_hourly_rollup",
+    "events_sessionized",
     "dedup_exact_documents",
+    "minhash_near_dups",
+    "ngram_jaccard_docs",
+    "ann_brute_force_topk",
+    "text_token_stats",
 ]
 
 
@@ -41,8 +46,16 @@ def main() -> None:
     spark = get_spark("bench")
     qs = catalog.queries()
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # warm the JVM + parquet footers + Python UDF workers once so timings
+    # measure the queries, not process spawn
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    from pyspark.sql import functions as F
+
+    from person_linkage_case_study_spark.functions.similarity import jaro_winkler_udf
+
+    spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        jaro_winkler_udf(F.lit("WARMUP"), F.lit("WARMUP"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

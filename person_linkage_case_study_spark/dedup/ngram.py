@@ -21,8 +21,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """All same-block pairs with token-set Jaccard ≥ threshold."""
+    """All same-block pairs with token-set Jaccard ≥ threshold.
+
+    The self-join explodes (|block|² pairs from |block| rows), so the join
+    parallelism is pinned — AQE would coalesce the tiny input shuffle and
+    funnel millions of array_intersect calls through a few tasks.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
     t = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
@@ -30,8 +38,20 @@ def ngram_jaccard_pairs(
     )
     l = t.select(F.col("id").alias("id_l"), "blk", F.col("toks").alias("toks_l"))
     r = t.select(F.col("id").alias("id_r"), "blk", F.col("toks").alias("toks_r"))
+    # salt the explosion: replicate the right side over k salt buckets and
+    # split the left by id hash, so one language-block's pairs spread over
+    # k × (block partitions) tasks instead of one
+    k = max(1, num_partitions // max(t.select("blk").distinct().count(), 1))
+    if k > 1:
+        l = l.withColumn("__salt", F.pmod(F.hash("id_l"), F.lit(k)))
+        r = r.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        join_keys = ["blk", "__salt"]
+    else:
+        join_keys = ["blk"]
+    l = l.repartition(num_partitions, *join_keys)
     return (
-        l.join(r, on="blk")
+        l.join(r, on=join_keys)
+        .drop("__salt")
         .filter(F.col("id_l") < F.col("id_r"))
         .withColumn("jaccard", jaccard_tokens(F.col("toks_l"), F.col("toks_r")))
         .filter(F.col("jaccard") >= threshold)

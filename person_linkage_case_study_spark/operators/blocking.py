@@ -33,6 +33,7 @@ def blocked_pairs(
     left_suffix: str = "_l",
     right_suffix: str = "_r",
     salt_partitions: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """J6/J7/K2: equi-join on blocking keys; emit all non-key columns with
     ``_l``/``_r`` suffixes plus the keys once.
@@ -41,6 +42,13 @@ def blocked_pairs(
     n)`` and the right side is replicated across all n salt values
     (``explode(sequence(...))``) so no pair is lost — the hot block's pairs
     spread over n reducers.
+
+    ``num_partitions`` pins the join's shuffle partitioning on the blocking
+    keys. Use it when the *inputs* are small but the pair output is large
+    (pair explosion): AQE coalesces the input shuffle by bytes read, which
+    would funnel millions of output pairs through a handful of tasks —
+    exactly wrong for a downstream per-pair UDF. Pinning keeps the
+    explosion spread across the cluster.
     """
     keys = list(block_on)
     lcols = [c for c in left.columns if c not in keys]
@@ -48,6 +56,9 @@ def blocked_pairs(
 
     l = left.select(*keys, *[F.col(c).alias(c + left_suffix) for c in lcols])
     r = right.select(*keys, *[F.col(c).alias(c + right_suffix) for c in rcols])
+    if num_partitions:
+        l = l.repartition(num_partitions, *[F.col(k) for k in keys])
+        r = r.repartition(num_partitions, *[F.col(k) for k in keys])
 
     if salt_partitions and salt_partitions > 1:
         n = salt_partitions

@@ -23,7 +23,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.storagelevel import StorageLevel
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.blocking import blocked_pairs, estimate_pair_count
 from ..operators.dedup import keep_best, max_per_group_with_ties
@@ -177,6 +177,16 @@ class PersonLinkageCascade:
         pairs = blocked_pairs(
             census_side, ref_side, block_on, salt_partitions=pass_cfg.salt_partitions
         )
+        # a column can be both blocking key and matching column (e.g. the
+        # DOB parts in namesearch): blocked keys come out unsuffixed, so
+        # alias them to both sides for the comparisons (values are equal by
+        # construction — the gamma lands on the exact-match level, exactly
+        # as in Splink where the blocking rule guarantees l.col = r.col)
+        for c in cfg.matching_columns:
+            if c in block_on:
+                pairs = pairs.withColumn(f"{c}_l", F.col(c)).withColumn(
+                    f"{c}_r", F.col(c)
+                )
         scored = score_pairs(
             pairs, pass_model, threshold_match_probability=pass_cfg.probability_threshold
         )

@@ -195,6 +195,14 @@ def preprocess_reference_file(
         df = add_geokey(df)
         if gq_geokeys is not None:
             df = suppress_gq_geokeys(df, gq_geokeys)
+        else:
+            # no GQ suppression: blocking columns are plain copies
+            for src, dst in [
+                ("geokey", "geokey_for_blocking"),
+                ("street_number", "street_number_for_blocking"),
+                ("street_name", "street_name_for_blocking"),
+            ]:
+                df = df.withColumn(dst, F.col(src))
         df = add_zip3(df)
     df = add_truncated_name_cols(df)
     df = add_phonetics(df, street=has_address)

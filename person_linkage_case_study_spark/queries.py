@@ -520,9 +520,10 @@ def d_dob_style_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jw_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    pairs = blocked_pairs(p, p, block_on=["p_brand"]).filter(
-        F.col("p_partkey_l") < F.col("p_partkey_r")
-    )
+    # pin pair-explosion parallelism: tiny input bytes, 8M-pair output
+    pairs = blocked_pairs(
+        p, p, block_on=["p_brand"], num_partitions=spark.sparkContext.defaultParallelism
+    ).filter(F.col("p_partkey_l") < F.col("p_partkey_r"))
     jw = jaro_winkler_udf(F.col("p_name_l"), F.col("p_name_r"))
     return (
         pairs.withColumn("__jw", jw)
@@ -601,7 +602,9 @@ def fs_customer_supplier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name"),
         F.col("s_acctbal").alias("acctbal"),
     )
-    pairs = blocked_pairs(c, s, block_on=["nationkey"])
+    pairs = blocked_pairs(
+        c, s, block_on=["nationkey"], num_partitions=spark.sparkContext.defaultParallelism
+    )
     scored = score_pairs(pairs, model)
     return scored.select(
         F.col("custkey_l").alias("custkey"),
@@ -697,4 +700,401 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+# ===========================================================================
+# Phase 2: text analysis, document dedup, ANN, sessionization, phonetics.
+# ===========================================================================
+
+# DuckDB SQL fragments mirroring textops.analysis (tokens/fingerprint).
+_SQL_TOKENS = r"list_filter(string_split_regex(trim({t}), '\s+'), x -> x <> '')"
+
+
+def _soundex_sql(expr: str) -> str:
+    """RE2-safe DuckDB port of American Soundex (H/W merge rule, vowel
+    separation, first-letter handling) — mirrors Spark's built-in
+    ``soundex`` (fuzz-checked in tests)."""
+    translated = f"translate({expr}, 'BFPVCGJKQSXZDTLMNR', '111122222222334556')"
+    no_hw = f"regexp_replace({translated}, '[HW]', '', 'g')"
+    collapsed = no_hw
+    for d in "123456":
+        collapsed = f"regexp_replace({collapsed}, '{d}{d}+', '{d}', 'g')"
+    digits = f"regexp_replace({collapsed}, '[AEIOUY]', '', 'g')"
+    start = (
+        f"CASE WHEN substr({expr},1,1) IN "
+        f"('A','E','I','O','U','Y','H','W') THEN 1 ELSE 2 END"
+    )
+    return f"rpad(substr({expr},1,1) || substr({digits}, {start}, 3), 4, '0')"
+
+
+# ---------------------------------------------------------------------------
+# Text token statistics (training-data pipeline).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(toks) > 0
+                 THEN list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') / len(toks)
+                 ELSE 0.0 END, 6) AS avg_token_len,
+           CAST(strlen(text) AS BIGINT) AS n_chars_measured
+    FROM (SELECT doc_id, text, {_SQL_TOKENS.format(t='text')} AS toks FROM documents)
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops.analysis import add_token_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_token_stats(d).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring signals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_signals",
+    oracle=f"""
+    SELECT doc_id,
+           round(CASE WHEN strlen(text) > 0
+                 THEN strlen(regexp_replace(text, $$[^.,;:!?'"]$$, '', 'g')) / strlen(text)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN strlen(text) > 0
+                 THEN strlen(regexp_replace(text, '[^0-9]', '', 'g')) / strlen(text)
+                 ELSE 0.0 END, 6) AS digit_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN len(list_intersect(toks, ['the','a','of','and','to','in','is','for'])) / len(toks)
+                 ELSE 0.0 END, 6) AS stopword_ratio
+    FROM (SELECT doc_id, text, {_SQL_TOKENS.format(t='text')} AS toks FROM documents)
+    """,
+)
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops.analysis import add_quality_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_quality_signals(d).select(
+        "doc_id",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (stopword markers).
+# ---------------------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    from .textops.analysis import LANG_MARKERS
+
+    toks = _SQL_TOKENS.format(t="lower(text)")
+    hits = ", ".join(
+        f"len(list_intersect(list_distinct(toks), {markers!r})) AS hits_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    arms = " ".join(
+        f"WHEN best > 0 AND hits_{l} = best THEN '{l}'" for l in langs
+    )
+    return f"""
+    SELECT doc_id, CASE {arms} ELSE 'und' END AS lang_guess
+    FROM (
+        SELECT doc_id, {hits}, {best} AS best
+        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    )
+    """
+
+
+@query("text_language_guess", oracle=_langid_oracle())
+def text_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops.analysis import add_language_guess
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_language_guess(d).select("doc_id", "lang_guess")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(lower(trim(text)), ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007
+           ) AS fingerprint64
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops.analysis import add_rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_rolling_fingerprint(d).select("doc_id", "fingerprint64")
+
+
+# ---------------------------------------------------------------------------
+# F8 phonetics: Spark built-in soundex vs hand-written SQL port.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f8_soundex_part_names",
+    oracle=f"""
+    SELECT {_soundex_sql("upper(string_split(p_name, ' ')[1])")} AS name_soundex,
+           count(*) AS n
+    FROM part
+    GROUP BY 1
+    """,
+)
+def f8_soundex_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.phonetics import soundex
+
+    p = _t(spark, sf_dir, "part")
+    first_word = F.upper(F.split(F.col("p_name"), " ").getItem(0))
+    return (
+        p.groupBy(soundex(first_word).alias("name_soundex"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# NYSIIS has no SQL equivalent — rows-only check (driver records a weaker
+# rows-only result; the pandas UDF itself is golden-tested against
+# jellyfish-pinned vectors in tests/test_phonetics.py).
+@query("f9_nysiis_part_names")
+def f9_nysiis_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.phonetics import nysiis_udf
+
+    p = _t(spark, sf_dir, "part")
+    first_word = F.upper(F.split(F.col("p_name"), " ").getItem(0))
+    return (
+        p.groupBy(nysiis_udf(first_word).alias("name_nysiis"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document near-dup: blocked token-set Jaccard (exact), with SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard_docs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, list_distinct({_SQL_TOKENS.format(t='text')}) AS toks
+        FROM documents
+    )
+    SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+           round(len(list_intersect(l.toks, r.toks)) /
+                 len(list_distinct(list_concat(l.toks, r.toks))), 6) AS jaccard
+    FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+    WHERE len(list_intersect(l.toks, r.toks)) /
+          len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5
+    """,
+)
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup.ngram import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
+
+
+# MinHash LSH + SimHash: permutation/hash constants are engine-side, no SQL
+# equivalent — rows-only checks; correctness is covered by tests
+# (LSH candidates ⊇ high-jaccard pairs; signature determinism).
+@query("minhash_near_dups")
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(d, shingle_n=2)
+    return minhash_candidate_pairs(sigs, est_jaccard_threshold=0.3)
+
+
+@query("simhash_near_dups")
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup.simhash import simhash, simhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_candidate_pairs(simhash(d), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# ANN: exact brute-force cosine top-k (oracle-checked) + LSH variant.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_brute_force_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_inner_product(q.qv, e.v) /
+                     (sqrt(list_inner_product(q.qv, q.qv)) *
+                      sqrt(list_inner_product(e.v, e.v))), 5) AS cosine
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity.ann import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return brute_force_topk(e, q, k=5)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity.ann import lsh_bucket_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return lsh_bucket_topk(e, q, k=5, dim=64)
+
+
+@query(
+    "emb_near_dup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT l.vec_id AS vec_id_l, r.vec_id AS vec_id_r,
+           round(list_inner_product(l.v, r.v) /
+                 (sqrt(list_inner_product(l.v, l.v)) *
+                  sqrt(list_inner_product(r.v, r.v))), 6) AS cosine
+    FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE list_inner_product(l.v, r.v) /
+          (sqrt(list_inner_product(l.v, l.v)) * sqrt(list_inner_product(r.v, r.v)))
+          >= 0.3
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity.ann import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (max intra-label cosine
+    # ≈0.47) — 0.3 exercises the operator with a non-trivial result set
+    return embedding_near_dup_pairs(e, block_col="label", threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Event sessionization (gap-based), batch form with SQL oracle — the
+# streaming twin lives in streaming/stream.py (session_window).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionized",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM o GROUP BY user_id
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        lag_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(lag_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11 seeded sampling — seed semantics are engine-specific, rows-only.
+# ---------------------------------------------------------------------------
+
+
+@query("p11_seeded_sample")
+def p11_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=1234).select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload columns + byte-level metadata.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_media_byte_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_media,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def mm_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal.media import attach_media_payload
+
+    d = _t(spark, sf_dir, "documents")
+    media = attach_media_payload(
+        d, bytes_col="text", id_col="doc_id", media_type="text/plain", source_col="source"
+    )
+    return media.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+# mapInPandas feature extraction — engine-side stub features, rows-only.
+@query("mm_media_features")
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal.media import attach_media_payload, extract_media_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = attach_media_payload(
+        d, bytes_col="text", id_col="doc_id", media_type="text/plain", source_col="source"
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id", "n_bytes", F.round("byte_entropy", 6).alias("byte_entropy"), "head_hash"
     )

@@ -25,6 +25,10 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # big Arrow batches amortize pandas-UDF overhead and let the JW kernel's
+    # per-batch unique-pair dedup actually deduplicate (10k-row default
+    # batches barely repeat; 200k-row batches repeat heavily)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "200000",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",

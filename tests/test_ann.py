@@ -1,0 +1,59 @@
+"""ANN: brute-force exactness and LSH recall."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(17)
+    rows = []
+    for i in range(100):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    # planted: 100+i is a tiny perturbation of i for i<5 (near dup)
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((100 + i, [x + rng.gauss(0, 0.01) for x in base]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_brute_force_finds_planted_neighbors(vectors):
+    from person_linkage_case_study_spark.similarity.ann import brute_force_topk
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    top = brute_force_topk(vectors, q, k=1).collect()
+    got = {r["query_id"]: (r["neighbor_id"], r["cosine"]) for r in top}
+    for i in range(5):
+        assert got[i][0] == 100 + i
+        assert got[i][1] > 0.99
+
+
+def test_lsh_recall_on_planted(vectors):
+    from person_linkage_case_study_spark.similarity.ann import lsh_bucket_topk
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    top = lsh_bucket_topk(
+        vectors, q, k=1, n_planes=6, n_tables=6, dim=16
+    ).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in top}
+    # near-identical vectors land in the same bucket in ≥1 of 6 tables with
+    # overwhelming probability (they differ by ~0.01 in angle)
+    hits = sum(1 for i in range(5) if got.get(i) == 100 + i)
+    assert hits >= 4
+
+
+def test_embedding_near_dup_pairs(vectors):
+    from person_linkage_case_study_spark.similarity.ann import (
+        embedding_near_dup_pairs,
+    )
+
+    pairs = embedding_near_dup_pairs(vectors, block_col=None, threshold=0.99).collect()
+    found = {(r["vec_id_l"], r["vec_id_r"]) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in found

@@ -1,0 +1,212 @@
+"""End-to-end cascade on a hand-built person fixture (FIXTURES.md schemas).
+
+Exercises: preprocessing (nicknames, fake names, GQ suppression, derived
+variables), geosearch geokey pass + namesearch, deceased-link dropping,
+multi-PIK conflict dropping, ≤1-PIK invariant, final 1:1 attach.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.operators.gamma import (
+    banded_comparison,
+    exact_comparison,
+    jw_comparison,
+)
+from person_linkage_case_study_spark.operators.scoring import LinkageModel
+from person_linkage_case_study_spark.plans.cascade import (
+    CascadeConfig,
+    ModuleConfig,
+    PassConfig,
+    PersonLinkageCascade,
+)
+from person_linkage_case_study_spark.plans.preprocess import (
+    preprocess_census,
+    preprocess_reference_file,
+)
+
+CENSUS_COLS = [
+    "record_id", "first_name", "middle_initial", "last_name", "date_of_birth",
+    "street_number", "street_name", "unit_number", "city", "state", "zipcode",
+    "housing_type",
+]
+
+REF_COLS = [
+    "record_id", "pik", "ssn", "first_name", "middle_name", "last_name",
+    "date_of_birth", "mailing_address_street_number", "mailing_address_street_name",
+    "mailing_address_unit_number", "mailing_address_city", "mailing_address_state",
+    "mailing_address_zipcode",
+]
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    census_rows = [
+        # exact match to P1 by geokey
+        ("c1", "Alice", "M", "Smith", "01/15/1980", "123", "Main Street", None,
+         "Springfield", "MA", "01101", "Household"),
+        # nickname Bill -> William, matches P2
+        ("c2", "Bill", "J", "Jones", "03/02/1975", "45", "Oak Str", None,
+         "Springfield", "MA", "01101", "Household"),
+        # linked to deceased P4 -> dropped at confirm
+        ("c4", "Carol", "A", "White", "07/04/1960", "9", "Elm Street", None,
+         "Boston", "MA", "02134", "Household"),
+        # ties to two piks (P5a/P5b) at equal probability -> conflict drop
+        ("c5", "Dave", None, "Green", "11/30/1990", "77", "Pine Street", None,
+         "Boston", "MA", "02135", "Household"),
+        # no match anywhere
+        ("c6", "Eve", "Q", "Black", "05/05/2000", "1", "Lake Street", None,
+         "Worcester", "MA", "01601", "Household"),
+        # fake name, but matches P6 on last name + geokey
+        ("c7", "Adult", "Z", "Stone", "09/09/1985", "8", "Hill Street", None,
+         "Boston", "MA", "02136", "Household"),
+    ]
+    census = spark.createDataFrame(
+        census_rows, ", ".join(f"{c} string" for c in CENSUS_COLS)
+    )
+
+    geobase_rows = [
+        ("g1", "P1", "111-11-1111", "Alice", "Marie", "Smith", "19800115",
+         "123", "Main St", None, "Springfield", "MA", "01101"),
+        ("g2", "P2", "222-22-2222", "William", "John", "Jones", "19750302",
+         "45", "Oak St", None, "Springfield", "MA", "01101"),
+        ("g4", "P4", "444-44-4444", "Carol", "Ann", "White", "19600704",
+         "9", "Elm St", None, "Boston", "MA", "02134"),
+        ("g5a", "P5A", "555-55-5551", "Dave", None, "Green", "19901130",
+         "77", "Pine St", None, "Boston", "MA", "02135"),
+        ("g5b", "P5B", "555-55-5552", "Dave", None, "Green", "19901130",
+         "77", "Pine St", None, "Boston", "MA", "02135"),
+        ("g6", "P6", "666-66-6666", "Xavier", None, "Stone", "19850909",
+         "8", "Hill St", None, "Boston", "MA", "02136"),
+    ]
+    geobase = spark.createDataFrame(
+        geobase_rows, ", ".join(f"{c} string" for c in REF_COLS)
+    )
+
+    name_dob = spark.createDataFrame(
+        [r[:7] for r in geobase_rows],
+        "record_id string, pik string, ssn string, first_name string, "
+        "middle_name string, last_name string, date_of_birth string",
+    )
+
+    fake_names = spark.createDataFrame([("ADULT",), ("ANONYMOUS",)], ["fake_name"])
+    dates_of_death = spark.createDataFrame(
+        [("P4", "20291201"), ("P6", "20350101")], ["pik", "dod_raw"]
+    ).select("pik", F.to_date("dod_raw", "yyyyMMdd").alias("date_of_death"))
+
+    return census, geobase, name_dob, fake_names, dates_of_death
+
+
+def make_model() -> LinkageModel:
+    comps = []
+    for col, th in [("first_name_15", (0.9, 0.75)), ("last_name_12", (0.9, 0.75))]:
+        c = jw_comparison(col, thresholds=th)
+        c.m = [0.02, 0.05, 0.2, 0.73]
+        c.u = [0.85, 0.08, 0.05, 0.02]
+        comps.append(c)
+    mi = exact_comparison("middle_initial")
+    mi.m = [0.2, 0.8]
+    mi.u = [0.95, 0.05]
+    comps.append(mi)
+    for col, band in [("day_of_birth", 5), ("month_of_birth", 3), ("year_of_birth", 5)]:
+        c = banded_comparison(col, band)
+        c.m = [0.05, 0.15, 0.8]
+        c.u = [0.85, 0.1, 0.05]
+        comps.append(c)
+    gk = jw_comparison("geokey", thresholds=(0.9, 0.65))
+    gk.m = [0.05, 0.1, 0.25, 0.6]
+    gk.u = [0.9, 0.06, 0.03, 0.01]
+    comps.append(gk)
+    return LinkageModel(comps, lambda_prior=1e-3)
+
+
+@pytest.fixture(scope="module")
+def cascade_result(spark, fixture):
+    census, geobase, name_dob, fake_names, dod = fixture
+    prepped_census = preprocess_census(census, fake_names, gq_threshold=99)
+    prepped_geobase = preprocess_reference_file(geobase)
+    prepped_name_dob = preprocess_reference_file(name_dob, has_address=False)
+
+    config = CascadeConfig(
+        modules=[
+            ModuleConfig(
+                name="geosearch",
+                reference_file_name="geobase_reference_file",
+                cut_columns=["zip3"],
+                matching_columns=[
+                    "first_name_15", "last_name_12", "middle_initial",
+                    "day_of_birth", "month_of_birth", "year_of_birth", "geokey",
+                ],
+                passes=[PassConfig("geokey", ["geokey_for_blocking"], 0.9)],
+            ),
+            ModuleConfig(
+                name="namesearch",
+                reference_file_name="name_dob_reference_file",
+                cut_columns=["first_initial_cut", "last_initial_cut"],
+                matching_columns=[
+                    "first_name_15", "last_name_12", "middle_initial",
+                    "day_of_birth", "month_of_birth", "year_of_birth",
+                ],
+                passes=[
+                    PassConfig(
+                        "dob and nysiis",
+                        ["day_of_birth", "month_of_birth", "year_of_birth",
+                         "first_name_nysiis", "last_name_nysiis"],
+                        0.9,
+                    ),
+                ],
+            ),
+        ]
+    )
+    cascade = PersonLinkageCascade(
+        spark,
+        prepped_census,
+        {
+            "geobase_reference_file": prepped_geobase,
+            "name_dob_reference_file": prepped_name_dob,
+        },
+        make_model(),
+        dates_of_death=dod,
+    )
+    confirmed = cascade.run(config)
+    return cascade, confirmed.collect()
+
+
+def test_expected_piks_confirmed(cascade_result):
+    _, rows = cascade_result
+    by_raw = {r["record_id_raw_input_file"]: r for r in rows}
+    assert by_raw["c1"]["pik"] == "P1"  # exact geokey match
+    assert by_raw["c2"]["pik"] == "P2"  # via nickname expansion Bill->William
+
+
+def test_deceased_link_dropped(cascade_result):
+    _, rows = cascade_result
+    assert all(r["record_id_raw_input_file"] != "c4" for r in rows)
+
+
+def test_multi_pik_conflict_dropped(cascade_result):
+    _, rows = cascade_result
+    assert all(r["record_id_raw_input_file"] != "c5" for r in rows)
+
+
+def test_at_most_one_pik_per_raw_record(cascade_result):
+    _, rows = cascade_result
+    raws = [r["record_id_raw_input_file"] for r in rows]
+    assert len(raws) == len(set(raws))
+
+
+def test_pass_stats_recorded(cascade_result):
+    cascade, _ = cascade_result
+    assert len(cascade.stats) == 2
+    assert cascade.stats[0].module == "geosearch"
+    assert cascade.stats[0].n_links >= 2
+
+
+def test_final_attach_one_to_one(spark, fixture, cascade_result):
+    census, *_ = fixture
+    cascade, rows = cascade_result
+    piked = cascade.attach_piks(census)
+    assert piked.count() == census.count()
+    got = {r["record_id"]: r["pik"] for r in piked.collect()}
+    assert got["c1"] == "P1"
+    assert got["c6"] is None

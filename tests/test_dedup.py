@@ -1,0 +1,81 @@
+"""Document dedup operators: exact, minhash-LSH, simhash, ngram-jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.dedup.exact import exact_dedup
+from person_linkage_case_study_spark.dedup.minhash import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
+from person_linkage_case_study_spark.dedup.ngram import ngram_jaccard_pairs
+from person_linkage_case_study_spark.dedup.simhash import (
+    simhash,
+    simhash_candidate_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE, "en"),  # exact dup of 1
+        (3, BASE.replace("lazy", "sleepy"), "en"),  # near dup of 1
+        (4, "completely different text about spark dataframes and shuffles", "en"),
+        (5, "otro documento totalmente distinto sobre flores y montañas", "es"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(docs):
+    out = {r["fingerprint"]: r for r in exact_dedup(docs).collect()}
+    assert len(out) == 4  # 5 docs, one exact dup
+    dup_group = [r for r in out.values() if r["n_copies"] == 2]
+    assert len(dup_group) == 1 and dup_group[0]["keeper_doc_id"] == 1
+
+
+def test_minhash_finds_near_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=2)
+    assert sigs.count() == 5
+    # identical docs -> identical signatures
+    s = {r["doc_id"]: tuple(r["signature"]) for r in sigs.collect()}
+    assert s[1] == s[2]
+    pairs = minhash_candidate_pairs(sigs, est_jaccard_threshold=0.5).collect()
+    found = {(r["doc_id_l"], r["doc_id_r"]) for r in pairs}
+    assert (1, 2) in found  # exact dup certainly collides
+    assert (1, 3) in found  # near dup (1-word change) collides
+    assert (1, 4) not in found and (4, 5) not in found
+
+
+def test_minhash_deterministic(docs):
+    a = minhash_signatures(docs, num_hashes=16).collect()
+    b = minhash_signatures(docs, num_hashes=16).collect()
+    assert {r["doc_id"]: tuple(r["signature"]) for r in a} == {
+        r["doc_id"]: tuple(r["signature"]) for r in b
+    }
+
+
+def test_simhash_near_dups(docs):
+    sigs = simhash(docs)
+    s = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert s[1] == s[2]
+    pairs = simhash_candidate_pairs(sigs, max_hamming=3).collect()
+    found = {(r["doc_id_l"], r["doc_id_r"]) for r in pairs}
+    assert (1, 2) in found
+    ham = {(r["doc_id_l"], r["doc_id_r"]): r["hamming"] for r in pairs}
+    assert ham[(1, 2)] == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5).collect()
+    found = {(r["doc_id_l"], r["doc_id_r"]): r["jaccard"] for r in pairs}
+    assert found[(1, 2)] == 1.0
+    assert found[(1, 3)] > 0.8
+    assert (1, 4) not in found
+    # blocking respected: doc 5 is in its own lang block
+    assert not any(5 in p for p in found)
