@@ -1098,3 +1098,340 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", F.round("byte_entropy", 6).alias("byte_entropy"), "head_hash"
     )
+
+
+# ===========================================================================
+# Phase 3: remaining SURVEY §2 operator coverage.
+# ===========================================================================
+
+
+# K9 — raw SQL over a registered temp view (Splink's query_sql path): the
+# engine accepts SQL strings against registered intermediates.
+@query(
+    "k9_sql_over_temp_view",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus
+    """,
+)
+def k9_sql_over_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_tmp_k9")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, count(*) AS n,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders_tmp_k9 WHERE o_totalprice > 1000
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# A9 — describe()/summary-style statistics (explicit aggregate form so the
+# oracle is exact; stddev is the n-1 sample form in both engines).
+@query(
+    "a9_summary_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(l_extendedprice), 4) AS mean_price,
+           round(stddev_samp(l_extendedprice), 4) AS std_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+# A6/A7 — boolean any() per group + whole-column mean.
+@query(
+    "a6_any_urgent_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS INT)
+               AS any_urgent,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6)
+               AS finished_share
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a6_any_urgent_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("any_urgent"),
+        F.round(
+            F.avg((F.col("o_orderstatus") == "F").cast("double")), 6
+        ).alias("finished_share"),
+    )
+
+
+# Window running total (cumulative agg over an ordered frame).
+@query(
+    "w_running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def w_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# P8/P9/P10 — dropna, fillna, conditional column blanking (the GQ-blanking
+# pattern: one conditional projection, no split-concat).
+@query(
+    "p9_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_cleaned,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END
+               AS acctbal_blanked
+    FROM customer
+    WHERE c_name IS NOT NULL
+    """,
+)
+def p9_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.na.drop(subset=["c_name"])
+        .select(
+            "c_custkey",
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+            ).alias("segment_cleaned"),
+            F.when(F.col("c_acctbal") < 0, F.lit(None))
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("acctbal_blanked"),
+        )
+    )
+
+
+# F4 — literal-map value replacement via broadcast lookup (the nickname
+# standardization pattern: 5-row dim joined broadcast, original kept when
+# no mapping exists).
+@query(
+    "f4_segment_nickname_map",
+    oracle="""
+    SELECT c_custkey,
+           CASE c_mktsegment
+               WHEN 'AUTOMOBILE' THEN 'AUTO'
+               WHEN 'HOUSEHOLD' THEN 'HOME'
+               ELSE c_mktsegment END AS segment_std
+    FROM customer
+    """,
+)
+def f4_segment_nickname_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    spark_map = spark.createDataFrame(
+        [("AUTOMOBILE", "AUTO"), ("HOUSEHOLD", "HOME")], ["k", "v"]
+    )
+    return (
+        c.join(F.broadcast(spark_map), c["c_mktsegment"] == spark_map["k"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("v"), F.col("c_mktsegment")).alias("segment_std"),
+        )
+    )
+
+
+# D3/D4 — date literal comparison + sentinel fill + epoch sort key (the
+# deceased-check and event-date-for-sort patterns).
+@query(
+    "d3_date_literals",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate <= TIMESTAMP '1997-06-30 00:00:00' AS INT) AS before_cutoff,
+           CAST(epoch(coalesce(o_orderdate, TIMESTAMP '1900-01-01 00:00:00')) AS BIGINT)
+               AS sort_key
+    FROM orders
+    """,
+)
+def d3_date_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-06-30 00:00:00").cast("timestamp")
+    sentinel = F.lit("1900-01-01 00:00:00").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") <= cutoff).cast("int").alias("before_cutoff"),
+        F.unix_timestamp(F.coalesce(F.col("o_orderdate"), sentinel)).alias("sort_key"),
+    )
+
+
+# J5 — multi-way accumulating merge with lineage (fold of N tables by key).
+# Lineage union is engine bookkeeping; the merged table itself is oracle-
+# checkable as chained full-outer joins with left-preferential coalesce.
+@query(
+    "j5_accumulating_merge",
+    oracle="""
+    SELECT coalesce(a.k, b.k, c.k) AS nationkey,
+           a.n_customers, b.n_suppliers, c.nation
+    FROM
+      (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1) a
+      FULL OUTER JOIN
+      (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1) b
+      ON a.k = b.k
+      FULL OUTER JOIN
+      (SELECT n_nationkey AS k, n_name AS nation FROM nation) c
+      ON coalesce(a.k, b.k) = c.k
+    """,
+)
+def j5_accumulating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.lineage import merge_preserving_source_records, new_lineage
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("record_id", F.concat(F.lit("cust_"), F.col("nationkey")))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .withColumn("record_id", F.concat(F.lit("supp_"), F.col("nationkey")))
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.concat(F.lit("nat_"), F.col("n_nationkey")).alias("record_id"),
+    )
+    merged, _lineage = merge_preserving_source_records(
+        [(cust, new_lineage(cust)), (supp, new_lineage(supp)), (nat, new_lineage(nat))],
+        key="nationkey",
+    )
+    return merged.select("nationkey", "n_customers", "n_suppliers", "nation")
+
+
+# A10 — u-estimation over a seeded random pair sample (sampling is
+# engine-side, rows-only): one row of u probabilities per gamma level.
+@query("a10_u_estimation")
+def a10_u_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.estimation import estimate_u
+    from .operators.gamma import exact_comparison
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    comp = exact_comparison("nk")
+    estimate_u(c, s, [comp], max_pairs=1e5, seed=1234)
+    return spark.createDataFrame(
+        [(float(comp.u[0]), float(comp.u[1]))], "u_else double, u_exact double"
+    )
+
+
+# A11 — EM training over blocked pairs (iterative; no SQL form): returns
+# the trained m values, deterministic given the inputs.
+@query("a11_em_training")
+def a11_em_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.estimation import estimate_m_em
+    from .operators.gamma import banded_comparison
+    from .operators.scoring import LinkageModel
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal")
+    )
+    comp = banded_comparison("acctbal", band=500)
+    comp.u = [0.9, 0.08, 0.02]
+    model = LinkageModel([comp], lambda_prior=0.01)
+    estimate_m_em(c, s, ["nationkey"], model)
+    return spark.createDataFrame(
+        [tuple(float(x) for x in comp.m)], "m_else double, m_band double, m_exact double"
+    )
+
+
+# End-to-end mini cascade on synthesized person records (rows-only: the
+# cascade is an iterative driver program, not a single SQL statement).
+# Person records are derived deterministically from customer/part data.
+@query("cascade_mini")
+def cascade_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.gamma import banded_comparison, jw_comparison
+    from .operators.scoring import LinkageModel
+    from .plans.cascade import (
+        CascadeConfig,
+        ModuleConfig,
+        PassConfig,
+        PersonLinkageCascade,
+    )
+
+    c = _t(spark, sf_dir, "customer").limit(400)
+    # synthesize person-shaped linkage records: name from part vocabulary,
+    # zip3-like cut from nationkey, "geokey" from mktsegment+acctbal bucket
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("record_id_raw_input_file"),
+        F.col("c_custkey").cast("string").alias("record_id"),
+        F.upper(F.col("c_name")).alias("first_name_15"),
+        F.substring(F.col("c_mktsegment"), 1, 12).alias("last_name_12"),
+        F.col("c_nationkey").cast("string").alias("zip3"),
+        F.concat_ws(
+            " ", F.col("c_mktsegment"), (F.col("c_acctbal") / 1000).cast("int")
+        ).alias("geokey"),
+    ).withColumn("geokey_for_blocking", F.col("geokey"))
+    census = base
+    # reference = same records re-keyed with pik, plus name perturbation on
+    # a third of them (deterministic by key mod)
+    ref = base.select(
+        F.concat(F.lit("r"), F.col("record_id")).alias("record_id"),
+        F.concat(F.lit("PIK"), F.col("record_id")).alias("pik"),
+        F.when(
+            F.col("record_id").cast("int") % 3 == 0,
+            F.concat(F.col("first_name_15"), F.lit("X")),
+        )
+        .otherwise(F.col("first_name_15"))
+        .alias("first_name_15"),
+        "last_name_12",
+        "zip3",
+        "geokey",
+        "geokey_for_blocking",
+    )
+    name = jw_comparison("first_name_15", thresholds=(0.9, 0.75))
+    name.m = [0.02, 0.05, 0.2, 0.73]
+    name.u = [0.9, 0.05, 0.03, 0.02]
+    seg = jw_comparison("last_name_12", thresholds=(0.9,))
+    seg.m = [0.1, 0.2, 0.7]
+    seg.u = [0.7, 0.1, 0.2]
+    model = LinkageModel([name, seg], lambda_prior=0.01)
+    cascade = PersonLinkageCascade(
+        spark, census, {"ref": ref}, model, dates_of_death=None, collect_stats=False
+    )
+    config = CascadeConfig(
+        modules=[
+            ModuleConfig(
+                name="geosearch_mini",
+                reference_file_name="ref",
+                cut_columns=["zip3"],
+                matching_columns=["first_name_15", "last_name_12"],
+                # exact name+segment pairs score p≈0.56 under this demo
+                # prior; 0.5 keeps them and drops the perturbed-name pairs
+                passes=[PassConfig("geokey", ["geokey_for_blocking"], 0.5)],
+            )
+        ]
+    )
+    confirmed = cascade.run(config)
+    return confirmed.select(
+        "record_id_raw_input_file", "pik", F.round("match_probability", 6).alias("p")
+    )
