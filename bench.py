@@ -37,6 +37,7 @@ HEADLINE = [
     "ngram_jaccard_docs",
     "ann_brute_force_topk",
     "text_token_stats",
+    "cascade_mini",
 ]
 
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import jaro_winkler_udf
+from ..functions.similarity import JVM_JW_NAME, ensure_jvm_jw, jaro_winkler_udf
 
 
 @dataclass
@@ -136,16 +136,71 @@ def add_gammas(
     left_suffix: str = "_l",
     right_suffix: str = "_r",
     drop_jw: bool = True,
+    jw_strategy: str = "inline",
 ) -> DataFrame:
     """Evaluate every comparison's gamma over a blocked pair table.
 
-    Two projections: (1) materialize each needed Jaro-Winkler similarity
-    once (one Arrow batch round-trip per JW comparison), (2) the gamma
-    CASE chains — Catalyst collapses the rest into one codegen stage.
+    ``jw_strategy`` controls how Jaro-Winkler columns materialize:
+
+    - ``auto`` (recommended): the JVM native UDF when the sparklinkage jar
+      is on the session classpath, else ``inline``.
+    - ``jvm``: the native Java UDF (jvm/sparklinkage.jar) — stays entirely
+      in the JVM, zero Arrow transfer; the dominant cost of pair scoring
+      disappears.
+    - ``inline``: one ArrowEvalPython pass over the pair table (the kernel
+      dedups unique pairs per batch). The fallback when the jar isn't
+      shipped (e.g. the external driver's vanilla session).
+    - ``distinct_broadcast``: compute JW only on the DISTINCT co-occurring
+      (l, r) value pairs, then broadcast-join the scores back. Only a win
+      if ``pairs`` is persisted — the distinct pass re-executes the pair
+      join otherwise (measured slower unpersisted; kept for callers that
+      cache).
+    - ``distinct_join``: same dedup, shuffle join back — for extreme
+      cardinality where the distinct set can't broadcast.
+
+    Everything after the JW columns is a single codegen projection.
     """
     jw_needed = [c for c in comparisons if c.needs_jw()]
     df = pairs
-    if jw_needed:
+    if jw_strategy == "auto":
+        jw_strategy = (
+            "jvm" if (jw_needed and ensure_jvm_jw(pairs.sparkSession)) else "inline"
+        )
+    elif jw_strategy == "jvm" and jw_needed:
+        if not ensure_jvm_jw(pairs.sparkSession):
+            raise RuntimeError(
+                "jw_strategy='jvm' but sparklinkage.jar is not on the session "
+                "classpath (build with person_linkage_case_study_spark/jvm/build.sh)"
+            )
+    if jw_needed and jw_strategy == "jvm":
+        df = df.select(
+            "*",
+            *[
+                F.call_udf(
+                    JVM_JW_NAME,
+                    F.col(c.col + left_suffix),
+                    F.col(c.col + right_suffix),
+                ).alias(c.jw_col)
+                for c in jw_needed
+            ],
+        )
+    elif jw_needed and jw_strategy in ("distinct_broadcast", "distinct_join"):
+        for c in jw_needed:
+            l, r = c.col + left_suffix, c.col + right_suffix
+            dist = (
+                df.select(F.col(l).alias("__jl"), F.col(r).alias("__jr"))
+                .where(F.col("__jl").isNotNull() & F.col("__jr").isNotNull())
+                .distinct()
+                .withColumn(c.jw_col, jaro_winkler_udf(F.col("__jl"), F.col("__jr")))
+            )
+            if jw_strategy == "distinct_broadcast":
+                dist = F.broadcast(dist)
+            df = df.join(
+                dist,
+                (F.col(l) == F.col("__jl")) & (F.col(r) == F.col("__jr")),
+                "left",
+            ).drop("__jl", "__jr")
+    elif jw_needed:
         df = df.select(
             "*",
             *[

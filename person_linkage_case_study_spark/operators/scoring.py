@@ -108,13 +108,19 @@ def score_pairs(
     model: LinkageModel,
     threshold_match_probability: float | None = None,
     compute_gammas: bool = True,
+    jw_strategy: str = "inline",
 ) -> DataFrame:
     """K4/K7: gamma evaluation + FS arithmetic + optional probability filter.
 
     One projection for gammas, one for the weight sum — Catalyst collapses
     them into a single WholeStageCodegen stage over the blocked join output.
+    ``jw_strategy`` is forwarded to :func:`add_gammas` (see its docstring).
     """
-    df = add_gammas(pairs, model.comparisons) if compute_gammas else pairs
+    df = (
+        add_gammas(pairs, model.comparisons, jw_strategy=jw_strategy)
+        if compute_gammas
+        else pairs
+    )
     weight = F.lit(math.log2(model.prior_odds()))
     for c in model.comparisons:
         weight = weight + _log2_bayes_factor(c)

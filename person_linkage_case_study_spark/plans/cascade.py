@@ -96,6 +96,10 @@ class PersonLinkageCascade:
                      matching columns
     dates_of_death:  (pik, date_of_death DATE) — deceased links dropped at
                      confirm (reference 03:2146-2169)
+    jw_strategy:     how Jaro-Winkler materializes in scoring (see
+                     add_gammas). 'auto' uses the native JVM UDF when the
+                     sparklinkage jar is shipped, else the Arrow pandas
+                     UDF.
     """
 
     def __init__(
@@ -106,7 +110,9 @@ class PersonLinkageCascade:
         model: LinkageModel,
         dates_of_death: DataFrame | None = None,
         collect_stats: bool = True,
+        jw_strategy: str = "auto",
     ) -> None:
+        self.jw_strategy = jw_strategy
         self.spark = spark
         self.census = census.persist(StorageLevel.MEMORY_AND_DISK)
         self.reference_files = reference_files
@@ -188,7 +194,10 @@ class PersonLinkageCascade:
                     f"{c}_r", F.col(c)
                 )
         scored = score_pairs(
-            pairs, pass_model, threshold_match_probability=pass_cfg.probability_threshold
+            pairs,
+            pass_model,
+            threshold_match_probability=pass_cfg.probability_threshold,
+            jw_strategy=self.jw_strategy,
         )
         new_links = scored.select(
             F.col("record_id_l").alias("record_id_census_2030"),

@@ -524,7 +524,12 @@ def jw_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = blocked_pairs(
         p, p, block_on=["p_brand"], num_partitions=spark.sparkContext.defaultParallelism
     ).filter(F.col("p_partkey_l") < F.col("p_partkey_r"))
-    jw = jaro_winkler_udf(F.col("p_name_l"), F.col("p_name_r"))
+    from .functions.similarity import JVM_JW_NAME, ensure_jvm_jw
+
+    if ensure_jvm_jw(spark):
+        jw = F.call_udf(JVM_JW_NAME, F.col("p_name_l"), F.col("p_name_r"))
+    else:
+        jw = jaro_winkler_udf(F.col("p_name_l"), F.col("p_name_r"))
     return (
         pairs.withColumn("__jw", jw)
         .filter(F.col("__jw") >= 0.8)
@@ -605,7 +610,7 @@ def fs_customer_supplier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = blocked_pairs(
         c, s, block_on=["nationkey"], num_partitions=spark.sparkContext.defaultParallelism
     )
-    scored = score_pairs(pairs, model)
+    scored = score_pairs(pairs, model, jw_strategy="auto")
     return scored.select(
         F.col("custkey_l").alias("custkey"),
         F.col("suppkey_r").alias("suppkey"),
@@ -1378,7 +1383,7 @@ def cascade_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
         PersonLinkageCascade,
     )
 
-    c = _t(spark, sf_dir, "customer").limit(400)
+    c = _t(spark, sf_dir, "customer")
     # synthesize person-shaped linkage records: name from part vocabulary,
     # zip3-like cut from nationkey, "geokey" from mktsegment+acctbal bucket
     base = c.select(

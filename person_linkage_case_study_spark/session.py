@@ -54,6 +54,11 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULT_CONF)
+    # ship the JVM UDF jar (native Jaro-Winkler — zero Arrow transfer on
+    # the scoring hot path) when it has been built
+    jar = os.path.join(os.path.dirname(__file__), "jvm", "sparklinkage.jar")
+    if os.path.exists(jar):
+        conf.setdefault("spark.jars", jar)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

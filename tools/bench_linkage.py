@@ -1,0 +1,201 @@
+"""Linkage-native benchmark: the full PVS-style cascade at testdata scale.
+
+Synthesizes person-shaped records deterministically from the orders table
+(one person per order — 150k records at sf0.1, 15k at sf0.01; compare the
+reference's small_sample = ~11k linkage records at 41.66s wall,
+BASELINE.md), builds a reference file with deterministic noise, and runs a
+2-module cascade (geokey blocking pass + name-switch pass, then a
+namesearch-style pass) with the full comparison set: JW names, banded DOB
+parts, exact middle initial.
+
+Prints one JSON line: {"metric": "cascade_wall", "value": sec,
+"records": N, "links": M, "sf": ...}.
+
+Usage: python tools/bench_linkage.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.operators.gamma import (
+    banded_comparison,
+    exact_comparison,
+    jw_comparison,
+)
+from person_linkage_case_study_spark.operators.scoring import LinkageModel
+from person_linkage_case_study_spark.plans.cascade import (
+    CascadeConfig,
+    ModuleConfig,
+    PassConfig,
+    PersonLinkageCascade,
+    switch_first_and_last_names,
+)
+from person_linkage_case_study_spark.session import get_spark
+
+FIRST = ["JAMES", "MARY", "ROBERT", "PATRICIA", "JOHN", "JENNIFER", "MICHAEL",
+         "LINDA", "WILLIAM", "ELIZABETH", "DAVID", "BARBARA", "RICHARD",
+         "SUSAN", "JOSEPH", "JESSICA", "THOMAS", "SARAH", "CHARLES", "KAREN"]
+LAST = ["SMITH", "JOHNSON", "WILLIAMS", "BROWN", "JONES", "GARCIA", "MILLER",
+        "DAVIS", "RODRIGUEZ", "MARTINEZ", "HERNANDEZ", "LOPEZ", "GONZALEZ",
+        "WILSON", "ANDERSON", "THOMAS", "TAYLOR", "MOORE", "JACKSON", "MARTIN"]
+
+
+def synthesize(spark, sf_dir):
+    """Deterministic person records from orders: names drawn by key mod,
+    DOB parts from the order date, zip3/geokey from custkey buckets."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    first_arr = F.array(*[F.lit(x) for x in FIRST])
+    last_arr = F.array(*[F.lit(x) for x in LAST])
+    base = o.select(
+        F.col("o_orderkey").cast("string").alias("record_id"),
+        F.element_at(first_arr, (F.col("o_orderkey") % 20 + 1).cast("int")).alias(
+            "first_name"
+        ),
+        F.element_at(last_arr, (F.col("o_custkey") % 20 + 1).cast("int")).alias(
+            "last_name"
+        ),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("middle_initial"),
+        F.dayofmonth("o_orderdate").alias("day_of_birth"),
+        F.month("o_orderdate").alias("month_of_birth"),
+        (F.year("o_orderdate") - 30).alias("year_of_birth"),
+        (F.col("o_custkey") % 100).cast("string").alias("zip3"),
+        F.concat_ws(
+            " ",
+            (F.col("o_custkey") % 1000).cast("string"),
+            F.lit("MAIN ST"),
+            (F.col("o_custkey") % 100).cast("string"),
+        ).alias("geokey"),
+    )
+    base = (
+        base.withColumn("geokey_for_blocking", F.col("geokey"))
+        .withColumn("first_name_15", F.substring("first_name", 1, 15))
+        .withColumn("last_name_12", F.substring("last_name", 1, 12))
+        .withColumn("first_name_1", F.substring("first_name", 1, 1))
+        .withColumn("last_name_1", F.substring("last_name", 1, 1))
+    )
+    census = base.withColumn("record_id_raw_input_file", F.col("record_id"))
+    # reference: per-record noise — 1/5 name typo, 1/7 DOB off-by-one,
+    # 1/11 missing middle initial. Capture the numeric key BEFORE re-keying.
+    key = F.col("__key")
+    ref = (
+        base.withColumn("__key", F.col("record_id").cast("long"))
+        .withColumn("record_id", F.concat(F.lit("r"), F.col("record_id")))
+        .withColumn("pik", F.concat(F.lit("P"), key.cast("string")))
+        .withColumn(
+            "first_name_15",
+            F.when(key % 5 == 0, F.concat(F.substring("first_name_15", 1, 4), F.lit("E")))
+            .otherwise(F.col("first_name_15")),
+        )
+        .withColumn(
+            "day_of_birth",
+            F.when(key % 7 == 0, F.col("day_of_birth") + 1).otherwise(F.col("day_of_birth")),
+        )
+        .withColumn(
+            "middle_initial",
+            F.when(key % 11 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("middle_initial")
+            ),
+        )
+        .drop("__key")
+    )
+    return census, ref
+
+
+def make_model() -> LinkageModel:
+    comps = []
+    for col in ["first_name_15", "last_name_12"]:
+        c = jw_comparison(col, thresholds=(0.9, 0.75))
+        c.m = [0.02, 0.05, 0.2, 0.73]
+        c.u = [0.85, 0.08, 0.05, 0.02]
+        comps.append(c)
+    mi = exact_comparison("middle_initial")
+    mi.m = [0.2, 0.8]
+    mi.u = [0.8, 0.2]
+    comps.append(mi)
+    for col, band in [("day_of_birth", 5), ("month_of_birth", 3), ("year_of_birth", 5)]:
+        c = banded_comparison(col, band)
+        c.m = [0.05, 0.15, 0.8]
+        c.u = [0.8, 0.15, 0.05]
+        comps.append(c)
+    return LinkageModel(comps, lambda_prior=1e-3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench-linkage")
+    census, ref = synthesize(spark, sf_dir)
+    n_records = census.count()
+    ref = ref.persist()
+    ref.count()
+
+    matching = [
+        "first_name_15", "last_name_12", "middle_initial",
+        "day_of_birth", "month_of_birth", "year_of_birth",
+    ]
+    config = CascadeConfig(
+        modules=[
+            ModuleConfig(
+                name="geosearch",
+                reference_file_name="ref",
+                cut_columns=["zip3"],
+                matching_columns=matching,
+                passes=[
+                    PassConfig("geokey", ["geokey_for_blocking"], 0.9),
+                    PassConfig(
+                        "geokey name switch",
+                        ["geokey_for_blocking"],
+                        0.9,
+                        input_data_transformation=switch_first_and_last_names,
+                    ),
+                ],
+            ),
+            ModuleConfig(
+                name="namesearch",
+                reference_file_name="ref",
+                cut_columns=["zip3"],
+                matching_columns=matching,
+                passes=[
+                    PassConfig(
+                        "dob and initials",
+                        ["year_of_birth", "first_name_1", "last_name_1"],
+                        0.9,
+                    ),
+                ],
+            ),
+        ]
+    )
+    t0 = time.time()
+    cascade = PersonLinkageCascade(
+        spark, census, {"ref": ref}, make_model(), collect_stats=False
+    )
+    confirmed = cascade.run(config)
+    n_links = confirmed.count()
+    wall = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cascade_wall",
+                "value": wall,
+                "unit": "sec",
+                "records": n_records,
+                "links": n_links,
+                "link_rate": round(n_links / n_records, 4),
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
