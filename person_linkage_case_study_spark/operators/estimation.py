@@ -150,3 +150,38 @@ def lambda_from_expected_match_rate(
     (the reference's hand prior calculator, 03_link_datasets.ipynb:1322-1351)."""
     total = n_left * n_right
     return min(max(expected_matches / max(total, 1), 1e-12), 1 - 1e-12)
+
+
+def probability_two_random_records_match(
+    input_file: DataFrame,
+    reference_file: DataFrame,
+    input_person_col: str = "record_id_raw_input_file",
+    reference_person_col: str = "pik",
+) -> float:
+    """The reference's closed-form λ calculator
+    (03_link_datasets.ipynb:1266-1351), ported exactly:
+
+    - people in input ≈ distinct raw input records × 0.95 (some duplication)
+    - people in reference ≈ distinct PIKs × 0.995
+    - people in both ≈ 90% of input people
+    - expected true matches per person = (records-per-person on each side)
+      multiplied under independence; λ = expected matches / |input|·|ref|.
+
+    Two countDistinct jobs + scalar math; returns 0.5 for empty inputs
+    (the reference's "does not matter" branch).
+    """
+    n_input = input_file.count()
+    n_ref = reference_file.count()
+    if n_input == 0 or n_ref == 0:
+        return 0.5
+    people_input = (
+        input_file.select(input_person_col).distinct().count() * 0.95
+    )
+    people_ref = (
+        reference_file.select(reference_person_col).distinct().count() * 0.995
+    )
+    people_both = people_input * 0.9
+    input_records_per_person = people_input / n_input
+    ref_records_per_person = people_ref / n_ref
+    matches = people_both * input_records_per_person * ref_records_per_person
+    return matches / (n_input * n_ref)

@@ -100,6 +100,15 @@ class PersonLinkageCascade:
                      add_gammas). 'auto' uses the native JVM UDF when the
                      sparklinkage jar is shipped, else the Arrow pandas
                      UDF.
+    checkpoint:      'local' (default) truncates lineage with
+                     localCheckpoint at every pass boundary; 'reliable'
+                     uses the SparkContext checkpoint dir (set it first) —
+                     REQUIRED behavior, not an optimization: without it the
+                     logical plan grows exponentially across passes (each
+                     anti-join embeds the prior state's plan twice; a
+                     13-pass run was measured producing a 2 GB plan string
+                     and OOMing the driver). The reference clears Spark
+                     checkpoints at exactly these points (K12).
     """
 
     def __init__(
@@ -111,8 +120,10 @@ class PersonLinkageCascade:
         dates_of_death: DataFrame | None = None,
         collect_stats: bool = True,
         jw_strategy: str = "auto",
+        checkpoint: str = "local",
     ) -> None:
         self.jw_strategy = jw_strategy
+        self.checkpoint = checkpoint
         self.spark = spark
         self.census = census.persist(StorageLevel.MEMORY_AND_DISK)
         self.reference_files = reference_files
@@ -132,17 +143,27 @@ class PersonLinkageCascade:
         self._provisional_links: DataFrame | None = None
         self._reference_file: DataFrame | None = None
 
+    def _truncate(self, df: DataFrame) -> DataFrame:
+        """Materialize and cut lineage (plan depth back to O(1))."""
+        if self.checkpoint == "reliable":
+            return df.checkpoint(eager=True)
+        if self.checkpoint == "local":
+            return df.localCheckpoint(eager=True)
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
     # -- module lifecycle ---------------------------------------------------
 
     def start_module(self, cfg: ModuleConfig) -> None:
         self._module = cfg
         self._reference_file = self.reference_files[cfg.reference_file_name]
         # exclude raw input records already PIKed by earlier modules (J3)
-        self._census_to_match = anti_join(
-            self.census,
-            self.confirmed_piks.select("record_id_raw_input_file"),
-            on="record_id_raw_input_file",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self._census_to_match = self._truncate(
+            anti_join(
+                self.census,
+                self.confirmed_piks.select("record_id_raw_input_file"),
+                on="record_id_raw_input_file",
+            )
+        )
         self._provisional_links = self.spark.createDataFrame(
             [],
             "record_id_census_2030 string, record_id_reference_file string, "
@@ -199,30 +220,33 @@ class PersonLinkageCascade:
             threshold_match_probability=pass_cfg.probability_threshold,
             jw_strategy=self.jw_strategy,
         )
-        new_links = scored.select(
-            F.col("record_id_l").alias("record_id_census_2030"),
-            F.col("record_id_r").alias("record_id_reference_file"),
-            F.col("record_id_raw_input_file_l").alias("record_id_raw_input_file"),
-            "match_weight",
-            "match_probability",
-            F.lit(cfg.name).alias("module_name"),
-            F.lit(pass_cfg.name).alias("pass_name"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-
-        n_links = new_links.count()  # materializes before we mutate state
+        new_links = self._truncate(
+            scored.select(
+                F.col("record_id_l").alias("record_id_census_2030"),
+                F.col("record_id_r").alias("record_id_reference_file"),
+                F.col("record_id_raw_input_file_l").alias("record_id_raw_input_file"),
+                "match_weight",
+                "match_probability",
+                F.lit(cfg.name).alias("module_name"),
+                F.lit(pass_cfg.name).alias("pass_name"),
+            )
+        )
+        n_links = new_links.count()
 
         self._provisional_links = self._provisional_links.unionByName(new_links)
 
         # remove matched linkage records (NOT raw records — a nickname
         # variant matching doesn't stop the canonical record, SURVEY §7.3.5)
-        prev = self._census_to_match
-        self._census_to_match = anti_join(
-            prev,
-            new_links.select(F.col("record_id_census_2030").alias("record_id")).distinct(),
-            on="record_id",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_eligible = self._census_to_match.count()
-        prev.unpersist()
+        self._census_to_match = self._truncate(
+            anti_join(
+                self._census_to_match,
+                new_links.select(
+                    F.col("record_id_census_2030").alias("record_id")
+                ).distinct(),
+                on="record_id",
+            )
+        )
+        n_eligible = self._census_to_match.count() if self.collect_stats else -1
 
         if self.collect_stats:
             self.stats.append(
@@ -278,11 +302,10 @@ class PersonLinkageCascade:
             "match_probability",
         )
 
-        self.confirmed_piks = self.confirmed_piks.unionByName(confirmed).persist(
-            StorageLevel.MEMORY_AND_DISK
+        self.confirmed_piks = self._truncate(
+            self.confirmed_piks.unionByName(confirmed)
         )
         self._module = None
-        self._census_to_match.unpersist()
         self._census_to_match = None
         self._provisional_links = None
         return confirmed

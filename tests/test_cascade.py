@@ -210,3 +210,38 @@ def test_final_attach_one_to_one(spark, fixture, cascade_result):
     got = {r["record_id"]: r["pik"] for r in piked.collect()}
     assert got["c1"] == "P1"
     assert got["c6"] is None
+
+
+def test_full_pvs_pipeline(spark, fixture):
+    """All four modules end-to-end via run_full_pvs_cascade, including the
+    mid-cascade HHComp reference-file construction and final 1:1 attach."""
+    from person_linkage_case_study_spark.plans.pipeline import run_full_pvs_cascade
+
+    census, geobase, name_dob, fake_names, dod = fixture
+    prepped_census = preprocess_census(census, fake_names, gq_threshold=99)
+    prepped_geobase = preprocess_reference_file(geobase)
+    prepped_name_dob = preprocess_reference_file(name_dob, has_address=False)
+
+    confirmed, census_piked, cascade = run_full_pvs_cascade(
+        spark,
+        prepped_census,
+        prepped_geobase,
+        prepped_name_dob,
+        make_model(),
+        dates_of_death=dod,
+        census_raw=census,
+        collect_stats=False,
+    )
+    rows = confirmed.collect()
+    by_raw = {r["record_id_raw_input_file"]: r["pik"] for r in rows}
+    assert by_raw.get("c1") == "P1"
+    assert by_raw.get("c2") == "P2"
+    assert "c4" not in by_raw  # deceased
+    raws = [r["record_id_raw_input_file"] for r in rows]
+    assert len(raws) == len(set(raws))  # ≤1 PIK per raw record
+    assert census_piked.count() == census.count()
+    # 15 passes ran across 4 modules (stats disabled -> check module flow
+    # completed by confirmed accumulator schema intact)
+    assert set(confirmed.columns) >= {
+        "record_id_raw_input_file", "pik", "module_name", "pass_name",
+    }
