@@ -49,7 +49,8 @@ def main() -> None:
 
     # warm the JVM + parquet footers + Python UDF workers once so timings
     # measure the queries, not process spawn
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    for t in ("nation", "orders", "lineitem", "customer", "part"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     from pyspark.sql import functions as F
 
     from person_linkage_case_study_spark.functions.similarity import jaro_winkler_udf

@@ -59,6 +59,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) per document."""
     consts = _permutation_constants(num_hashes, seed)
+    # small single-file inputs arrive as one partition — without a spread,
+    # the whole shingle explosion + 64 min-aggs run on one core
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
     )

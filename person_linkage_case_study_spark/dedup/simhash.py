@@ -24,6 +24,7 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash int) per document; empty docs hash to 0."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )

@@ -48,10 +48,31 @@ LAST = ["SMITH", "JOHNSON", "WILLIAMS", "BROWN", "JONES", "GARCIA", "MILLER",
         "WILSON", "ANDERSON", "THOMAS", "TAYLOR", "MOORE", "JACKSON", "MARTIN"]
 
 
-def synthesize(spark, sf_dir):
+def synthesize(spark, sf_dir, scale_mult: int = 1):
     """Deterministic person records from orders: names drawn by key mod,
-    DOB parts from the order date, zip3/geokey from custkey buckets."""
+    DOB parts from the order date, zip3/geokey from custkey buckets.
+
+    ``scale_mult`` unions N key-shifted copies of the orders table AND
+    grows the zip3/geokey bucket moduli by N — the realistic scale
+    rehearsal (more people ⇒ more zips/addresses): block COUNT grows N×,
+    block sizes stay constant, total pairs grow ~N×. Keeping the moduli
+    fixed instead would grow every block N× and pairs N²× — a skew stress,
+    not a scale test (measured: 4× with fixed moduli = 16× pairs, >10min)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    zip_mod = 100 * scale_mult
+    geo_mod = 1000 * scale_mult
+    if scale_mult > 1:
+        base_max = 10_000_000
+        copies = [o]
+        for i in range(1, scale_mult):
+            # the +i*37 offset de-correlates each copy's bucket assignment
+            copies.append(
+                o.withColumn("o_orderkey", F.col("o_orderkey") + i * base_max)
+                .withColumn("o_custkey", F.col("o_custkey") + i * base_max + i * 37)
+            )
+        from functools import reduce
+
+        o = reduce(lambda a, b: a.unionByName(b), copies)
     first_arr = F.array(*[F.lit(x) for x in FIRST])
     last_arr = F.array(*[F.lit(x) for x in LAST])
     base = o.select(
@@ -66,12 +87,12 @@ def synthesize(spark, sf_dir):
         F.dayofmonth("o_orderdate").alias("day_of_birth"),
         F.month("o_orderdate").alias("month_of_birth"),
         (F.year("o_orderdate") - 30).alias("year_of_birth"),
-        (F.col("o_custkey") % 100).cast("string").alias("zip3"),
+        (F.col("o_custkey") % zip_mod).cast("string").alias("zip3"),
         F.concat_ws(
             " ",
-            (F.col("o_custkey") % 1000).cast("string"),
+            (F.col("o_custkey") % geo_mod).cast("string"),
             F.lit("MAIN ST"),
-            (F.col("o_custkey") % 100).cast("string"),
+            (F.col("o_custkey") % zip_mod).cast("string"),
         ).alias("geokey"),
     )
     base = (
@@ -133,8 +154,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    scale_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     spark = get_spark("bench-linkage")
-    census, ref = synthesize(spark, sf_dir)
+    census, ref = synthesize(spark, sf_dir, scale_mult)
     n_records = census.count()
     ref = ref.persist()
     ref.count()
