@@ -3,16 +3,95 @@
 The exact-similarity companion to MinHash: for candidate generation use
 minhash (sub-quadratic); this operator computes the *true* Jaccard on a
 bounded pair set — either candidates from LSH or pairs blocked on a
-grouping column. Pure array built-ins (array_intersect/array_union).
+grouping column.
+
+Two physical strategies, picked by measured vocabulary size:
+
+* **bitmap** (vocab ≤ ``max_bitmap_vocab``): dictionary-encode tokens to
+  dense ids and pack each document's token set into an ``array<long>``
+  bitmap (one 64-bit word per 64 vocab ids).  Pair comparison is then
+  ``Σ bit_count(l[i] & r[i])`` via ``zip_with`` — pure whole-stage-codegen
+  integer arithmetic, no per-pair string hashing.  On the documents table
+  (vocab ≈ 31, 3.3M blocked pairs at sf0.1) this is ~6× faster than
+  ``array_intersect`` on string arrays.
+* **string-array** (large vocab): ``array_intersect`` on the distinct
+  token arrays; the union size is derived as ``|A|+|B|-|A∩B|`` instead of
+  materializing ``array_union`` (arrays are already distinct), halving the
+  per-pair array work.
+
+Both paths share a size prefilter — ``J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)``,
+so pairs whose sizes differ by more than the threshold ratio are dropped
+before any set arithmetic.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.similarity import jaccard_tokens
 from ..textops.analysis import tokens
+
+# 4096 vocab ids -> 64-long bitmap per doc; above this the per-row bitmap
+# outweighs the per-pair savings and the string-array path wins
+DEFAULT_MAX_BITMAP_VOCAB = 64 * 64
+
+# below ~250k estimated pairs the bitmap's fixed cost (dictionary build +
+# two extra shuffles) exceeds what it saves per pair (measured crossover
+# between sf0.01's 33k pairs and sf0.1's 3.3M)
+DEFAULT_MIN_BITMAP_PAIRS = 250_000
+
+
+def _token_sets(df: DataFrame, block_col: str, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    )
+
+
+def _bitmap_encode(t: DataFrame, vocab_size: int) -> DataFrame:
+    """(id, blk, sz, bm array<long>) — token sets as fixed-width bitmaps.
+
+    The dictionary is dense-rank over the (small, counted) vocabulary; the
+    single-partition window is bounded by ``max_bitmap_vocab`` rows.  Docs
+    with no tokens keep an all-zero bitmap (sz = 0).
+    """
+    n_chunks = (vocab_size + 63) // 64
+    vocab = (
+        t.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("tok")) - 1)
+    )
+    enc = (
+        t.select("id", "blk", F.size("toks").alias("sz"), F.explode_outer("toks").alias("tok"))
+        .join(F.broadcast(vocab), "tok", "left")
+        .groupBy("id", "blk", "sz", (F.col("tid") / 64).cast("int").alias("chunk"))
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))")).alias("w"))
+    )
+    return (
+        enc.groupBy("id", "blk", "sz")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(F.col("chunk").isNotNull(), F.struct("chunk", "w"))
+                )
+            ).alias("m")
+        )
+        .select(
+            "id",
+            "blk",
+            "sz",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.coalesce(F.element_at("m", c), F.lit(0).cast("long")),
+            ).alias("bm"),
+        )
+    )
+
+
+def _bitmap_intersection(left: str, right: str):
+    counts = F.zip_with(left, right, lambda a, b: F.bit_count(a.bitwiseAND(b)))
+    return F.aggregate(counts, F.lit(0), lambda acc, x: acc + x)
 
 
 def ngram_jaccard_pairs(
@@ -22,26 +101,47 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     num_partitions: int | None = None,
+    max_bitmap_vocab: int = DEFAULT_MAX_BITMAP_VOCAB,
+    min_bitmap_pairs: int = DEFAULT_MIN_BITMAP_PAIRS,
 ) -> DataFrame:
     """All same-block pairs with token-set Jaccard ≥ threshold.
 
     The self-join explodes (|block|² pairs from |block| rows), so the join
     parallelism is pinned — AQE would coalesce the tiny input shuffle and
-    funnel millions of array_intersect calls through a few tasks.
+    funnel millions of set comparisons through a few tasks.
     """
+    spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    t = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
-        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        num_partitions = spark.sparkContext.defaultParallelism
+    t = _token_sets(df, block_col, text_col, id_col)
+    n_rows = df.count()
+    n_blocks = df.select(block_col).distinct().count()
+
+    # uniform-blocks estimate; only pay the bitmap's fixed costs (vocab
+    # count, dictionary build, two extra shuffles) when the pair volume
+    # will amortize them
+    est_pairs = n_rows * n_rows / (2 * max(n_blocks, 1))
+    use_bitmap = est_pairs >= min_bitmap_pairs
+    if use_bitmap:
+        vocab_size = t.select(F.explode("toks")).distinct().count()
+        use_bitmap = 0 < vocab_size <= max_bitmap_vocab
+    if use_bitmap:
+        t = _bitmap_encode(t, vocab_size)
+        payload = ["sz", "bm"]
+    else:
+        t = t.withColumn("sz", F.size("toks"))
+        payload = ["sz", "toks"]
+
+    l = t.select(
+        F.col("id").alias("id_l"), "blk", *[F.col(c).alias(f"{c}_l") for c in payload]
     )
-    l = t.select(F.col("id").alias("id_l"), "blk", F.col("toks").alias("toks_l"))
-    r = t.select(F.col("id").alias("id_r"), "blk", F.col("toks").alias("toks_r"))
+    r = t.select(
+        F.col("id").alias("id_r"), "blk", *[F.col(c).alias(f"{c}_r") for c in payload]
+    )
     # salt the explosion: replicate the right side over k salt buckets and
     # split the left by id hash, so one language-block's pairs spread over
     # k × (block partitions) tasks instead of one
-    k = max(1, num_partitions // max(t.select("blk").distinct().count(), 1))
+    k = max(1, num_partitions // max(n_blocks, 1))
     if k > 1:
         l = l.withColumn("__salt", F.pmod(F.hash("id_l"), F.lit(k)))
         r = r.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
@@ -49,11 +149,25 @@ def ngram_jaccard_pairs(
     else:
         join_keys = ["blk"]
     l = l.repartition(num_partitions, *join_keys)
+
+    pairs = l.join(r, on=join_keys).drop("__salt").filter(F.col("id_l") < F.col("id_r"))
+    if threshold > 0:
+        # J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prefilter
+        pairs = pairs.filter(
+            (F.col("sz_l") >= threshold * F.col("sz_r"))
+            & (F.col("sz_r") >= threshold * F.col("sz_l"))
+        )
+
+    if use_bitmap:
+        pairs = pairs.withColumn("__inter", _bitmap_intersection("bm_l", "bm_r"))
+    else:
+        pairs = pairs.withColumn("__inter", F.size(F.array_intersect("toks_l", "toks_r")))
+    union = F.col("sz_l") + F.col("sz_r") - F.col("__inter")
     return (
-        l.join(r, on=join_keys)
-        .drop("__salt")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn("jaccard", jaccard_tokens(F.col("toks_l"), F.col("toks_r")))
+        pairs.withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(F.col("__inter") / union),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select(
             F.col("id_l").alias(f"{id_col}_l"),

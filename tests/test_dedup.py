@@ -79,3 +79,15 @@ def test_ngram_jaccard(docs):
     assert (1, 4) not in found
     # blocking respected: doc 5 is in its own lang block
     assert not any(5 in p for p in found)
+
+
+def test_ngram_jaccard_bitmap_path_matches_string_path(docs):
+    # force both physical strategies on the same input
+    bitmap = ngram_jaccard_pairs(
+        docs, block_col="lang", threshold=0.3, min_bitmap_pairs=0
+    ).collect()
+    strings = ngram_jaccard_pairs(
+        docs, block_col="lang", threshold=0.3, max_bitmap_vocab=0
+    ).collect()
+    assert {tuple(r) for r in bitmap} == {tuple(r) for r in strings}
+    assert len(bitmap) > 0
