@@ -985,6 +985,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, q, k=5, dim=64)
 
 
+# IVF = iterative k-means (driver-side loop, distributed passes) — not a
+# single SQL statement; rows-only check, recall covered by tests.
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(e, q, k=5, n_centroids=16, iters=4, nprobe=4)
+
+
 @query(
     "emb_near_dup_pairs",
     oracle="""

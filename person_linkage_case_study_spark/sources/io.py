@@ -100,3 +100,36 @@ def add_record_id(
         )
         .drop("__pid", "__ord")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Shuffle-free-join sink: parquet table bucketed (and optionally
+    sorted) on the join key.
+
+    Repeated same-key joins against a bucketed table skip their exchange
+    entirely — both sides arrive pre-partitioned — which is the scale fix
+    for the cascade's geobase-by-person-key passes: pay the shuffle once
+    at write, amortize it across every pass that joins on the key.
+    Hive-metastore bucketing needs ``saveAsTable``; ``path`` puts the
+    files outside the default warehouse dir.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a table written by ``write_bucketed``; joins/aggregations on
+    the bucket key report no Exchange on this side (verify with
+    ``.explain`` — the scan carries ``SelectedBucketsCount``)."""
+    return spark.table(table)

@@ -57,3 +57,31 @@ def test_embedding_near_dup_pairs(vectors):
     found = {(r["vec_id_l"], r["vec_id_r"]) for r in pairs}
     for i in range(5):
         assert (i, 100 + i) in found
+
+
+def test_ivf_centroids_deterministic_and_assign_total(vectors):
+    from person_linkage_case_study_spark.similarity.ann import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    c1 = ivf_train_centroids(vectors, n_centroids=8, iters=3)
+    c2 = ivf_train_centroids(vectors, n_centroids=8, iters=3)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == 16
+    assigned = ivf_assign(vectors, c1)
+    clusters = [r["ivf_cluster"] for r in assigned.collect()]
+    assert len(clusters) == 105
+    assert all(0 <= cl < 8 for cl in clusters)
+
+
+def test_ivf_recall_on_planted(vectors):
+    from person_linkage_case_study_spark.similarity.ann import ivf_topk
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    top = ivf_topk(vectors, q, k=1, n_centroids=8, iters=3, nprobe=2).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in top}
+    # a near-identical vector shares its base's nearest IVF cell; nprobe=2
+    # covers boundary cases
+    hits = sum(1 for i in range(5) if got.get(i) == 100 + i)
+    assert hits >= 4
