@@ -1060,6 +1060,43 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Custom stateful streaming (applyInPandasWithState): first-seen dedup over
+# the documents table streamed file-by-file; state (seen-count per
+# fingerprint) persists across micro-batches. Rows-only by nature.
+@query("streaming_dedup_first_seen")
+def streaming_dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from .streaming.stateful import streaming_first_seen_dedup, with_fingerprint
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    # file-source streams need a directory basePath; glob from the dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/documents*.parquet")
+    )
+    name = f"sdedup_{uuid.uuid4().hex[:10]}"
+    q = (
+        streaming_first_seen_dedup(with_fingerprint(stream))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"select doc_id, lang, fingerprint from {name} order by doc_id")
+
+
 # ---------------------------------------------------------------------------
 # P11 seeded sampling — seed semantics are engine-specific, rows-only.
 # ---------------------------------------------------------------------------
