@@ -317,6 +317,57 @@ def j8_customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed co-located join (S2/J1 at scale): both sides written bucketed on
+# the join key, so the join runs with no shuffle exchange (plan-tested in
+# test_io_bucketed.py); results are oracle-identical to the plain join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .sources.io import read_bucketed, write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    ct, ot = f"bk_customer_{suffix}", f"bk_orders_{suffix}"
+    base = f"/root/repo/spark-warehouse/{suffix}"
+    write_bucketed(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        ct,
+        ["c_custkey"],
+        num_buckets=8,
+        path=f"{base}/{ct}",
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        ot,
+        ["o_custkey"],
+        num_buckets=8,
+        path=f"{base}/{ot}",
+    )
+    c = read_bucketed(spark, ct)
+    o = read_bucketed(spark, ot)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 — keyed dedup, keep best by sort column with deterministic tiebreak
 # (the reference's drop_duplicates(subset, sort_col, keep), W1).
 # ---------------------------------------------------------------------------

@@ -3,7 +3,7 @@
 Checks, per audited query:
 - parquet scans carry PushedFilters / pruned ReadSchema where expected;
 - small dims broadcast (BroadcastHashJoin) instead of shuffling;
-- exactly one ArrowEvalPython node per JW-bearing pair table;
+- JW is JVM-native or a single Arrow-batched node (never row-at-a-time);
 - WholeStageCodegen spans exist around the scoring arithmetic.
 
 Usage: python tools/explain_audit.py [sf_dir]
@@ -82,8 +82,11 @@ def main() -> None:
 
     print("== fs_customer_supplier_scores ==")
     p = executed_plan_of(qs["fs_customer_supplier_scores"](spark, sf_dir))
-    check("fs", p.count("ArrowEvalPython") == 1,
-          f"exactly one ArrowEvalPython node (got {p.count('ArrowEvalPython')})")
+    # JW runs either as the native JVM UDF (zero Python nodes — preferred,
+    # when jvm/sparklinkage.jar is on the session) or as exactly one
+    # Arrow-batched pandas UDF (jarless fallback); never row-at-a-time
+    check("fs", p.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in p,
+          f"JW is JVM-native or one Arrow node (got {p.count('ArrowEvalPython')} arrow)")
     check(
         "fs",
         has_codegen(no_aqe_plan(spark, lambda: qs["fs_customer_supplier_scores"](spark, sf_dir))),
@@ -92,8 +95,8 @@ def main() -> None:
 
     print("== jw_similar_part_names ==")
     p = executed_plan_of(qs["jw_similar_part_names"](spark, sf_dir))
-    check("jw", p.count("ArrowEvalPython") == 1,
-          f"exactly one ArrowEvalPython node (got {p.count('ArrowEvalPython')})")
+    check("jw", p.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in p,
+          f"JW is JVM-native or one Arrow node (got {p.count('ArrowEvalPython')} arrow)")
 
     print("== j3_customers_no_open_orders ==")
     p = plan_of(qs["j3_customers_no_open_orders"](spark, sf_dir))
