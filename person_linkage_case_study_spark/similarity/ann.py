@@ -73,18 +73,33 @@ def _hyperplanes(dim: int, n_planes: int, seed: int):
     return rng.standard_normal((n_planes, dim))
 
 
-def _bucket_expr(vec_col, planes) -> "F.Column":
-    """Sign-bit bucket id of a vector against literal hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
-    return bucket
+def _buckets_udf(all_planes):
+    """Sign-bit bucket ids of a vector against every table's hyperplanes,
+    as ONE Arrow-vectorized pass (array<long>, one bucket per table).
+
+    Literal-plane expressions (n_tables × n_planes × dim F.lit nodes) made
+    Catalyst analysis the bottleneck — same lesson as the IVF centroids;
+    a numpy matmul per Arrow batch keeps the plan constant-size."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    # (n_tables, n_planes, dim) -> stacked (n_tables*n_planes, dim)
+    P = np.stack(all_planes)
+    n_tables, n_planes, dim = P.shape
+    flat = P.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        V = np.stack(vs.to_numpy())
+        signs = (V @ flat.T) > 0  # (n, n_tables*n_planes)
+        signs = signs.reshape(len(V), n_tables, n_planes)
+        b = (signs * weights[None, None, :]).sum(axis=2)  # (n, n_tables)
+        return pd.Series([row.tolist() for row in b])
+
+    return buckets.asNondeterministic()
 
 
 def lsh_bucket_topk(
@@ -104,27 +119,28 @@ def lsh_bucket_topk(
     with n_planes (expected corpus/2^n_planes per bucket)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    buckets = _buckets_udf([_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("corpus_vec"),
+    ).select(
+        "neighbor_id",
+        "corpus_vec",
+        F.posexplode(buckets(F.col("corpus_vec"))).alias("table_idx", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("query_vec"),
+    ).select(
+        "query_id",
+        "query_vec",
+        F.posexplode(buckets(F.col("query_vec"))).alias("table_idx", "bucket"),
     )
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        cb = c.withColumn("bucket", _bucket_expr(F.col("corpus_vec"), planes)).select(
-            "neighbor_id", "corpus_vec", "bucket"
-        )
-        qb = q.withColumn("bucket", _bucket_expr(F.col("query_vec"), planes)).select(
-            "query_id", "query_vec", "bucket"
-        )
-        pairs = cb.join(F.broadcast(qb), on="bucket").drop("bucket")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    cand = (
+        c.join(F.broadcast(q), on=["table_idx", "bucket"])
+        .drop("table_idx", "bucket")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = cand.withColumn(
         "cosine",
