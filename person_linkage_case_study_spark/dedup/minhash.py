@@ -103,7 +103,7 @@ def minhash_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
-    est_jaccard_threshold: float = 0.5,
+    est_jaccard_threshold: float | None = 0.5,
 ) -> DataFrame:
     """LSH banding over signatures → candidate near-dup pairs with
     ``est_jaccard`` (share of equal signature positions).
@@ -111,6 +111,12 @@ def minhash_candidate_pairs(
     rows-per-band r = len(signature)/bands. The bucket join shuffles on
     (band_idx, band_hash) — hot buckets (boilerplate docs) are exactly the
     skew case AQE skew-join handles.
+
+    ``est_jaccard_threshold=None`` skips the estimate entirely and returns
+    only the id pair — the right call when an exact scorer (e.g.
+    ``ngram_jaccard_pairs(candidates=...)``) runs downstream: the signature
+    arrays then never flow through the dedup shuffle and no per-pair
+    interpreted comparison runs.
     """
     sig = signatures.select(F.col(id_col).alias("id"), "signature")
     r_expr = F.floor(F.size("signature") / bands).cast("int")
@@ -146,6 +152,17 @@ def minhash_candidate_pairs(
         "band_idx",
         "band_hash",
     )
+    if est_jaccard_threshold is None:
+        return (
+            l.drop("sig_l")
+            .join(r.drop("sig_r"), on=["band_idx", "band_hash"])
+            .filter(F.col("id_l") < F.col("id_r"))
+            .select(
+                F.col("id_l").alias(f"{id_col}_l"),
+                F.col("id_r").alias(f"{id_col}_r"),
+            )
+            .dropDuplicates([f"{id_col}_l", f"{id_col}_r"])
+        )
     pairs = (
         l.join(r, on=["band_idx", "band_hash"])
         .filter(F.col("id_l") < F.col("id_r"))

@@ -96,61 +96,103 @@ def _bitmap_intersection(left: str, right: str):
 
 def ngram_jaccard_pairs(
     df: DataFrame,
-    block_col: str,
+    block_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
     num_partitions: int | None = None,
     max_bitmap_vocab: int = DEFAULT_MAX_BITMAP_VOCAB,
     min_bitmap_pairs: int = DEFAULT_MIN_BITMAP_PAIRS,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """All same-block pairs with token-set Jaccard ≥ threshold.
+    """Token-set Jaccard ≥ threshold over one of two pair sources:
 
-    The self-join explodes (|block|² pairs from |block| rows), so the join
-    parallelism is pinned — AQE would coalesce the tiny input shuffle and
-    funnel millions of set comparisons through a few tasks.
+    * ``candidates`` — a DataFrame of (``{id_col}_l``, ``{id_col}_r``)
+      candidate pairs (e.g. from :func:`..minhash.minhash_candidate_pairs`).
+      This is THE scale path: pair volume is whatever the LSH tier emitted,
+      never |block|², and the join back to token payloads is two plain hash
+      joins on the id.
+    * ``block_col`` — all same-block pairs via self-join. Quadratic *within
+      block*; only for small-cardinality blocks. The self-join explodes
+      (|block|² pairs from |block| rows), so the join parallelism is pinned
+      — AQE would coalesce the tiny input shuffle and funnel millions of
+      set comparisons through a few tasks.
+
+    Exactly one of ``candidates`` / ``block_col`` must be given.
     """
+    if (block_col is None) == (candidates is None):
+        raise ValueError("pass exactly one of block_col / candidates")
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    t = _token_sets(df, block_col, text_col, id_col)
-    n_rows = df.count()
-    n_blocks = df.select(block_col).distinct().count()
 
-    # uniform-blocks estimate; only pay the bitmap's fixed costs (vocab
-    # count, dictionary build, two extra shuffles) when the pair volume
-    # will amortize them
-    est_pairs = n_rows * n_rows / (2 * max(n_blocks, 1))
-    use_bitmap = est_pairs >= min_bitmap_pairs
-    if use_bitmap:
+    if candidates is not None:
+        t = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        )
+        # bitmap decision on vocab alone: counting the candidates would
+        # execute the (expensive) candidate pipeline a second time, while
+        # the vocab count is one cheap pass over the docs
         vocab_size = t.select(F.explode("toks")).distinct().count()
         use_bitmap = 0 < vocab_size <= max_bitmap_vocab
-    if use_bitmap:
-        t = _bitmap_encode(t, vocab_size)
-        payload = ["sz", "bm"]
+        if use_bitmap:
+            t = _bitmap_encode(t.withColumn("blk", F.lit(0)), vocab_size).drop("blk")
+            payload = ["sz", "bm"]
+        else:
+            t = t.withColumn("sz", F.size("toks"))
+            payload = ["sz", "toks"]
+        cand = candidates.select(
+            F.col(f"{id_col}_l").alias("id_l"), F.col(f"{id_col}_r").alias("id_r")
+        )
+        l = t.select(
+            F.col("id").alias("id_l"), *[F.col(c).alias(f"{c}_l") for c in payload]
+        )
+        r = t.select(
+            F.col("id").alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in payload]
+        )
+        pairs = cand.join(l, on="id_l").join(r, on="id_r")
     else:
-        t = t.withColumn("sz", F.size("toks"))
-        payload = ["sz", "toks"]
+        t = _token_sets(df, block_col, text_col, id_col)
+        n_rows = df.count()
+        n_blocks = df.select(block_col).distinct().count()
 
-    l = t.select(
-        F.col("id").alias("id_l"), "blk", *[F.col(c).alias(f"{c}_l") for c in payload]
-    )
-    r = t.select(
-        F.col("id").alias("id_r"), "blk", *[F.col(c).alias(f"{c}_r") for c in payload]
-    )
-    # salt the explosion: replicate the right side over k salt buckets and
-    # split the left by id hash, so one language-block's pairs spread over
-    # k × (block partitions) tasks instead of one
-    k = max(1, num_partitions // max(n_blocks, 1))
-    if k > 1:
-        l = l.withColumn("__salt", F.pmod(F.hash("id_l"), F.lit(k)))
-        r = r.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
-        join_keys = ["blk", "__salt"]
-    else:
-        join_keys = ["blk"]
-    l = l.repartition(num_partitions, *join_keys)
+        # uniform-blocks estimate; only pay the bitmap's fixed costs (vocab
+        # count, dictionary build, two extra shuffles) when the pair volume
+        # will amortize them
+        est_pairs = n_rows * n_rows / (2 * max(n_blocks, 1))
+        use_bitmap = est_pairs >= min_bitmap_pairs
+        if use_bitmap:
+            vocab_size = t.select(F.explode("toks")).distinct().count()
+            use_bitmap = 0 < vocab_size <= max_bitmap_vocab
+        if use_bitmap:
+            t = _bitmap_encode(t, vocab_size)
+            payload = ["sz", "bm"]
+        else:
+            t = t.withColumn("sz", F.size("toks"))
+            payload = ["sz", "toks"]
 
-    pairs = l.join(r, on=join_keys).drop("__salt").filter(F.col("id_l") < F.col("id_r"))
+        l = t.select(
+            F.col("id").alias("id_l"), "blk", *[F.col(c).alias(f"{c}_l") for c in payload]
+        )
+        r = t.select(
+            F.col("id").alias("id_r"), "blk", *[F.col(c).alias(f"{c}_r") for c in payload]
+        )
+        # salt the explosion: replicate the right side over k salt buckets and
+        # split the left by id hash, so one language-block's pairs spread over
+        # k × (block partitions) tasks instead of one
+        k = max(1, num_partitions // max(n_blocks, 1))
+        if k > 1:
+            l = l.withColumn("__salt", F.pmod(F.hash("id_l"), F.lit(k)))
+            r = r.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            join_keys = ["blk", "__salt"]
+        else:
+            join_keys = ["blk"]
+        l = l.repartition(num_partitions, *join_keys)
+
+        pairs = (
+            l.join(r, on=join_keys).drop("__salt").filter(F.col("id_l") < F.col("id_r"))
+        )
     if threshold > 0:
         # J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prefilter
         pairs = pairs.filter(

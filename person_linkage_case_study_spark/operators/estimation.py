@@ -82,6 +82,13 @@ def gamma_pattern_counts(
     pattern histogram, collected (≤ ∏ levels rows)."""
     cols = list({c.col for c in comparisons} | set(training_block_on))
     pairs = blocked_pairs(left.select(*cols), right.select(*cols), training_block_on)
+    # a compared column that is also a blocking key comes out unsuffixed —
+    # alias it to both sides (equal by construction), as the cascade does
+    for c in comparisons:
+        if c.col in training_block_on:
+            pairs = pairs.withColumn(f"{c.col}_l", F.col(c.col)).withColumn(
+                f"{c.col}_r", F.col(c.col)
+            )
     with_gammas = add_gammas(pairs, comparisons)
     gcols = [c.gamma_col for c in comparisons]
     rows = with_gammas.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -95,6 +102,7 @@ def estimate_m_em(
     model: LinkageModel,
     max_iter: int = 60,
     tol: float = 1e-6,
+    history: list | None = None,
 ) -> LinkageModel:
     """A11/K6: EM for m only — λ fixed, u fixed (the reference's
     ``fix_probability_two_random_records_match=True`` with u held at the
@@ -102,6 +110,11 @@ def estimate_m_em(
 
     E-step / M-step run over the collected pattern histogram; convergence
     when max |Δm| < tol.
+
+    ``history``: pass a list to receive one dict per EM iteration —
+    ``{"iteration", "comparison", "gamma", "m", "max_delta"}`` rows (the
+    data behind Splink's EM-convergence diagnostics, K11; see
+    plans/diagnostics.py ``em_history_table``).
     """
     comps = model.comparisons
     patterns = gamma_pattern_counts(left, right, training_block_on, comps)
@@ -112,7 +125,7 @@ def estimate_m_em(
         if not c.m or len(c.m) != k:
             c.m = [0.9 if g == k - 1 else max(0.1 / max(k - 1, 1), 1e-4) for g in range(k)]
 
-    for _ in range(max_iter):
+    for _it in range(max_iter):
         # E-step: P(match | pattern) under current params
         num_m = [[0.0] * c.n_gamma_levels() for c in comps]
         den_m = 0.0
@@ -138,8 +151,66 @@ def estimate_m_em(
                 max_delta, max(abs(a - b) for a, b in zip(new_m, c.m))
             )
             c.m = new_m
+        if history is not None:
+            for c in comps:
+                for g, m in enumerate(c.m):
+                    history.append(
+                        {
+                            "iteration": _it,
+                            "comparison": c.col,
+                            "gamma": g,
+                            "m": m,
+                            "max_delta": max_delta,
+                        }
+                    )
         if max_delta < tol:
             break
+    return model
+
+
+def estimate_m_two_sessions(
+    left: DataFrame,
+    right: DataFrame,
+    training_rules: list[list[str]],
+    model: LinkageModel,
+    max_iter: int = 60,
+    tol: float = 1e-6,
+    histories: list | None = None,
+) -> LinkageModel:
+    """K6 multi-session training, Splink-style: run one EM session per
+    training blocking rule; a session cannot estimate m for comparisons on
+    its own blocking columns (they are equal by construction inside the
+    blocked pairs), so each session estimates only the others, and
+    per-(comparison, gamma) estimates are combined as the mean over the
+    sessions that estimated them (the reference runs exactly two sessions —
+    block-on-name and block-on-DOB — and lets Splink combine,
+    03_link_datasets.ipynb:1650-1692).
+    """
+    estimates: dict[str, list[list[float]]] = {c.col: [] for c in model.comparisons}
+    for rule in training_rules:
+        session = LinkageModel(
+            comparisons=[], lambda_prior=model.lambda_prior,
+            bayes_factor_cut_columns=model.bayes_factor_cut_columns,
+        )
+        # deep-ish copy: fresh Comparison m lists so sessions don't alias
+        session.comparisons = [
+            Comparison(c.col, c.levels, m=[], u=list(c.u))
+            for c in model.comparisons
+            if c.col not in rule
+        ]
+        hist: list | None = [] if histories is not None else None
+        estimate_m_em(left, right, rule, session, max_iter=max_iter, tol=tol, history=hist)
+        if histories is not None:
+            histories.append(hist)
+        for c in session.comparisons:
+            estimates[c.col].append(c.m)
+    for c in model.comparisons:
+        ests = estimates[c.col]
+        if not ests:
+            continue
+        c.m = [
+            sum(e[g] for e in ests) / len(ests) for g in range(c.n_gamma_levels())
+        ]
     return model
 
 
@@ -167,19 +238,21 @@ def probability_two_random_records_match(
     - expected true matches per person = (records-per-person on each side)
       multiplied under independence; λ = expected matches / |input|·|ref|.
 
-    Two countDistinct jobs + scalar math; returns 0.5 for empty inputs
-    (the reference's "does not matter" branch).
+    One count+count_distinct aggregate per side (two jobs total) + scalar
+    math; returns 0.5 for empty inputs (the reference's "does not matter"
+    branch).
     """
-    n_input = input_file.count()
-    n_ref = reference_file.count()
+    ri = input_file.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(input_person_col).alias("d")
+    ).first()
+    rr = reference_file.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(reference_person_col).alias("d")
+    ).first()
+    n_input, n_ref = ri["n"], rr["n"]
     if n_input == 0 or n_ref == 0:
         return 0.5
-    people_input = (
-        input_file.select(input_person_col).distinct().count() * 0.95
-    )
-    people_ref = (
-        reference_file.select(reference_person_col).distinct().count() * 0.995
-    )
+    people_input = ri["d"] * 0.95
+    people_ref = rr["d"] * 0.995
     people_both = people_input * 0.9
     input_records_per_person = people_input / n_input
     ref_records_per_person = people_ref / n_ref

@@ -52,6 +52,7 @@ class LinkageModel:
                             "kind": lv.kind,
                             "threshold": lv.threshold,
                             "band": lv.band,
+                            **({"sql": lv.sql} if lv.sql else {}),
                         }
                         for lv in c.levels
                     ],
@@ -61,6 +62,53 @@ class LinkageModel:
                 for c in self.comparisons
             ],
         }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LinkageModel":
+        """K10 load path: rebuild a trained model from ``to_dict`` output
+        (the reference round-trips Splink settings via pickle and re-uses
+        them per pass, 03_link_datasets.ipynb:1750-1774). Custom levels
+        restore their SQL template; a Column expr cannot be serialized, so
+        a loaded custom level supports SQL emission but must be re-armed
+        with ``expr`` before Spark compilation."""
+        from .gamma import Comparison, ComparisonLevel
+
+        comps = [
+            Comparison(
+                cd["col"],
+                [
+                    ComparisonLevel(
+                        kind=ld["kind"],
+                        threshold=ld.get("threshold"),
+                        band=ld.get("band"),
+                        sql=ld.get("sql"),
+                    )
+                    for ld in cd["levels"]
+                ],
+                m=list(cd["m"]),
+                u=list(cd["u"]),
+            )
+            for cd in d["comparisons"]
+        ]
+        return cls(
+            comparisons=comps,
+            lambda_prior=d["lambda_prior"],
+            bayes_factor_cut_columns=d.get("bayes_factor_cut_columns"),
+        )
+
+    def save(self, path: str) -> None:
+        """Persist as JSON (json-safe by construction)."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "LinkageModel":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
 
     def subset(self, cols: list[str]) -> "LinkageModel":
         """Pass-specific model: comparisons filtered to this pass's matching

@@ -231,7 +231,10 @@ class PersonLinkageCascade:
                 F.lit(pass_cfg.name).alias("pass_name"),
             )
         )
-        n_links = new_links.count()
+        # with the eager checkpoint above the count is free, but under a
+        # non-eager checkpoint mode it would be a whole extra job — only
+        # pay it when stats were asked for
+        n_links = new_links.count() if self.collect_stats else -1
 
         self._provisional_links = self._provisional_links.unionByName(new_links)
 

@@ -931,10 +931,26 @@ def f8_soundex_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NYSIIS has no SQL equivalent — rows-only check (driver records a weaker
-# rows-only result; the pandas UDF itself is golden-tested against
-# jellyfish-pinned vectors in tests/test_phonetics.py).
-@query("f9_nysiis_part_names")
+# NYSIIS has no native DuckDB function; the oracle carries a golden
+# word→code map (the part-name first-word vocabulary is the fixed 8-word
+# TPC-H adjective list at every sf) computed by the same pure-Python NYSIIS
+# that is golden-tested against jellyfish-pinned vectors in
+# tests/test_phonetics.py. Unmapped words surface as a sentinel code so a
+# vocabulary change fails loudly instead of silently passing.
+@query(
+    "f9_nysiis_part_names",
+    oracle="""
+    WITH w AS (SELECT upper(split_part(p_name, ' ', 1)) AS w FROM part),
+    m(w, ny) AS (VALUES
+        ('BLUE','BL'), ('COLD','CALD'), ('HOT','HAT'), ('LARGE','LARG'),
+        ('NEW','N'), ('OLD','OLD'), ('RED','RAD'), ('SMALL','SNAL')
+    )
+    SELECT coalesce(m.ny, '<UNMAPPED:' || w.w || '>') AS name_nysiis,
+           count(*) AS n
+    FROM w LEFT JOIN m ON w.w = m.w
+    GROUP BY 1
+    """,
+)
 def f9_nysiis_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.phonetics import nysiis_udf
 
@@ -991,6 +1007,40 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_candidate_pairs(simhash(d), max_hamming=3)
+
+
+# The scale-path dedup composition: MinHash LSH generates candidates
+# (sub-quadratic), the exact token-set Jaccard kernel scores ONLY those
+# candidates. Oracle is DuckDB's full quadratic exact Jaccard — equality
+# holds because with 32 bands × 2 rows the probability a J≥0.8 pair misses
+# every band is (1-0.8²)^32 ≈ 1e-14 (unigram shingles, so the LSH estimates
+# exactly the quantity the kernel computes). This is an EXACT-equality
+# recall proof, not a containment check.
+@query(
+    "dedup_near_exact_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct({_SQL_TOKENS.format(t='text')}) AS toks
+        FROM documents
+    )
+    SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+           round(len(list_intersect(l.toks, r.toks)) /
+                 len(list_distinct(list_concat(l.toks, r.toks))), 6) AS jaccard
+    FROM t l JOIN t r ON l.doc_id < r.doc_id
+    WHERE len(list_intersect(l.toks, r.toks)) /
+          len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8
+    """,
+)
+def dedup_near_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
+    from .dedup.ngram import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # unigram shingles: the minhash estimates the same token-set Jaccard
+    # the exact kernel computes, so band math gives a recall guarantee
+    sigs = minhash_signatures(d, shingle_n=1)
+    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    return ngram_jaccard_pairs(d, candidates=cands, threshold=0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -1113,8 +1163,20 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Custom stateful streaming (applyInPandasWithState): first-seen dedup over
 # the documents table streamed file-by-file; state (seen-count per
-# fingerprint) persists across micro-batches. Rows-only by nature.
-@query("streaming_dedup_first_seen")
+# fingerprint) persists across micro-batches. Oracle: within a micro-batch
+# the lowest doc_id wins (streaming/stateful.py sorts by order_col before
+# emitting), and the per-sf documents table is a single file = a single
+# micro-batch, so first-seen ≡ row_number() over fingerprint by doc_id.
+@query(
+    "streaming_dedup_first_seen",
+    oracle="""
+    SELECT doc_id, lang, fingerprint FROM (
+        SELECT doc_id, lang, md5(text) AS fingerprint,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
 def streaming_dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
@@ -1468,13 +1530,96 @@ def a11_em_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# End-to-end mini cascade on synthesized person records (rows-only: the
-# cascade is an iterative driver program, not a single SQL statement).
-# Person records are derived deterministically from customer/part data.
-@query("cascade_mini")
+# End-to-end mini cascade on synthesized person records, oracle-checked:
+# the single-pass cascade is expressible as one DuckDB CTE pipeline because
+# gamma CASEs and the FS weight expression are EMITTED FROM THE SAME MODEL
+# OBJECT the Spark plan compiles from (operators/gamma.py compile_sql,
+# operators/scoring.py match_weight_sql) — engine and oracle cannot drift.
+# Person records are derived deterministically from customer data.
+def _cascade_mini_model() -> LinkageModel:
+    name = jw_comparison("first_name_15", thresholds=(0.9, 0.75))
+    name.m = [0.02, 0.05, 0.2, 0.73]
+    name.u = [0.9, 0.05, 0.03, 0.02]
+    seg = jw_comparison("last_name_12", thresholds=(0.9,))
+    seg.m = [0.1, 0.2, 0.7]
+    seg.u = [0.7, 0.1, 0.2]
+    return LinkageModel([name, seg], lambda_prior=0.01)
+
+
+def _cascade_mini_oracle() -> str:
+    # mirror run_matching_pass: subset to matching columns, cut-column
+    # Bayes factor 1.0 (ModuleConfig default)
+    model = _cascade_mini_model().subset(["first_name_15", "last_name_12"])
+    model.bayes_factor_cut_columns = 1.0
+    g_name = model.comparisons[0].compile_sql()
+    g_seg = model.comparisons[1].compile_sql()
+    weight = match_weight_sql(model)
+    return f"""
+    WITH base AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS record_id_raw_input_file,
+               CAST(c_custkey AS VARCHAR) AS record_id,
+               upper(c_name) AS first_name_15,
+               substring(c_mktsegment, 1, 12) AS last_name_12,
+               CAST(c_nationkey AS VARCHAR) AS zip3,
+               concat_ws(' ', c_mktsegment,
+                         CAST(CAST(trunc(c_acctbal / 1000) AS INTEGER) AS VARCHAR))
+                   AS geokey
+        FROM customer
+    ),
+    census AS (SELECT *, geokey AS geokey_for_blocking FROM base),
+    ref AS (
+        SELECT 'r' || record_id AS record_id,
+               'PIK' || record_id AS pik,
+               CASE WHEN CAST(record_id AS INTEGER) % 3 = 0
+                    THEN first_name_15 || 'X' ELSE first_name_15 END AS first_name_15,
+               last_name_12, zip3, geokey AS geokey_for_blocking
+        FROM base
+    ),
+    pairs AS (
+        SELECT c.record_id AS record_id_census_2030,
+               r.record_id AS record_id_reference_file,
+               c.record_id_raw_input_file,
+               c.first_name_15 AS first_name_15_l, r.first_name_15 AS first_name_15_r,
+               c.last_name_12 AS last_name_12_l, r.last_name_12 AS last_name_12_r,
+               r.pik
+        FROM census c JOIN ref r
+          ON c.zip3 = r.zip3 AND c.geokey_for_blocking = r.geokey_for_blocking
+    ),
+    gammas AS (
+        SELECT *, ({g_name}) AS gamma_first_name_15, ({g_seg}) AS gamma_last_name_12
+        FROM pairs
+    ),
+    scored AS (SELECT *, ({weight}) AS match_weight FROM gammas),
+    kept AS (
+        SELECT *, 1.0 / (1.0 + power(2.0, -match_weight)) AS match_probability
+        FROM scored
+        WHERE 1.0 / (1.0 + power(2.0, -match_weight)) >= 0.5
+    ),
+    ties AS (
+        SELECT * FROM (
+            SELECT *, max(match_probability) OVER (
+                       PARTITION BY record_id_raw_input_file) AS __mx
+            FROM kept
+        ) WHERE match_probability = __mx
+    ),
+    ok AS (
+        SELECT record_id_raw_input_file
+        FROM ties GROUP BY 1 HAVING count(DISTINCT pik) <= 1
+    ),
+    ranked AS (
+        SELECT t.*, row_number() OVER (
+                   PARTITION BY t.record_id_raw_input_file
+                   ORDER BY t.match_probability DESC, t.record_id_census_2030 ASC
+               ) AS rn
+        FROM ties t JOIN ok ON t.record_id_raw_input_file = ok.record_id_raw_input_file
+    )
+    SELECT record_id_raw_input_file, pik, round(match_probability, 6) AS p
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("cascade_mini", oracle=_cascade_mini_oracle())
 def cascade_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.gamma import banded_comparison, jw_comparison
-    from .operators.scoring import LinkageModel
     from .plans.cascade import (
         CascadeConfig,
         ModuleConfig,
@@ -1512,13 +1657,7 @@ def cascade_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "geokey",
         "geokey_for_blocking",
     )
-    name = jw_comparison("first_name_15", thresholds=(0.9, 0.75))
-    name.m = [0.02, 0.05, 0.2, 0.73]
-    name.u = [0.9, 0.05, 0.03, 0.02]
-    seg = jw_comparison("last_name_12", thresholds=(0.9,))
-    seg.m = [0.1, 0.2, 0.7]
-    seg.u = [0.7, 0.1, 0.2]
-    model = LinkageModel([name, seg], lambda_prior=0.01)
+    model = _cascade_mini_model()
     cascade = PersonLinkageCascade(
         spark, census, {"ref": ref}, model, dates_of_death=None, collect_stats=False
     )
@@ -1539,3 +1678,32 @@ def cascade_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confirmed.select(
         "record_id_raw_input_file", "pik", F.round("match_probability", 6).alias("p")
     )
+
+
+# K11 — model-diagnostics tables (the data behind Splink's m/u chart,
+# 03_link_datasets.ipynb:1610-1738). The Bayes-factor arithmetic runs
+# in-plan on Spark; the oracle recomputes it in DuckDB from the same model
+# constants (emitted from the same model object).
+def _k11_oracle() -> str:
+    model = _cascade_mini_model()
+    vals = ", ".join(
+        f"('{c.col}', {g}, {c.m[g]!r}, {c.u[g]!r})"
+        for c in model.comparisons
+        for g in range(c.n_gamma_levels())
+    )
+    # CAST: DuckDB types bare VALUES decimals as DECIMAL, which renders
+    # with trailing zeros and breaks the string-normalized value hash
+    return f"""
+    SELECT comparison, gamma,
+           CAST(m AS DOUBLE) AS m, CAST(u AS DOUBLE) AS u,
+           round(CAST(m AS DOUBLE) / CAST(u AS DOUBLE), 6) AS bayes_factor,
+           round(log2(CAST(m AS DOUBLE) / CAST(u AS DOUBLE)), 6) AS log2_bayes_factor
+    FROM (VALUES {vals}) t(comparison, gamma, m, u)
+    """
+
+
+@query("k11_mu_parameters", oracle=_k11_oracle())
+def k11_mu_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.diagnostics import mu_parameters_table
+
+    return mu_parameters_table(spark, _cascade_mini_model())

@@ -154,16 +154,69 @@ def lsh_bucket_topk(
     )
 
 
+def _pair_cosine_udf():
+    """Arrow-vectorized cosine over (vec_l, vec_r) pair columns — one numpy
+    batch matmul-diagonal per Arrow batch instead of an interpreted
+    zip_with/aggregate tree per pair (~36µs/pair → sub-µs). NULL in → NULL
+    out; zero-norm → 0.0, matching ``cosine_similarity``."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos(l: pd.Series, r: pd.Series) -> pd.Series:
+        if not len(l):
+            return pd.Series([], dtype="float64")
+        mask = l.notna() & r.notna()
+        out = np.full(len(l), np.nan)
+        if mask.any():
+            L = np.stack(l[mask].to_numpy())
+            R = np.stack(r[mask].to_numpy())
+            num = np.einsum("ij,ij->i", L, R)
+            dn = np.sqrt(np.einsum("ij,ij->i", L, L)) * np.sqrt(
+                np.einsum("ij,ij->i", R, R)
+            )
+            out[mask.to_numpy()] = np.where(dn == 0, 0.0, num / np.where(dn == 0, 1.0, dn))
+        s = pd.Series(out)
+        if not mask.all():
+            # NULL (not NaN) for null inputs — Spark orders NaN above all
+            # numbers, so a NaN cosine would pass a >= threshold filter
+            s = s.astype(object).where(mask.reset_index(drop=True), None)
+        return s
+
+    return cos.asNondeterministic()
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     block_col: str | None = None,
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_clusters: int = 64,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (≥ threshold), optionally
-    blocked on a partition column (e.g. an IVF/cluster label) to avoid the
-    full cross product."""
+    """Embedding-cosine near-duplicate pairs (≥ threshold), blocked on a
+    partition column (e.g. a label or an IVF cluster) so pair volume is
+    Σ|block|², never |corpus|².
+
+    With no ``block_col``, blocks are auto-derived by IVF coarse
+    quantization (``ivf_train_centroids`` + ``ivf_assign``): pairs split
+    across cluster boundaries are missed — the standard single-probe
+    recall trade; raise ``n_clusters`` for smaller blocks, lower it for
+    higher recall. The full cross product is never the silent default —
+    ``allow_cross_join=True`` is an explicit opt-in for small corpora.
+
+    Pair scoring is the Arrow/numpy kernel (`_pair_cosine_udf`), one
+    vectorized batch per Arrow batch.
+    """
+    if block_col is None and not allow_cross_join:
+        n = corpus.count()
+        k = max(2, min(n_clusters, n // 2))
+        centroids = ivf_train_centroids(
+            corpus, n_centroids=k, iters=4, id_col=id_col, vec_col=vec_col
+        )
+        corpus = ivf_assign(corpus, centroids, vec_col=vec_col, cluster_col="__ivf_blk")
+        block_col = "__ivf_blk"
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -176,11 +229,10 @@ def embedding_near_dup_pairs(
         F.col("id").alias("id_r"), F.col("vec").alias("vec_r"), *( ["blk"] if block_col else [] )
     )
     pairs = l.join(r, on="blk") if block_col else l.crossJoin(r)
+    cos = _pair_cosine_udf()
     return (
         pairs.filter(F.col("id_l") < F.col("id_r"))
-        .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("vec_l"), F.col("vec_r")), 6)
-        )
+        .withColumn("cosine", F.round(cos(F.col("vec_l"), F.col("vec_r")), 6))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("id_l").alias(f"{id_col}_l"),

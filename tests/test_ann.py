@@ -53,10 +53,21 @@ def test_embedding_near_dup_pairs(vectors):
         embedding_near_dup_pairs,
     )
 
-    pairs = embedding_near_dup_pairs(vectors, block_col=None, threshold=0.99).collect()
+    # exact tier: explicit cross-join opt-in finds every planted pair
+    pairs = embedding_near_dup_pairs(
+        vectors, block_col=None, threshold=0.99, allow_cross_join=True
+    ).collect()
     found = {(r["vec_id_l"], r["vec_id_r"]) for r in pairs}
     for i in range(5):
         assert (i, 100 + i) in found
+    # scale tier: blockless default auto-derives IVF blocks — a subset of
+    # the exact pairs with high recall (coarse clusters co-locate near-dups)
+    auto = embedding_near_dup_pairs(
+        vectors, block_col=None, threshold=0.99, n_clusters=8
+    ).collect()
+    found_auto = {(r["vec_id_l"], r["vec_id_r"]) for r in auto}
+    assert found_auto <= found
+    assert sum((i, 100 + i) in found_auto for i in range(5)) >= 4
 
 
 def test_ivf_centroids_deterministic_and_assign_total(vectors):

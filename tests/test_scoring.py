@@ -77,6 +77,26 @@ def test_model_subset_and_roundtrip():
     assert len(d["comparisons"]) == 2
 
 
+def test_model_save_load_scores_identically(pairs, tmp_path):
+    """K10 full round-trip: save → load → score must produce bit-identical
+    match weights (the reference re-uses pickled trained settings per pass,
+    03_link_datasets.ipynb:1750-1774)."""
+    import json
+
+    model = make_model()
+    model.bayes_factor_cut_columns = 42.0
+    path = str(tmp_path / "model.json")
+    model.save(path)
+    loaded = LinkageModel.load(path)
+    # dict round-trip is exact
+    assert loaded.to_dict() == model.to_dict()
+    # json round-trip of the dict too (the driver may re-serialize)
+    assert LinkageModel.from_dict(json.loads(json.dumps(model.to_dict()))).to_dict() == model.to_dict()
+    a = score_pairs(pairs, model).select("match_weight", "match_probability").collect()
+    b = score_pairs(pairs, loaded).select("match_weight", "match_probability").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_bayes_factor_cut_columns():
     model = make_model()
     model.bayes_factor_cut_columns = 1000.0
