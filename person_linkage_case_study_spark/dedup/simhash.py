@@ -20,15 +20,37 @@ _BITS = 32
 _CHUNKS = 4
 
 
+def _md5_hash32(col) -> F.Column:
+    """Lower 32 bits of the little-endian md5 digest — bit-identical to
+    DuckDB's ``md5_number_lower(t) & 4294967295``, which makes an
+    md5-hashed simhash fully DuckDB-oracle-able (verified byte-order
+    reconstruction: digest bytes 11..8 as MSB..LSB)."""
+    m = F.md5(col)
+    le = F.concat(
+        F.substring(m, 23, 2), F.substring(m, 21, 2), F.substring(m, 19, 2), F.substring(m, 17, 2)
+    )
+    return F.conv(le, 16, 10).cast("long")
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash int) per document; empty docs hash to 0."""
+    """(id, simhash int) per document; empty docs hash to 0.
+
+    ``hash_fn``: "xxhash64" (fastest, JVM-native) or "md5" (portable —
+    reproducible in DuckDB/any engine with md5, used by the oracle-checked
+    catalog entry). Both are JVM built-ins; md5 costs ~2× per token."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    h = tok.select(id_col, F.xxhash64(F.col("token")).alias("h"))
+    if hash_fn == "md5":
+        h = tok.select(id_col, _md5_hash32(F.col("token")).alias("h"))
+    else:
+        h = tok.select(id_col, F.xxhash64(F.col("token")).alias("h"))
     sums = h.groupBy(id_col).agg(
         *[
             F.sum(

@@ -171,14 +171,14 @@ class PersonLinkageCascade:
             "match_probability double, module_name string, pass_name string",
         )
 
-    def run_matching_pass(self, pass_cfg: PassConfig) -> None:
-        assert self._module is not None, "start_module first"
+    def _pass_sides(
+        self, pass_cfg: PassConfig
+    ) -> tuple[DataFrame, DataFrame, list[str]]:
         cfg = self._module
         block_on = cfg.cut_columns + pass_cfg.blocking_columns
         columns_needed = list(
             dict.fromkeys(["record_id"] + block_on + cfg.matching_columns)
         )
-
         census_side = self._census_to_match
         if pass_cfg.input_data_transformation is not None:
             census_side = pass_cfg.input_data_transformation(census_side)
@@ -189,12 +189,16 @@ class PersonLinkageCascade:
         ref_side = self._reference_file.select(
             *[c for c in columns_needed if c in self._reference_file.columns]
         )
+        return census_side, ref_side, block_on
 
-        n_pairs = (
-            estimate_pair_count(census_side, ref_side, block_on)
-            if self.collect_stats
-            else -1
-        )
+    def build_pass_links(self, pass_cfg: PassConfig) -> DataFrame:
+        """The (lazy) new-links pipeline for a pass: block-join → gamma →
+        score → threshold → select. Exposed so plan pins can audit a pass
+        without executing it — e.g. a bucketed reference file must show no
+        shuffle exchange on its side of the block join."""
+        assert self._module is not None, "start_module first"
+        cfg = self._module
+        census_side, ref_side, block_on = self._pass_sides(pass_cfg)
 
         # pass-specific model: comparisons restricted to matching columns,
         # prior scaled by the cut-column Bayes factor (reference 03:1977-2001)
@@ -220,17 +224,26 @@ class PersonLinkageCascade:
             threshold_match_probability=pass_cfg.probability_threshold,
             jw_strategy=self.jw_strategy,
         )
-        new_links = self._truncate(
-            scored.select(
-                F.col("record_id_l").alias("record_id_census_2030"),
-                F.col("record_id_r").alias("record_id_reference_file"),
-                F.col("record_id_raw_input_file_l").alias("record_id_raw_input_file"),
-                "match_weight",
-                "match_probability",
-                F.lit(cfg.name).alias("module_name"),
-                F.lit(pass_cfg.name).alias("pass_name"),
-            )
+        return scored.select(
+            F.col("record_id_l").alias("record_id_census_2030"),
+            F.col("record_id_r").alias("record_id_reference_file"),
+            F.col("record_id_raw_input_file_l").alias("record_id_raw_input_file"),
+            "match_weight",
+            "match_probability",
+            F.lit(cfg.name).alias("module_name"),
+            F.lit(pass_cfg.name).alias("pass_name"),
         )
+
+    def run_matching_pass(self, pass_cfg: PassConfig) -> None:
+        assert self._module is not None, "start_module first"
+        cfg = self._module
+        if self.collect_stats:
+            census_side, ref_side, block_on = self._pass_sides(pass_cfg)
+            n_pairs = estimate_pair_count(census_side, ref_side, block_on)
+        else:
+            n_pairs = -1
+
+        new_links = self._truncate(self.build_pass_links(pass_cfg))
         # with the eager checkpoint above the count is free, but under a
         # non-eager checkpoint mode it would be a whole extra job — only
         # pay it when stats were asked for

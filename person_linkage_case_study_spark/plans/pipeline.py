@@ -75,6 +75,32 @@ def run_full_pvs_cascade(
     return cascade.confirmed_piks, census_piked, cascade
 
 
+def bucket_reference_file(
+    spark: SparkSession,
+    reference_file: DataFrame,
+    table: str,
+    blocking_cols: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """Pay the reference-file shuffle ONCE at write; every cascade pass
+    that blocks on ``blocking_cols`` then reads it pre-partitioned — no
+    Exchange on the reference side of the block join (the scale fix for
+    geobase at 100 TB: geosearch's geokey passes re-join the same ~file
+    repeatedly; reference 03_link_datasets.ipynb re-reads it per pass).
+
+    Returns the bucketed read-back DataFrame — drop it straight into
+    ``PersonLinkageCascade``'s ``reference_files`` dict. Plan-pinned by
+    tests/test_cascade_bucketed.py through ``build_pass_links``.
+    """
+    from ..sources.io import read_bucketed, write_bucketed
+
+    write_bucketed(
+        reference_file, table, blocking_cols, num_buckets=num_buckets, path=path
+    )
+    return read_bucketed(spark, table)
+
+
 def add_pseudo_household_id_reference(hhcomp: DataFrame) -> DataFrame:
     """The HHComp reference file already carries pseudo_household_id from
     construction; this is a no-op hook kept for symmetry/clarity."""

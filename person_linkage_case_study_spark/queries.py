@@ -989,9 +989,10 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
 
 
-# MinHash LSH + SimHash: permutation/hash constants are engine-side, no SQL
-# equivalent — rows-only checks; correctness is covered by tests
-# (LSH candidates ⊇ high-jaccard pairs; signature determinism).
+# MinHash LSH: permutation constants are engine-side, no SQL equivalent —
+# rows-only check; correctness is covered by tests (LSH candidates ⊇
+# high-jaccard pairs; signature determinism) and by the oracle-checked
+# dedup_near_exact_pipeline composition below.
 @query("minhash_near_dups")
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
@@ -1001,12 +1002,45 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(sigs, est_jaccard_threshold=0.3)
 
 
-@query("simhash_near_dups")
+def _simhash_sql() -> str:
+    """DuckDB replica of dedup.simhash with the portable md5 token hash:
+    md5_number_lower(t) & 0xFFFFFFFF == Spark's LE reconstruction of
+    digest bytes 11..8 (dedup/simhash.py:_md5_hash32; bit-for-bit
+    verified). Full algorithm in SQL — 32 conditional sums, sign bits,
+    quadratic bit_count(xor) join (fine at sf0.01's 500 docs)."""
+    sums = ",\n      ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS token FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(md5_number_lower(token) & 4294967295 AS BIGINT) AS h
+      FROM tok
+    ),
+    sums AS (
+      SELECT doc_id,
+      {sums}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM sums)
+    SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("simhash_near_dups", oracle=_simhash_sql())
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.simhash import simhash, simhash_candidate_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_candidate_pairs(simhash(d), max_hamming=3)
+    return simhash_candidate_pairs(simhash(d, hash_fn="md5"), max_hamming=3)
 
 
 # The scale-path dedup composition: MinHash LSH generates candidates

@@ -1,0 +1,128 @@
+"""Bucketed geobase through the cascade (SCALING.md scale path).
+
+``bucket_reference_file`` pays the geobase shuffle once at write; a
+cascade pass blocking on the bucket columns must then show NO shuffle
+exchange on the reference side of its block join — pinned here through
+``PersonLinkageCascade.build_pass_links`` (the lazy pass pipeline), not a
+standalone join, so the whole gamma/score stack sits on top of the
+bucketed scan exactly as it would in production.
+"""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.plans.cascade import ModuleConfig, PassConfig, PersonLinkageCascade
+from person_linkage_case_study_spark.plans.pipeline import bucket_reference_file
+from person_linkage_case_study_spark.plans.preprocess import (
+    preprocess_census,
+    preprocess_reference_file,
+)
+from tests.test_cascade import make_model
+
+
+@pytest.fixture(scope="module")
+def prepped(spark):
+    n = 400
+    base = spark.range(n)
+    census = base.select(
+        F.concat(F.lit("c"), F.col("id")).alias("record_id"),
+        F.lit("Alice").alias("first_name"),
+        F.lit("M").alias("middle_initial"),
+        F.concat(F.lit("Smith"), (F.col("id") % 97).cast("string")).alias("last_name"),
+        F.lit("01/15/1980").alias("date_of_birth"),
+        ((F.col("id") % 200) + 1).cast("string").alias("street_number"),
+        F.lit("Main Street").alias("street_name"),
+        F.lit(None).cast("string").alias("unit_number"),
+        F.lit("Springfield").alias("city"),
+        F.lit("MA").alias("state"),
+        F.concat(F.lit("011"), F.lpad((F.col("id") % 80).cast("string"), 2, "0")).alias(
+            "zipcode"
+        ),
+        F.lit("Household").alias("housing_type"),
+    )
+    geobase = base.select(
+        F.concat(F.lit("g"), F.col("id")).alias("record_id"),
+        F.concat(F.lit("P"), F.col("id")).alias("pik"),
+        F.lpad(F.col("id").cast("string"), 9, "0").alias("ssn"),
+        F.lit("Alice").alias("first_name"),
+        F.lit("Marie").alias("middle_name"),
+        F.concat(F.lit("Smith"), (F.col("id") % 97).cast("string")).alias("last_name"),
+        F.lit("19800115").alias("date_of_birth"),
+        ((F.col("id") % 200) + 1).cast("string").alias("mailing_address_street_number"),
+        F.lit("Main St").alias("mailing_address_street_name"),
+        F.lit(None).cast("string").alias("mailing_address_unit_number"),
+        F.lit("Springfield").alias("mailing_address_city"),
+        F.lit("MA").alias("mailing_address_state"),
+        F.concat(F.lit("011"), F.lpad((F.col("id") % 80).cast("string"), 2, "0")).alias(
+            "mailing_address_zipcode"
+        ),
+    )
+    fake_names = spark.createDataFrame([("ANONYMOUS",)], ["fake_name"])
+    return (
+        preprocess_census(census, fake_names).localCheckpoint(),
+        preprocess_reference_file(geobase).localCheckpoint(),
+    )
+
+
+def _geokey_module() -> tuple[ModuleConfig, PassConfig]:
+    p = PassConfig("geokey", ["geokey_for_blocking"], 0.9)
+    mod = ModuleConfig(
+        name="geosearch",
+        reference_file_name="geobase_reference_file",
+        cut_columns=["zip3"],
+        matching_columns=[
+            "first_name_15", "last_name_12", "middle_initial",
+            "day_of_birth", "month_of_birth", "year_of_birth", "geokey",
+        ],
+        passes=[p],
+    )
+    return mod, p
+
+
+def _pass_plan(spark, census_pre, geobase_pre) -> tuple[str, int]:
+    mod, p = _geokey_module()
+    cascade = PersonLinkageCascade(
+        spark,
+        census_pre,
+        {"geobase_reference_file": geobase_pre},
+        make_model(),
+        collect_stats=False,
+    )
+    cascade.start_module(mod)
+    links = cascade.build_pass_links(p)
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    return plan, links.count()
+
+
+def test_bucketed_pass_skips_reference_exchange(spark, prepped, tmp_path_factory):
+    census_pre, geobase_pre = prepped
+    tbl = f"geobase_bk_{uuid.uuid4().hex[:8]}"
+    bucketed = bucket_reference_file(
+        spark,
+        geobase_pre,
+        tbl,
+        ["zip3", "geokey_for_blocking"],
+        num_buckets=8,
+        path=str(tmp_path_factory.mktemp("bk") / "geobase"),
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain_plan, plain_rows = _pass_plan(spark, census_pre, geobase_pre)
+        bk_plan, bk_rows = _pass_plan(spark, census_pre, bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # same links either way — bucketing is a physical choice, not semantics
+    assert bk_rows == plain_rows and bk_rows > 0
+
+    # the bucketed scan feeds the block join pre-partitioned: exactly one
+    # exchange disappears (the reference side's)
+    assert "Bucketed: true" in bk_plan, bk_plan
+    n_plain = plain_plan.count("Exchange hashpartitioning")
+    n_bk = bk_plan.count("Exchange hashpartitioning")
+    assert n_bk == n_plain - 1, f"plain={n_plain} bucketed={n_bk}\n{bk_plan}"

@@ -71,6 +71,31 @@ def test_simhash_near_dups(docs):
     assert ham[(1, 2)] == 0
 
 
+def test_simhash_md5_mode(docs, spark):
+    # portable-hash mode: identical docs still collide at hamming 0
+    sigs = simhash(docs, hash_fn="md5")
+    s = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert s[1] == s[2]
+    # the Spark-side 32-bit LE md5 reconstruction matches hashlib (and
+    # therefore DuckDB's md5_number_lower & 0xFFFFFFFF — the oracle contract)
+    import hashlib
+
+    from person_linkage_case_study_spark.dedup.simhash import _md5_hash32
+
+    from pyspark.sql import functions as F
+
+    words = ["hello", "tok", "Ünïcode", "123"]
+    got = {
+        r["w"]: r["h"]
+        for r in spark.createDataFrame([(w,) for w in words], ["w"])
+        .select("w", _md5_hash32(F.col("w")).alias("h"))
+        .collect()
+    }
+    for w in words:
+        m = hashlib.md5(w.encode()).hexdigest()
+        assert got[w] == int(m[22:24] + m[20:22] + m[18:20] + m[16:18], 16), w
+
+
 def test_ngram_jaccard(docs):
     pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5).collect()
     found = {(r["doc_id_l"], r["doc_id_r"]): r["jaccard"] for r in pairs}

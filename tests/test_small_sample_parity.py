@@ -1,0 +1,190 @@
+"""System-level parity with the reference's small_sample case study.
+
+The reference's own end-to-end oracle (SURVEY.md §5.2): run notebook-02's
+reference-file construction, notebook-03's full trained cascade, and
+notebook-04's ground-truth scoring over a small_sample-shaped world, and
+compare the system-level metrics to the published run
+(diagnostics/executed_notebooks/small_sample/):
+
+- 89.38% of input records PIKed          (03 cell 150)
+- 99.60% of assigned PIKs correct        (04 cell 49; real PVS: 99.82%)
+- 0.45% of records impossible to PIK     (04 cell 20)
+- pass 1 (geokey) finds the bulk of the matches — 6,950 links; later
+  passes mop up: 46/756/2/3596, then namesearch 281/106/13/63,
+  dobsearch 5/68/43/129, hhcompsearch 80/13   (03 cells 86-143)
+- confirm drops deceased links (115) and multi-PIK conflicts (4)
+
+pseudopeople is unavailable here, so the input world is synthesized to the
+same structure (plans/small_sample.py) and the assertions are bands around
+the reference's metrics, not exact integers.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.operators.estimation import (
+    estimate_m_two_sessions,
+    estimate_u,
+)
+from person_linkage_case_study_spark.operators.gamma import (
+    banded_comparison,
+    exact_comparison,
+    jw_comparison,
+)
+from person_linkage_case_study_spark.operators.scoring import LinkageModel
+from person_linkage_case_study_spark.plans.accuracy import (
+    accuracy_report,
+    pik_simulant_pairs,
+)
+from person_linkage_case_study_spark.plans.pipeline import run_full_pvs_cascade
+from person_linkage_case_study_spark.plans.preprocess import (
+    preprocess_census,
+    preprocess_reference_file,
+)
+from person_linkage_case_study_spark.plans.reference_files import (
+    build_geobase_reference_file,
+    build_name_dob_reference_file,
+    dedupe_alternates,
+    ground_truth_sidecar,
+    mint_pik_crosswalk,
+)
+from person_linkage_case_study_spark.plans.small_sample import synthesize_small_sample
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    data = synthesize_small_sample(spark, n_simulants=12_000)
+    ssa = data["ssa_numident"]
+
+    # notebook-02: reference files from the administrative transactions
+    alt_names = dedupe_alternates(
+        ssa, ["ssn", "first_name", "middle_name", "last_name"]
+    )
+    alt_dobs = dedupe_alternates(ssa, ["ssn", "date_of_birth"])
+    crosswalk = mint_pik_crosswalk(ssa.select("ssn"))
+    name_dob = build_name_dob_reference_file(alt_names, alt_dobs, crosswalk)
+    geobase = build_geobase_reference_file(name_dob, data["tax_addresses"])
+    dates_of_death = (
+        ssa.filter(F.col("date_of_death").isNotNull())
+        .select("ssn", F.to_date("date_of_death").alias("date_of_death"))
+        .distinct()
+        .join(crosswalk, on="ssn")
+        .select("pik", "date_of_death")
+    )
+
+    # notebook-03 front half: preprocessing
+    census_pre = preprocess_census(
+        data["census_raw"], data["fake_names"], dob_format="MM/dd/yyyy"
+    ).localCheckpoint()
+    geobase_pre = preprocess_reference_file(
+        geobase, has_address=True, dob_format="yyyyMMdd"
+    ).localCheckpoint()
+    name_dob_pre = preprocess_reference_file(
+        name_dob, has_address=False, dob_format="yyyyMMdd"
+    ).localCheckpoint()
+
+    # notebook-03 training: u by random sampling, m by two EM sessions
+    # (block-on-name and block-on-DOB), λ by the closed-form calculator
+    comps = [
+        jw_comparison("first_name_15"),
+        jw_comparison("last_name_12"),
+        exact_comparison("middle_initial"),
+        banded_comparison("day_of_birth", band=5),
+        banded_comparison("month_of_birth", band=3),
+        banded_comparison("year_of_birth", band=5),
+        exact_comparison("geokey"),
+    ]
+    estimate_u(census_pre, geobase_pre, comps, max_pairs=1e6, seed=1234)
+    model = LinkageModel(comps)
+    estimate_m_two_sessions(
+        census_pre,
+        geobase_pre,
+        [
+            ["first_name_15", "last_name_12"],
+            ["day_of_birth", "month_of_birth", "year_of_birth"],
+        ],
+        model,
+    )
+
+    confirmed, census_piked, cascade = run_full_pvs_cascade(
+        spark,
+        census_pre,
+        geobase_pre,
+        name_dob_pre,
+        model,
+        dates_of_death=dates_of_death,
+        census_raw=data["census_raw"].select("record_id"),
+    )
+    confirmed = confirmed.localCheckpoint()
+
+    # notebook-04: ground-truth scoring at the PIK level
+    ref_gt = ground_truth_sidecar(name_dob, data["source_truth"])
+    pik_simulants = pik_simulant_pairs(ref_gt, name_dob.select("record_id", "pik"))
+    report = accuracy_report(census_piked, data["census_ground_truth"], pik_simulants)
+    return {
+        "report": report,
+        "confirmed": confirmed,
+        "cascade": cascade,
+        "dates_of_death": dates_of_death,
+        "census_raw_count": data["census_raw"].count(),
+    }
+
+
+def test_shape_matches_small_sample(pipeline_result):
+    # reference: 11,043 census input records
+    n = pipeline_result["census_raw_count"]
+    assert 11_000 <= n <= 12_300
+
+
+def test_pik_coverage_band(pipeline_result):
+    # reference small_sample: 89.38% PIKed (03 cell 150; 2010 CUF: 90.28%)
+    r = pipeline_result["report"]
+    assert 0.84 <= r.piked_proportion <= 0.95, r.as_dict()
+
+
+def test_accuracy_bands(pipeline_result):
+    # reference: 99.60% of assigned PIKs correct under definition 3
+    r = pipeline_result["report"]
+    assert r.accuracy_def3 >= 0.99, r.as_dict()
+    assert r.accuracy_def1 >= 0.97, r.as_dict()
+    # nearly everyone is possible to PIK (reference: 99.55%)
+    assert r.possible_to_pik_proportion >= 0.90, r.as_dict()
+
+
+def test_pass_profile_first_pass_dominates(pipeline_result):
+    # reference: geokey pass finds 6,950 of ~12,151 total links (57%)
+    stats = pipeline_result["cascade"].stats
+    assert stats[0].module == "geosearch" and stats[0].pass_name == "geokey"
+    total = sum(s.n_links for s in stats)
+    assert total > 0
+    assert stats[0].n_links / total >= 0.45, [(s.pass_name, s.n_links) for s in stats]
+
+
+def test_every_module_contributes(pipeline_result):
+    # reference: all four modules confirm links (03 cells 86-143)
+    mods = {
+        r["module_name"]
+        for r in pipeline_result["confirmed"].select("module_name").distinct().collect()
+    }
+    assert mods == {"geosearch", "namesearch", "dobsearch", "hhcompsearch"}, mods
+
+
+def test_deceased_never_confirmed(pipeline_result):
+    # reference: 115 deceased links dropped at confirm (03 cell 97)
+    dead = (
+        pipeline_result["confirmed"]
+        .join(pipeline_result["dates_of_death"], on="pik")
+        .count()
+    )
+    assert dead == 0
+
+
+def test_at_most_one_pik_per_raw_record(pipeline_result):
+    over = (
+        pipeline_result["confirmed"]
+        .groupBy("record_id_raw_input_file")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert over == 0
