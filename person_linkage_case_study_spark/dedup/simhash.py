@@ -20,16 +20,9 @@ _BITS = 32
 _CHUNKS = 4
 
 
-def _md5_hash32(col) -> F.Column:
-    """Lower 32 bits of the little-endian md5 digest — bit-identical to
-    DuckDB's ``md5_number_lower(t) & 4294967295``, which makes an
-    md5-hashed simhash fully DuckDB-oracle-able (verified byte-order
-    reconstruction: digest bytes 11..8 as MSB..LSB)."""
-    m = F.md5(col)
-    le = F.concat(
-        F.substring(m, 23, 2), F.substring(m, 21, 2), F.substring(m, 19, 2), F.substring(m, 17, 2)
-    )
-    return F.conv(le, 16, 10).cast("long")
+# portable 32-bit md5 hash (== DuckDB md5_number_lower & 0xFFFFFFFF);
+# shared with deterministic sampling — see functions/hashing.py
+from ..functions.hashing import md5_hash32 as _md5_hash32  # noqa: E402
 
 
 def simhash(

@@ -32,6 +32,8 @@ def estimate_u(
     comparisons: list[Comparison],
     max_pairs: float = 1e7,
     seed: int = 1234,
+    sample_keys: tuple[list[str], list[str]] | None = None,
+    sample_fractions: tuple[float, float] | None = None,
 ) -> list[Comparison]:
     """A10/K5: u_k[γ] = share of random cross pairs hitting gamma level γ.
 
@@ -39,13 +41,30 @@ def estimate_u(
     gamma-aggregates. Returns comparisons with ``u`` filled in (γ=-1
     excluded from the denominator, as in Splink). Zero counts get a tiny
     floor so downstream log2 stays finite.
+
+    ``sample_keys=( [left key cols], [right key cols] )`` switches from
+    Spark's partition-dependent ``sample()`` to the deterministic
+    content-hash sampler (operators/sampling.py): reproducible across
+    partitionings/retries/engines, which makes trained u parameters stable
+    run-to-run at scale — and DuckDB-oracle-able. ``sample_fractions``
+    fixes the per-side fractions explicitly (otherwise derived from
+    ``max_pairs`` and the side counts, which costs two count jobs).
     """
-    n_l, n_r = left.count(), right.count()
-    target = math.sqrt(max_pairs)
-    frac_l = min(1.0, target / max(n_l, 1))
-    frac_r = min(1.0, target / max(n_r, 1))
-    sl = left.sample(fraction=frac_l, seed=seed)
-    sr = right.sample(fraction=frac_r, seed=seed + 1)
+    if sample_fractions is not None:
+        frac_l, frac_r = sample_fractions
+    else:
+        n_l, n_r = left.count(), right.count()
+        target = math.sqrt(max_pairs)
+        frac_l = min(1.0, target / max(n_l, 1))
+        frac_r = min(1.0, target / max(n_r, 1))
+    if sample_keys is not None:
+        from .sampling import hash_sample
+
+        sl = hash_sample(left, sample_keys[0], frac_l, seed)
+        sr = hash_sample(right, sample_keys[1], frac_r, seed + 1)
+    else:
+        sl = left.sample(fraction=frac_l, seed=seed)
+        sr = right.sample(fraction=frac_r, seed=seed + 1)
 
     cols = [c.col for c in comparisons]
     pairs = sl.select(*[F.col(c).alias(c + "_l") for c in cols]).crossJoin(

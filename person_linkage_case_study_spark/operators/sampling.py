@@ -1,0 +1,147 @@
+"""Deterministic (hash-based) seeded sampling — P11 done the scale-correct
+way.
+
+``DataFrame.sample(fraction, seed)`` is partition-DEPENDENT: the sampler
+runs per partition off a seed derived from the partition index, so the
+selected rows change whenever the input's layout changes (repartition,
+AQE coalescing, file split sizing, a retry after executor loss). At 100 TB
+that means a "seeded" sample is not reproducible run-to-run, and a
+recomputed lost partition can silently disagree with its first
+materialization mid-job.
+
+``hash_sample`` keys the decision on row CONTENT instead: keep the row iff
+``md5(seed ⊕ key) / 2³² < fraction``. Properties:
+
+- deterministic across partitionings, retries, engines — the same
+  (seed, key) always makes the same decision (reference seeded-sampling
+  surface: ``02_generate_case_study_files.ipynb`` seeded noise draws,
+  ``03_link_datasets.ipynb:1427`` estimate_u's seeded pair sampling);
+- embarrassingly parallel: a scan-time filter, no shuffle, pushdown-safe;
+- portable: DuckDB replicates it exactly (functions/hashing.py), so the
+  catalog entry is value-hash oracle-checked, not rows-only;
+- coordinated sampling for free: the same seed over two tables samples
+  matching keys together (the trick behind sampled joins).
+
+The md5 of a short key costs ~100ns/row JVM-side — noise next to the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD32, md5_hash32, md5_hash32_sql
+
+#: field separator inside the hash key — keeps ("ab","c") ≠ ("a","bc")
+_SEP = "\x1f"
+
+
+def _key(seed: int, key_cols: Sequence[str]) -> Column:
+    return F.concat_ws(_SEP, F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols])
+
+
+def hash_sample(
+    df: DataFrame, key_cols: Sequence[str], fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by content hash of ``key_cols``.
+
+    ``key_cols`` should identify a row (a primary key) — duplicate keys are
+    kept or dropped together, which is exactly what coordinated /
+    entity-consistent sampling wants.
+    """
+    threshold = int(fraction * MOD32)
+    return df.filter(md5_hash32(_key(seed, key_cols)) < F.lit(threshold))
+
+
+def hash_sample_sql(key_cols: Sequence[str], fraction: float, seed: int = 0) -> str:
+    """DuckDB WHERE-clause predicate replicating ``hash_sample`` exactly."""
+    threshold = int(fraction * MOD32)
+    return f"{_key_sql(seed, key_cols)} < {threshold}"
+
+
+def _key_sql(seed: int, key_cols: Sequence[str]) -> str:
+    cast_cols = ", ".join(f"CAST({c} AS VARCHAR)" for c in key_cols)
+    return md5_hash32_sql(f"concat_ws(chr(31), '{seed}', {cast_cols})")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-data rebalancing
+    primitive (e.g. keep 100% of low-resource languages, 5% of English).
+
+    A stratum absent from ``fractions`` is dropped (fraction 0). Same
+    content-hash decision rule as ``hash_sample``, so the draw stays
+    partition-independent and engine-portable; the per-stratum threshold
+    rides in a broadcast literal map — no join, no shuffle, scan-time
+    filter.
+    """
+    thr = F.lit(None).cast("long")
+    for stratum, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == stratum, F.lit(int(frac * MOD32))).otherwise(thr)
+    return df.filter(md5_hash32(_key(seed, key_cols)) < thr)
+
+
+def stratified_hash_sample_sql(
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 0,
+) -> str:
+    """DuckDB predicate replicating ``stratified_hash_sample``."""
+    arms = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(f * MOD32)}" for s, f in fractions.items()
+    )
+    return f"{_key_sql(seed, key_cols)} < (CASE {arms} ELSE NULL END)"
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket the content hash
+    into cumulative weight ranges. Every engine/run/partitioning assigns
+    the same row to the same split — the property random splits lose the
+    moment data is re-read, and the reason leakage-free splits at 100 TB
+    are hash-based. Weights must sum to ~1 (the last split absorbs the
+    remainder of the hash range).
+    """
+    h = md5_hash32(_key(seed, key_cols))
+    names = list(weights)
+    edges = _cum_edges(weights)
+    expr = None
+    for name, hi in zip(names, edges + [MOD32]):
+        cond = h < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql(
+    key_cols: Sequence[str], weights: dict[str, float], seed: int = 0
+) -> str:
+    """DuckDB CASE expression replicating ``hash_split``'s split column."""
+    names = list(weights)
+    edges = _cum_edges(weights)
+    h = _key_sql(seed, key_cols)
+    arms = " ".join(
+        f"WHEN {h} < {hi} THEN '{name}'" for name, hi in zip(names, edges + [MOD32])
+    )
+    return f"CASE {arms} END"
+
+
+def _cum_edges(weights: dict[str, float]) -> list[int]:
+    """Cumulative hash-range upper edges for all but the last split."""
+    edges, acc = [], 0.0
+    for w in list(weights.values())[:-1]:
+        acc += w
+        edges.append(int(acc * MOD32))
+    return edges

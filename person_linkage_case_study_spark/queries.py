@@ -1245,14 +1245,81 @@ def streaming_dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# P11 seeded sampling — seed semantics are engine-specific, rows-only.
+# P11 seeded sampling — content-hash based (operators/sampling.py), so the
+# sample is partition-independent, retry-stable, AND value-hash oracle-able
+# (Spark's sample(seed=) is partition-dependent: same seed, different rows
+# after any repartition — unusable as a reproducibility contract at scale).
 # ---------------------------------------------------------------------------
 
 
-@query("p11_seeded_sample")
+def _p11_oracle() -> str:
+    from .operators.sampling import hash_sample_sql
+
+    pred = hash_sample_sql(["o_orderkey"], fraction=0.1, seed=1234)
+    return f"SELECT o_orderkey, o_custkey FROM orders WHERE {pred}"
+
+
+@query("p11_seeded_sample", oracle=_p11_oracle())
 def p11_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_sample
+
     o = _t(spark, sf_dir, "orders")
-    return o.sample(fraction=0.1, seed=1234).select("o_orderkey", "o_custkey")
+    return hash_sample(o, ["o_orderkey"], fraction=0.1, seed=1234).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+# Training-data rebalancing: per-language quotas, content-hash decided —
+# upsample-by-keeping low-resource strata, downsample the dominant one.
+_STRATA_FRACTIONS = {"en": 0.2, "de": 1.0, "fr": 1.0}
+
+
+def _stratified_oracle() -> str:
+    from .operators.sampling import stratified_hash_sample_sql
+
+    pred = stratified_hash_sample_sql("lang", _STRATA_FRACTIONS, ["doc_id"], seed=7)
+    return f"""
+    SELECT lang, count(*) AS n_docs
+    FROM documents WHERE {pred}
+    GROUP BY lang
+    """
+
+
+@query("stratified_sample_documents", oracle=_stratified_oracle())
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(d, "lang", _STRATA_FRACTIONS, ["doc_id"], seed=7)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# Deterministic train/val/test split: the same document lands in the same
+# split under any partitioning, engine, or re-read — hash-range bucketing,
+# the leakage-safe way to split at scale.
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_oracle() -> str:
+    from .operators.sampling import hash_split_sql
+
+    case = hash_split_sql(["doc_id"], _SPLIT_WEIGHTS, seed=11)
+    return f"""
+    SELECT {case} AS split, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """
+
+
+@query("train_val_test_split", oracle=_split_oracle())
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, ["doc_id"], _SPLIT_WEIGHTS, seed=11)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1525,17 +1592,49 @@ def j5_accumulating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("nationkey", "n_customers", "n_suppliers", "nation")
 
 
-# A10 — u-estimation over a seeded random pair sample (sampling is
-# engine-side, rows-only): one row of u probabilities per gamma level.
-@query("a10_u_estimation")
+# A10 — u-estimation over a seeded pair sample. The deterministic
+# content-hash sampler (operators/sampling.py) makes the sampled cross
+# join — and therefore the trained u values — bit-reproducible in DuckDB:
+# same pairs, same counts, same IEEE double division. Fixed per-side
+# fractions so the oracle is scale-factor-independent.
+def _a10_oracle() -> str:
+    from .operators.sampling import hash_sample_sql
+
+    pred_l = hash_sample_sql(["c_custkey"], fraction=0.25, seed=1234)
+    pred_r = hash_sample_sql(["s_suppkey"], fraction=1.0, seed=1235)
+    return f"""
+    WITH sl AS (SELECT c_nationkey AS nk FROM customer WHERE {pred_l}),
+         sr AS (SELECT s_nationkey AS nk FROM supplier WHERE {pred_r}),
+         a AS (
+           SELECT
+             sum(CASE WHEN l.nk = r.nk THEN 1 ELSE 0 END) AS c_exact,
+             sum(CASE WHEN l.nk <> r.nk THEN 1 ELSE 0 END) AS c_else,
+             sum(CASE WHEN l.nk IS NOT NULL AND r.nk IS NOT NULL
+                 THEN 1 ELSE 0 END) AS valid
+           FROM sl l CROSS JOIN sr r
+         )
+    SELECT greatest(CAST(c_else AS DOUBLE) / valid, 1e-9) AS u_else,
+           greatest(CAST(c_exact AS DOUBLE) / valid, 1e-9) AS u_exact
+    FROM a
+    """
+
+
+@query("a10_u_estimation", oracle=_a10_oracle())
 def a10_u_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.estimation import estimate_u
     from .operators.gamma import exact_comparison
 
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", F.col("s_nationkey").alias("nk"))
     comp = exact_comparison("nk")
-    estimate_u(c, s, [comp], max_pairs=1e5, seed=1234)
+    estimate_u(
+        c,
+        s,
+        [comp],
+        seed=1234,
+        sample_keys=(["c_custkey"], ["s_suppkey"]),
+        sample_fractions=(0.25, 1.0),
+    )
     return spark.createDataFrame(
         [(float(comp.u[0]), float(comp.u[1]))], "u_else double, u_exact double"
     )

@@ -1,0 +1,89 @@
+"""Deterministic hash sampling (operators/sampling.py) — P11's scale-correct
+form: content-keyed, partition-independent, engine-portable."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+
+
+def test_fraction_lands_in_band(spark):
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    n = hash_sample(df, ["k"], fraction=0.1, seed=7).count()
+    assert 800 <= n <= 1200, n
+
+
+def test_partition_independent(spark):
+    # THE property Spark's sample(seed=) lacks: identical rows selected
+    # regardless of physical layout
+    df = spark.range(5_000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in hash_sample(df.repartition(3), ["k"], 0.2, seed=1).collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(17), ["k"], 0.2, seed=1).collect()}
+    c = {r["k"] for r in hash_sample(df.coalesce(1), ["k"], 0.2, seed=1).collect()}
+    assert a == b == c and len(a) > 0
+
+
+def test_seed_changes_sample(spark):
+    df = spark.range(5_000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in hash_sample(df, ["k"], 0.2, seed=1).collect()}
+    b = {r["k"] for r in hash_sample(df, ["k"], 0.2, seed=2).collect()}
+    assert a != b
+    # similar size, mostly disjoint membership (independent draws)
+    assert len(a & b) < len(a) * 0.5
+
+
+def test_coordinated_by_key(spark):
+    # duplicate keys are kept or dropped together — entity-consistent
+    df = spark.range(2_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    kept = hash_sample(df, ["k"], 0.3, seed=3).groupBy("k").count().collect()
+    assert len(kept) > 0
+    assert all(r["count"] == 4 for r in kept)
+
+
+def test_stratified_quotas(spark):
+    df = spark.range(6_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de").otherwise("zh").alias("lang"),
+    )
+    kept = stratified_hash_sample(df, "lang", {"en": 0.1, "de": 1.0}, ["k"], seed=5)
+    counts = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert counts["de"] == 2000            # fraction 1.0 keeps everything
+    assert 120 <= counts["en"] <= 280      # ~10% of 2000
+    assert "zh" not in counts              # absent stratum dropped
+
+
+def test_split_deterministic_and_partitioned(spark):
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df.repartition(4), ["k"], w, seed=9)
+    b = hash_split(df.repartition(13), ["k"], w, seed=9)
+    ma = {r["k"]: r["split"] for r in a.collect()}
+    mb = {r["k"]: r["split"] for r in b.collect()}
+    assert ma == mb                        # partition-independent assignment
+    from collections import Counter
+
+    c = Counter(ma.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 7_600 <= c["train"] <= 8_400
+    assert sum(c.values()) == 10_000       # total order partition: every row in exactly one split
+
+
+def test_matches_reference_hash(spark):
+    # the decision rule is md5-based and reproducible outside Spark: keep
+    # iff LE-int32(md5("{seed}\x1f{key}")) < fraction * 2^32
+    df = spark.range(200).select(F.col("id").alias("k"))
+    got = {r["k"] for r in hash_sample(df, ["k"], 0.25, seed=42).collect()}
+    expect = set()
+    for k in range(200):
+        m = hashlib.md5(f"42\x1f{k}".encode()).hexdigest()
+        h = int(m[22:24] + m[20:22] + m[18:20] + m[16:18], 16)
+        if h < int(0.25 * (1 << 32)):
+            expect.add(k)
+    assert got == expect
