@@ -145,3 +145,63 @@ def _cum_edges(weights: dict[str, float]) -> list[int]:
         acc += w
         edges.append(int(acc * MOD32))
     return edges
+
+
+def hash_shuffle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seed: int = 0,
+    pos_col: str = "shuffle_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — assign every row its position in the
+    order sorted by ``md5(seed ⊕ key)`` (ties broken by the key itself, so
+    the order is total and reproducible). This is the pre-training
+    "shuffle the corpus" step done the 100 TB way:
+
+    - ``repartitionByRange`` on the hash spreads the sort across the
+      cluster (one range exchange; NO single-reducer global window);
+    - positions are minted as per-partition ranks plus broadcast
+      cumulative offsets (the zipWithIndex recipe in DataFrame terms —
+      the offsets table has one row per partition);
+    - the offset computation re-reads the sorted shuffle output (classic
+      two-job zipWithIndex cost; the exchange itself is reused from
+      shuffle files, not recomputed). At extreme scale the same shape
+      drops to ``mapPartitions`` with a running counter — same plan, one
+      fewer pass.
+
+    Reading the result ordered by ``pos_col`` yields the same training
+    order on any cluster, any partitioning, any engine (DuckDB replica:
+    ``row_number() OVER (ORDER BY hash, key) - 1``).
+    """
+    from pyspark.sql import Window
+
+    h = md5_hash32(_key(seed, key_cols))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order_cols = ["__h", *key_cols]
+    ordered = (
+        df.withColumn("__h", h)
+        .repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = ordered.withColumn("__rn", F.row_number().over(w))
+    counts = ranked.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )  # one row per partition — bounded driver-side window
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        ranked.join(F.broadcast(offsets), on="__pid")
+        .withColumn(pos_col, (F.col("__off") + F.col("__rn") - 1).cast("long"))
+        .drop("__h", "__pid", "__rn", "__off")
+    )
+
+
+def hash_shuffle_sql(key_cols: Sequence[str], seed: int = 0) -> str:
+    """DuckDB expression for ``hash_shuffle``'s position column."""
+    tiebreak = ", ".join(key_cols)
+    return f"row_number() OVER (ORDER BY {_key_sql(seed, key_cols)}, {tiebreak}) - 1"

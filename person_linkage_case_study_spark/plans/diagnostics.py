@@ -94,3 +94,102 @@ def gamma_pattern_summary(
         )
         .orderBy(F.desc("n_pairs"), *gcols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Chart emission — the reference publishes Splink's diagnostics as HTML
+# reports (45 files under diagnostics/splink_reports/). Parity here is a
+# Vega-Lite spec per chart (the same grammar Splink renders with), built
+# from the tables above — plain dicts, no plotting dependency — plus a
+# standalone HTML report writer.
+# ---------------------------------------------------------------------------
+
+
+def _vl(title: str, values: list[dict], mark: str, encoding: dict) -> dict:
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": title,
+        "data": {"values": values},
+        "mark": mark,
+        "encoding": encoding,
+    }
+
+
+def mu_chart_spec(mu_table: DataFrame) -> dict:
+    """Splink's 'm and u probabilities' bar chart (per comparison level)."""
+    vals = [r.asDict() for r in mu_table.collect()]
+    long = [
+        {"comparison": v["comparison"], "gamma": v["gamma"], "kind": k, "p": v[k]}
+        for v in vals
+        for k in ("m", "u")
+    ]
+    return _vl(
+        "m and u probabilities",
+        long,
+        "bar",
+        {
+            "row": {"field": "comparison", "type": "nominal"},
+            "x": {"field": "p", "type": "quantitative", "axis": {"format": ".4f"}},
+            "y": {"field": "gamma", "type": "ordinal"},
+            "color": {"field": "kind", "type": "nominal"},
+            "xOffset": {"field": "kind"},
+        },
+    )
+
+
+def match_weights_chart_spec(weights_table: DataFrame) -> dict:
+    """Splink's 'match weights' waterfall-style bar chart."""
+    vals = [r.asDict() for r in weights_table.collect()]
+    return _vl(
+        "match weights (log2 Bayes factors)",
+        vals,
+        "bar",
+        {
+            "row": {"field": "comparison", "type": "nominal"},
+            "x": {"field": "match_weight", "type": "quantitative"},
+            "y": {"field": "gamma", "type": "ordinal"},
+            "color": {
+                "condition": {"test": "datum.match_weight > 0", "value": "#2a7"},
+                "value": "#c33",
+            },
+        },
+    )
+
+
+def em_history_chart_spec(history_table: DataFrame) -> dict:
+    """EM convergence: m per (comparison, gamma) across iterations."""
+    vals = [r.asDict() for r in history_table.collect()]
+    return _vl(
+        "EM convergence (m by iteration)",
+        vals,
+        "line",
+        {
+            "x": {"field": "iteration", "type": "quantitative"},
+            "y": {"field": "m", "type": "quantitative"},
+            "color": {"field": "comparison", "type": "nominal"},
+            "detail": {"field": "gamma", "type": "ordinal"},
+        },
+    )
+
+
+def write_diagnostics_report(path: str, specs: dict[str, dict]) -> None:
+    """One standalone HTML file embedding every chart spec (vega-embed via
+    CDN; the spec JSON is inline, so the numbers are inspectable offline
+    even where the renderer can't load)."""
+    import json
+
+    blocks = []
+    for i, (name, spec) in enumerate(specs.items()):
+        blocks.append(
+            f'<h2>{name}</h2><div id="c{i}"></div>'
+            f"<script>vegaEmbed('#c{i}', {json.dumps(spec)});</script>"
+        )
+    html = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        '<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>'
+        '<script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>'
+        '<script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>'
+        "</head><body>" + "".join(blocks) + "</body></html>"
+    )
+    with open(path, "w") as f:
+        f.write(html)

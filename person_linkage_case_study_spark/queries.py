@@ -1322,6 +1322,25 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic global shuffle (pre-training corpus order): every row gets
+# its rank in md5-hash order — range-partitioned sort + broadcast partition
+# offsets, never a single-reducer window. The oracle proves the distributed
+# offset arithmetic equals a true global row_number.
+def _shuffle_oracle() -> str:
+    from .operators.sampling import hash_shuffle_sql
+
+    pos = hash_shuffle_sql(["doc_id"], seed=13)
+    return f"SELECT doc_id, {pos} AS shuffle_pos FROM documents"
+
+
+@query("shuffle_documents_for_training", oracle=_shuffle_oracle())
+def shuffle_documents_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_shuffle(d, ["doc_id"], seed=13).select("doc_id", "shuffle_pos")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: binary payload columns + byte-level metadata.
 # ---------------------------------------------------------------------------

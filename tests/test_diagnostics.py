@@ -142,3 +142,39 @@ def test_two_session_em_combining(spark):
     estimate_m_two_sessions(left, right, [["dob"], ["name"]], model)
     assert model.comparisons[0].m[1] == pytest.approx(0.85, abs=0.08)
     assert model.comparisons[1].m[1] == pytest.approx(0.70, abs=0.08)
+
+
+def test_chart_specs_and_report(spark, tmp_path):
+    from person_linkage_case_study_spark.plans.diagnostics import (
+        em_history_chart_spec,
+        match_weights_chart_spec,
+        mu_chart_spec,
+        write_diagnostics_report,
+    )
+
+    model = make_model()
+    mu = mu_chart_spec(mu_parameters_table(spark, model))
+    # long-form: one row per (comparison, gamma, m|u)
+    n_levels = sum(c.n_gamma_levels() for c in model.comparisons)
+    assert len(mu["data"]["values"]) == 2 * n_levels
+    assert mu["mark"] == "bar" and mu["encoding"]["x"]["field"] == "p"
+
+    mw = match_weights_chart_spec(match_weights_table(spark, model))
+    vals = mw["data"]["values"]
+    assert any(v["comparison"] == "__prior__" for v in vals)
+    # weights in the spec equal log2(m/u) from the model
+    name_top = next(v for v in vals if v["comparison"] == "name" and v["gamma"] == 2)
+    assert name_top["match_weight"] == pytest.approx(math.log2(0.7 / 0.05), abs=1e-5)
+
+    hist = [
+        {"iteration": i, "comparison": "name", "gamma": 2, "m": 0.5 + 0.1 * i, "max_delta": 0.1}
+        for i in range(3)
+    ]
+    em = em_history_chart_spec(em_history_table(spark, hist))
+    assert len(em["data"]["values"]) == 3 and em["mark"] == "line"
+
+    out = tmp_path / "report.html"
+    write_diagnostics_report(str(out), {"m/u": mu, "weights": mw, "EM": em})
+    html = out.read_text()
+    assert "vegaEmbed" in html and '"match_weight"' in html
+    assert html.count("<h2>") == 3

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from person_linkage_case_study_spark.operators.sampling import (
     hash_sample,
+    hash_shuffle,
     hash_split,
     stratified_hash_sample,
 )
@@ -73,6 +74,23 @@ def test_split_deterministic_and_partitioned(spark):
     assert set(c) == {"train", "val", "test"}
     assert 7_600 <= c["train"] <= 8_400
     assert sum(c.values()) == 10_000       # total order partition: every row in exactly one split
+
+
+def test_shuffle_positions_contiguous_and_stable(spark):
+    df = spark.range(3_000).select(F.col("id").alias("k"))
+    a = {r["k"]: r["shuffle_pos"] for r in hash_shuffle(df.repartition(5), ["k"], seed=2).collect()}
+    b = {r["k"]: r["shuffle_pos"] for r in hash_shuffle(df.repartition(11), ["k"], seed=2, num_partitions=7).collect()}
+    assert a == b                              # layout-independent order
+    assert sorted(a.values()) == list(range(3_000))  # exactly 0..n-1
+    # hash order, not input order: position 0 is almost surely not id 0
+    import hashlib
+
+    def h(k):
+        m = hashlib.md5(f"2\x1f{k}".encode()).hexdigest()
+        return (int(m[22:24] + m[20:22] + m[18:20] + m[16:18], 16), k)
+
+    expect = {k: i for i, k in enumerate(sorted(range(3_000), key=h))}
+    assert a == expect                         # equals the true global rank
 
 
 def test_matches_reference_hash(spark):
