@@ -93,6 +93,33 @@ def test_shuffle_positions_contiguous_and_stable(spark):
     assert a == expect                         # equals the true global rank
 
 
+def test_md5_hash32_property_fuzz(spark):
+    # hypothesis-driven: the Spark-side LE reconstruction equals hashlib
+    # for arbitrary unicode keys (one Spark job over the whole corpus)
+    from hypothesis import given, settings, strategies as st
+
+    corpus: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=40))
+    def collect(s):
+        corpus.append(s)
+
+    collect()
+    from person_linkage_case_study_spark.functions.hashing import md5_hash32
+
+    rows = [(i, s) for i, s in enumerate(set(corpus))]
+    got = {
+        r["i"]: r["h"]
+        for r in spark.createDataFrame(rows, "i long, s string")
+        .select("i", md5_hash32(F.col("s")).alias("h"))
+        .collect()
+    }
+    for i, s in rows:
+        m = hashlib.md5(s.encode()).hexdigest()
+        assert got[i] == int(m[22:24] + m[20:22] + m[18:20] + m[16:18], 16), repr(s)
+
+
 def test_matches_reference_hash(spark):
     # the decision rule is md5-based and reproducible outside Spark: keep
     # iff LE-int32(md5("{seed}\x1f{key}")) < fraction * 2^32
