@@ -70,8 +70,15 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
-    """(id, signature array<long>[num_hashes]) per document."""
+    """(id, signature array<long>[num_hashes]) per document.
+
+    ``hash_fn``: "crc32" (default, JVM-native) or "md5" (portable 32-bit
+    base hash == DuckDB ``md5_number_lower & 0xFFFFFFFF`` — makes the
+    whole signature, banding, and est-jaccard pipeline replicable in SQL;
+    see the oracle-checked catalog entry). Permutation arithmetic is
+    exact signed-64 either way."""
     consts = _permutation_constants(num_hashes, seed)
     # Tokenize BEFORE the exchange: the shingle slice-lambda re-evaluates
     # its input per shingle position, so it must reference a materialized
@@ -85,7 +92,12 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(shingles_of_tokens(F.col("__toks"), shingle_n)).alias("shingle"),
     )
-    base = sh.select(id_col, F.crc32(F.col("shingle")).alias("x"))
+    if hash_fn == "md5":
+        from ..functions.hashing import md5_hash32
+
+        base = sh.select(id_col, md5_hash32(F.col("shingle")).alias("x"))
+    else:
+        base = sh.select(id_col, F.crc32(F.col("shingle")).alias("x"))
     mins = base.groupBy(id_col).agg(
         *[
             F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(

@@ -989,16 +989,71 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
 
 
-# MinHash LSH: permutation constants are engine-side, no SQL equivalent —
-# rows-only check; correctness is covered by tests (LSH candidates ⊇
-# high-jaccard pairs; signature determinism) and by the oracle-checked
-# dedup_near_exact_pipeline composition below.
-@query("minhash_near_dups")
+def _minhash_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.3) -> str:
+    """Full MinHash+LSH replica in DuckDB: same 2-gram shingles, same
+    portable md5 base hash, the SAME seeded permutation constants embedded
+    as literals (both engines read them from _permutation_constants),
+    band self-join on the r signature values (Spark buckets on
+    murmur3(band slice) — identical candidate set absent 2^-32 bucket
+    collisions), est_jaccard = equal-positions/64 (exact double). All
+    integer arithmetic is exact signed-64 in both engines."""
+    from .dedup.minhash import _MERSENNE_P, _permutation_constants
+
+    consts = _permutation_constants(num_hashes, seed=42)
+    r = num_hashes // bands
+    mins = ",\n        ".join(
+        f"min((x * {a} + {b}) % {_MERSENNE_P}) AS h{i}" for i, (a, b) in enumerate(consts)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {ks} FROM sig".format(
+            band=bnd,
+            ks=", ".join(f"h{bnd * r + j} AS k{j}" for j in range(r)),
+        )
+        for bnd in range(bands)
+    )
+    eq_terms = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(num_hashes))
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(t)),
+                                               i -> t[i] || ' ' || t[i+1])) END
+      ) AS shingle FROM tok
+    ),
+    xs AS (
+      SELECT doc_id, CAST(md5_number_lower(shingle) & 4294967295 AS BIGINT) AS x
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM xs GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+      FROM bands l JOIN bands r USING (band, {", ".join(f"k{j}" for j in range(r))})
+      WHERE l.doc_id < r.doc_id
+    ),
+    est AS (
+      SELECT id_l, id_r, ({eq_terms}) / {float(num_hashes)!r} AS est_jaccard
+      FROM cand JOIN sig a ON a.doc_id = id_l JOIN sig b ON b.doc_id = id_r
+    )
+    SELECT id_l AS doc_id_l, id_r AS doc_id_r, est_jaccard
+    FROM est WHERE est_jaccard >= {threshold!r}
+    """
+
+
+@query("minhash_near_dups", oracle=_minhash_sql())
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures(d, shingle_n=2)
+    sigs = minhash_signatures(d, shingle_n=2, hash_fn="md5")
     return minhash_candidate_pairs(sigs, est_jaccard_threshold=0.3)
 
 
@@ -1371,8 +1426,51 @@ def mm_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# mapInPandas feature extraction — engine-side stub features, rows-only.
-@query("mm_media_features")
+def _mm_features_oracle() -> str:
+    """Byte-level media features replicated in SQL: bytes recovered from
+    hex nibbles (lateral generate_series over payload length), entropy
+    from the per-byte histogram (6dp rounding absorbs float summation
+    order), head hash as an ordered list_reduce Horner fold (exact BIGINT
+    arithmetic). `+ 0.0` on both sides normalizes IEEE -0.0 for
+    single-byte-value payloads."""
+    return """
+    WITH b AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+             lower(hex(encode(text))) AS h
+      FROM documents
+    ),
+    pos AS (
+      SELECT media_id, n_bytes, i,
+             CAST(16 * (strpos('0123456789abcdef', substr(h, CAST(2*i-1 AS INT), 1)) - 1)
+                + (strpos('0123456789abcdef', substr(h, CAST(2*i AS INT), 1)) - 1)
+                  AS BIGINT) AS byte
+      FROM b, unnest(generate_series(1, n_bytes)) AS t(i)
+    ),
+    hist AS (
+      SELECT media_id, byte, CAST(count(*) AS DOUBLE) AS c, max(n_bytes) AS n
+      FROM pos GROUP BY media_id, byte
+    ),
+    ent AS (
+      SELECT media_id, -sum((c / n) * log2(c / n)) AS e FROM hist GROUP BY media_id
+    ),
+    heads AS (
+      SELECT media_id,
+             list_reduce(list(byte ORDER BY i) FILTER (i <= 64),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+      FROM pos GROUP BY media_id
+    )
+    SELECT b.media_id, b.n_bytes,
+           round(coalesce(ent.e, 0.0), 6) + 0.0 AS byte_entropy,
+           CAST(coalesce(heads.hh, 0) AS BIGINT) AS head_hash
+    FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
+    """
+
+
+# mapInPandas feature extraction. The features are deterministic byte
+# arithmetic, so even the Arrow/mapInPandas path is value-hash checked
+# against a pure-SQL replica (see _mm_features_oracle).
+@query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal.media import attach_media_payload, extract_media_features
 
@@ -1382,7 +1480,10 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_media_features(media)
     return feats.select(
-        "media_id", "n_bytes", F.round("byte_entropy", 6).alias("byte_entropy"), "head_hash"
+        "media_id",
+        "n_bytes",
+        (F.round("byte_entropy", 6) + F.lit(0.0)).alias("byte_entropy"),
+        "head_hash",
     )
 
 
@@ -1661,7 +1762,76 @@ def a10_u_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # A11 — EM training over blocked pairs (iterative; no SQL form): returns
 # the trained m values, deterministic given the inputs.
-@query("a11_em_training")
+_A11_U = [0.9, 0.08, 0.02]
+_A11_LAMBDA = 0.01
+_A11_TOL = 1e-9
+
+
+def _a11_oracle() -> str:
+    """EM, iterated in SQL: the E/M loop is plain arithmetic over the
+    (≤4-row) gamma-pattern histogram, so a DuckDB RECURSIVE CTE can run
+    the identical fixed-point iteration — same init, same tol, same
+    max-iter, same m-floor — that estimate_m_em runs driver-side. Both
+    engines converge to the same fixed point to ~tol; outputs rounded to
+    6dp (vs tol 1e-9) so libm ulp differences in ln/exp cannot flip the
+    hash. The gamma CASE is emitted from the same Comparison object the
+    Spark path compiles (operators/gamma.py:compile_sql)."""
+    from .operators.gamma import banded_comparison
+
+    comp = banded_comparison("acctbal", band=500)
+    gamma_case = comp.compile_sql()  # acctbal_l / acctbal_r
+    u0, u1, u2 = (repr(u) for u in _A11_U)
+    lam = repr(_A11_LAMBDA)
+    return f"""
+    WITH RECURSIVE pat AS (
+      SELECT g, CAST(count(*) AS DOUBLE) AS n FROM (
+        SELECT {gamma_case} AS g
+        FROM (SELECT c_nationkey AS nk, c_acctbal AS acctbal_l FROM customer) l
+        JOIN (SELECT s_nationkey AS nk, s_acctbal AS acctbal_r FROM supplier) r
+        USING (nk)
+      ) GROUP BY g
+    ),
+    em AS (
+      SELECT 0 AS it, 0.05::DOUBLE AS m0, 0.05::DOUBLE AS m1, 0.9::DOUBLE AS m2,
+             1.0::DOUBLE AS delta
+      UNION ALL
+      SELECT it + 1,
+             greatest(coalesce(sum(CASE WHEN g = 0 THEN p * n END), 0)
+                      / (CASE WHEN coalesce(sum(CASE WHEN g >= 0 THEN p * n END), 0) = 0
+                         THEN 1e-12 ELSE sum(CASE WHEN g >= 0 THEN p * n END) END),
+                      1e-9) AS nm0,
+             greatest(coalesce(sum(CASE WHEN g = 1 THEN p * n END), 0)
+                      / (CASE WHEN coalesce(sum(CASE WHEN g >= 0 THEN p * n END), 0) = 0
+                         THEN 1e-12 ELSE sum(CASE WHEN g >= 0 THEN p * n END) END),
+                      1e-9) AS nm1,
+             greatest(coalesce(sum(CASE WHEN g = 2 THEN p * n END), 0)
+                      / (CASE WHEN coalesce(sum(CASE WHEN g >= 0 THEN p * n END), 0) = 0
+                         THEN 1e-12 ELSE sum(CASE WHEN g >= 0 THEN p * n END) END),
+                      1e-9) AS nm2,
+             greatest(abs(nm0 - max(m0)), abs(nm1 - max(m1)), abs(nm2 - max(m2)))
+      FROM (
+        SELECT em.it, em.m0, em.m1, em.m2, pat.g, pat.n,
+               exp(ln({lam} / (1 - {lam}))
+                   + CASE WHEN pat.g < 0 THEN 0.0
+                          WHEN pat.g = 0 THEN ln(em.m0 / {u0})
+                          WHEN pat.g = 1 THEN ln(em.m1 / {u1})
+                          ELSE ln(em.m2 / {u2}) END) AS odds,
+               odds / (1 + odds) AS p
+        FROM em, pat
+        WHERE em.it < 60 AND em.delta >= {_A11_TOL!r}
+      )
+      GROUP BY it
+    )
+    SELECT round(m0, 6) AS m_else, round(m1, 6) AS m_band, round(m2, 6) AS m_exact
+    FROM em ORDER BY it DESC LIMIT 1
+    """
+
+
+# A11 — EM training. Iterative, but the loop body is scalar arithmetic
+# over the collected pattern histogram, so the oracle runs the SAME
+# iteration as a DuckDB recursive CTE (see _a11_oracle). tol tightened to
+# 1e-9 and outputs rounded to 6dp so both engines' fixed points agree.
+@query("a11_em_training", oracle=_a11_oracle())
 def a11_em_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.estimation import estimate_m_em
     from .operators.gamma import banded_comparison
@@ -1674,11 +1844,12 @@ def a11_em_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal")
     )
     comp = banded_comparison("acctbal", band=500)
-    comp.u = [0.9, 0.08, 0.02]
-    model = LinkageModel([comp], lambda_prior=0.01)
-    estimate_m_em(c, s, ["nationkey"], model)
+    comp.u = list(_A11_U)
+    model = LinkageModel([comp], lambda_prior=_A11_LAMBDA)
+    estimate_m_em(c, s, ["nationkey"], model, tol=_A11_TOL)
     return spark.createDataFrame(
-        [tuple(float(x) for x in comp.m)], "m_else double, m_band double, m_exact double"
+        [tuple(round(float(x), 6) for x in comp.m)],
+        "m_else double, m_band double, m_exact double",
     )
 
 

@@ -71,6 +71,16 @@ def test_simhash_near_dups(docs):
     assert ham[(1, 2)] == 0
 
 
+def test_minhash_md5_mode(docs):
+    # portable base hash: identical docs still produce identical signatures
+    # and surface as candidates (the DuckDB oracle checks exact parity)
+    sigs = minhash_signatures(docs, num_hashes=16, hash_fn="md5")
+    s = {r["doc_id"]: tuple(r["signature"]) for r in sigs.collect()}
+    assert s[1] == s[2]
+    pairs = minhash_candidate_pairs(sigs, bands=4, est_jaccard_threshold=0.9).collect()
+    assert any({r["doc_id_l"], r["doc_id_r"]} == {1, 2} for r in pairs)
+
+
 def test_simhash_md5_mode(docs, spark):
     # portable-hash mode: identical docs still collide at hamming 0
     sigs = simhash(docs, hash_fn="md5")
