@@ -173,30 +173,37 @@ def hash_shuffle(
     Reading the result ordered by ``pos_col`` yields the same training
     order on any cluster, any partitioning, any engine (DuckDB replica:
     ``row_number() OVER (ORDER BY hash, key) - 1``).
+
+    Within-partition ranks come from ``monotonically_increasing_id``'s
+    low 33 bits (a per-partition row counter over the sorted partition) —
+    a narrow projection, NOT a window, so the range exchange is the ONLY
+    data movement; a pid-partitioned window here would re-shuffle the
+    whole dataset a second time.
     """
     from pyspark.sql import Window
 
     h = md5_hash32(_key(seed, key_cols))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     order_cols = ["__h", *key_cols]
-    ordered = (
+    ranked = (
         df.withColumn("__h", h)
         .repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftrightunsigned("__mid", 33))
+        .withColumn("__rn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .drop("__mid")
     )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    ranked = ordered.withColumn("__rn", F.row_number().over(w))
-    counts = ranked.groupBy("__pid").agg(F.max("__rn").alias("__cnt"))
+    counts = ranked.groupBy("__pid").agg((F.max("__rn") + 1).alias("__cnt"))
     w_off = (
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    )  # one row per partition — bounded driver-side window
+    )  # one row per range partition — bounded window on a tiny table
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
     ).select("__pid", "__off")
     return (
         ranked.join(F.broadcast(offsets), on="__pid")
-        .withColumn(pos_col, (F.col("__off") + F.col("__rn") - 1).cast("long"))
+        .withColumn(pos_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__h", "__pid", "__rn", "__off")
     )
 
