@@ -1377,6 +1377,39 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence packing: documents fill fixed-token-budget training sequences
+# in deterministic hash order. Distributed cumsum (mapInPandas running
+# totals + broadcast offsets, one range exchange); the oracle computes the
+# same packing with a SQL window over the identical order.
+def _packing_oracle() -> str:
+    from .textops.packing import pack_sequences_sql
+
+    seq = pack_sequences_sql(["doc_id"], "n_tokens", target_tokens=2048, seed=17)
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+    WITH t AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),
+    p AS (SELECT doc_id, n_tokens, {seq} AS seq_id FROM t)
+    SELECT seq_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM p GROUP BY seq_id
+    """
+
+
+@query("pack_documents_into_sequences", oracle=_packing_oracle())
+def pack_documents_into_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops.analysis import tokens
+    from .textops.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_sequences(d, ["doc_id"], "n_tokens", target_tokens=2048, seed=17)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 # Deterministic global shuffle (pre-training corpus order): every row gets
 # its rank in md5-hash order — range-partitioned sort + broadcast partition
 # offsets, never a single-reducer window. The oracle proves the distributed
