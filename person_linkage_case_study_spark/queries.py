@@ -989,6 +989,43 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
 
 
+# Cluster resolution: near-dup pairs → connected components → canonical
+# (survivor) doc per cluster. The component min-label is a property of the
+# edge set alone, so the iterative Spark label propagation is value-hash
+# checked against a DuckDB recursive transitive closure over the same
+# pairs — two entirely different algorithms, same fixpoint.
+_CC_ORACLE = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, list_distinct({_SQL_TOKENS.format(t='text')}) AS toks
+        FROM documents
+    ),
+    e AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.toks, r.toks)) /
+              len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach AS (
+        SELECT a AS id, b AS r FROM sym
+        UNION
+        SELECT reach.id, sym.b AS r FROM reach JOIN sym ON reach.r = sym.a
+    )
+    SELECT id AS doc_id, CAST(least(id, min(r)) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY id
+    """
+
+
+@query("dedup_cluster_canonical", oracle=_CC_ORACLE)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup.cluster import canonical_documents
+    from .dedup.ngram import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, block_col="lang", threshold=0.8)
+    return canonical_documents(pairs.select("doc_id_l", "doc_id_r"))
+
+
 def _minhash_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.3) -> str:
     """Full MinHash+LSH replica in DuckDB: same 2-gram shingles, same
     portable md5 base hash, the SAME seeded permutation constants embedded
