@@ -1026,6 +1026,79 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_documents(pairs.select("doc_id_l", "doc_id_r"))
 
 
+# The capstone composition — a complete corpus-curation pipeline in one
+# plan: quality filter → near-dup clusters → keep canonical survivors →
+# pack survivors into fixed-token training sequences. Every stage is an
+# operator oracle-checked on its own above; this entry proves they compose
+# (the oracle chains the same SQL stages over the same data).
+def _curation_oracle() -> str:
+    from .textops.packing import pack_sequences_sql
+
+    toks = _SQL_TOKENS.format(t="text")
+    seq = pack_sequences_sql(["doc_id"], "n_tokens", target_tokens=2048, seed=23)
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT doc_id, lang, text, {toks} AS toks
+        FROM documents
+        WHERE strlen(text) >= 20 AND len({toks}) >= 5
+          AND (CASE WHEN strlen(text) > 0
+               THEN strlen(regexp_replace(text, $$[^.,;:!?'"]$$, '', 'g')) / strlen(text)
+               ELSE 0.0 END) < 0.3
+          AND (CASE WHEN strlen(text) > 0
+               THEN strlen(regexp_replace(text, '[^0-9]', '', 'g')) / strlen(text)
+               ELSE 0.0 END) < 0.3
+    ),
+    e AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM q l JOIN q r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(list_distinct(l.toks), list_distinct(r.toks))) /
+              len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach AS (
+        SELECT a AS id, b AS r FROM sym
+        UNION
+        SELECT reach.id, sym.b AS r FROM reach JOIN sym ON reach.r = sym.a
+    ),
+    canon AS (
+        SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+        FROM reach GROUP BY id
+    ),
+    surv AS (
+        SELECT q.doc_id, len(q.toks) AS n_tokens
+        FROM q LEFT JOIN canon USING (doc_id)
+        WHERE canon.canonical_id IS NULL OR canon.canonical_id = q.doc_id
+    ),
+    p AS (SELECT doc_id, n_tokens, {seq} AS seq_id FROM surv)
+    SELECT seq_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM p GROUP BY seq_id
+    """
+
+
+@query("corpus_curation_pipeline", oracle=_curation_oracle())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup.cluster import canonical_documents
+    from .dedup.ngram import ngram_jaccard_pairs
+    from .textops.analysis import add_quality_signals, tokens
+    from .textops.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    q = add_quality_signals(d).filter("quality_ok").select("doc_id", "lang", "text")
+    pairs = ngram_jaccard_pairs(q, block_col="lang", threshold=0.8)
+    canon = canonical_documents(pairs.select("doc_id_l", "doc_id_r"))
+    survivors = (
+        q.join(canon, on="doc_id", how="left")
+        .filter(F.col("canonical_id").isNull() | (F.col("canonical_id") == F.col("doc_id")))
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    )
+    packed = pack_sequences(survivors, ["doc_id"], "n_tokens", target_tokens=2048, seed=23)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def _minhash_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.3) -> str:
     """Full MinHash+LSH replica in DuckDB: same 2-gram shingles, same
     portable md5 base hash, the SAME seeded permutation constants embedded
