@@ -2173,3 +2173,141 @@ def k11_mu_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.diagnostics import mu_parameters_table
 
     return mu_parameters_table(spark, _cascade_mini_model())
+
+
+# --- corpus curation: decontamination / PII scrubbing / repetition rules ---
+# (textops/curation.py; beyond-reference training-data-pipeline tier)
+
+_DECON_N = 4  # tuned to the synthetic ~31-word vocab; real pipelines use 8-13
+
+
+def _decon_oracle() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    grams = f"""
+        SELECT doc_id, array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+        FROM (SELECT doc_id, {toks} AS t FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(t)-{_DECON_N - 1})) AS i) s
+        WHERE len(t) >= {_DECON_N}
+    """
+    return f"""
+    WITH grams AS ({grams}),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0)
+    SELECT doc_id, count(DISTINCT gram) AS n_contaminated_grams
+    FROM grams
+    WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bench)
+    GROUP BY doc_id
+    """
+
+
+@query("decontaminate_docs", oracle=_decon_oracle())
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document plays the eval set;
+    report each remaining corpus document sharing a word 4-gram with it.
+
+    Scale shape: benchmark grams broadcast (eval suites are tiny);
+    corpus text is scanned once and never shuffled (textops/curation.py).
+    """
+    from .textops.curation import contamination_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination_stats(corpus, bench, n=_DECON_N)
+
+
+def _pii_enriched_sql() -> str:
+    # identical synthetic contact sentence on both engines (the test data
+    # carries no PII, so the fixture plants a deterministic specimen per
+    # doc_id % 3 == 0 and leaves the rest untouched as no-op controls)
+    return """
+        CASE WHEN doc_id % 3 = 0 THEN text
+             || ' Contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or +1 555 '
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             ELSE text END
+    """
+
+
+def _pii_oracle() -> str:
+    from .textops.curation import scrub_pii_sql
+
+    return f"""
+    SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+           md5(text_scrubbed) AS scrub_md5
+    FROM (
+        SELECT doc_id, {scrub_pii_sql("t", "text_scrubbed")}
+        FROM (SELECT doc_id, {_pii_enriched_sql()} AS t FROM documents) e
+    )
+    """
+
+
+@query("pii_scrub_docs", oracle=_pii_oracle())
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over a deterministically-enriched documents extract:
+    emails / SSNs / phones / IPv4s are counted then masked in one narrow
+    JVM-regex projection (textops/curation.py scrub_pii); the md5 of the
+    scrubbed text pins byte-identical masking across engines."""
+    from .textops.curation import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pad4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    enriched = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555 "),
+                pad4,
+                F.lit(" ssn 123-45-"),
+                pad4,
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return scrub_pii(enriched, text_col="t", out_col="text_scrubbed").select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("text_scrubbed")).alias("scrub_md5"),
+    )
+
+
+def _repetition_oracle() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+    SELECT doc_id,
+           round(CASE WHEN len(t) >= 2
+                 THEN 1 - len(list_distinct(
+                          list_transform(generate_series(1, len(t)-1),
+                                         i -> t[i] || ' ' || t[i+1])))
+                      / (len(t) - 1)
+                 ELSE 0.0 END, 6) AS dup_bigram_frac,
+           round(CASE WHEN len(t) > 0
+                 THEN list_max(list_transform(list_distinct(t),
+                          x -> len(list_filter(t, y -> y = x)))) / len(t)
+                 ELSE 0.0 END, 6) AS top_token_frac
+    FROM (SELECT doc_id, {toks} AS t FROM documents) d
+    """
+
+
+@query("text_repetition_signals", oracle=_repetition_oracle())
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (duplicate-bigram fraction,
+    most-frequent-token share) as a narrow per-row projection."""
+    from .textops.curation import add_repetition_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_repetition_signals(d).select(
+        "doc_id", "dup_bigram_frac", "top_token_frac"
+    )
