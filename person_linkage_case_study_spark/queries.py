@@ -1048,11 +1048,15 @@ def _curation_oracle() -> str:
                THEN strlen(regexp_replace(text, '[^0-9]', '', 'g')) / strlen(text)
                ELSE 0.0 END) < 0.3
     ),
+    qd AS (
+        SELECT doc_id, lang, len(toks) AS n_tokens, list_distinct(toks) AS dt
+        FROM q
+    ),
     e AS (
         SELECT l.doc_id AS a, r.doc_id AS b
-        FROM q l JOIN q r ON l.lang = r.lang AND l.doc_id < r.doc_id
-        WHERE len(list_intersect(list_distinct(l.toks), list_distinct(r.toks))) /
-              len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8
+        FROM qd l JOIN qd r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.dt, r.dt)) /
+              len(list_distinct(list_concat(l.dt, r.dt))) >= 0.8
     ),
     sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
     reach AS (
@@ -1065,9 +1069,9 @@ def _curation_oracle() -> str:
         FROM reach GROUP BY id
     ),
     surv AS (
-        SELECT q.doc_id, len(q.toks) AS n_tokens
-        FROM q LEFT JOIN canon USING (doc_id)
-        WHERE canon.canonical_id IS NULL OR canon.canonical_id = q.doc_id
+        SELECT qd.doc_id, qd.n_tokens
+        FROM qd LEFT JOIN canon USING (doc_id)
+        WHERE canon.canonical_id IS NULL OR canon.canonical_id = qd.doc_id
     ),
     p AS (SELECT doc_id, n_tokens, {seq} AS seq_id FROM surv)
     SELECT seq_id, count(*) AS n_docs,
