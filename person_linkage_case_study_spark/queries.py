@@ -2315,3 +2315,90 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_repetition_signals(d).select(
         "doc_id", "dup_bigram_frac", "top_token_frac"
     )
+
+
+# --- K-surface: Splink-style term-frequency adjustment (operators/tf.py) ---
+
+
+def _tf_model() -> LinkageModel:
+    from .operators.gamma import banded_comparison, exact_comparison
+
+    brand = exact_comparison("brand")
+    brand.m = [0.2, 0.8]
+    brand.u = [0.96, 0.04]
+    price = banded_comparison("price", band=100)
+    price.m = [0.1, 0.3, 0.6]
+    price.u = [0.9, 0.09, 0.01]
+    return LinkageModel([brand, price], lambda_prior=0.001)
+
+
+def _tf_oracle() -> str:
+    from .operators.tf import tf_adjustment_sql
+
+    model = _tf_model()
+    gb = model.comparisons[0].compile_sql()
+    gp = model.comparisons[1].compile_sql()
+    weight = match_weight_sql(model)
+    adj = tf_adjustment_sql(model.comparisons[0], weight=1.0, tf_expr="tf")
+    return f"""
+    WITH p AS (
+        SELECT p_partkey AS partkey, p_size AS size, p_brand AS brand,
+               p_retailprice AS price FROM part
+    ), tf AS (
+        SELECT brand,
+               CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM p WHERE brand IS NOT NULL) AS tf
+        FROM p WHERE brand IS NOT NULL GROUP BY brand
+    ), pairs AS (
+        SELECT l.partkey AS partkey_l, r.partkey AS partkey_r,
+               l.brand AS brand_l, r.brand AS brand_r,
+               l.price AS price_l, r.price AS price_r
+        FROM p l JOIN p r ON l.size = r.size AND l.partkey < r.partkey
+    ), g AS (
+        SELECT partkey_l, partkey_r, brand_l,
+               {gb} AS gamma_brand, {gp} AS gamma_price
+        FROM pairs
+    ), s AS (
+        SELECT partkey_l, partkey_r, gamma_brand, gamma_price,
+               {weight} AS w, {adj} AS adj
+        FROM g LEFT JOIN tf ON g.brand_l = tf.brand
+    )
+    SELECT partkey_l, partkey_r, gamma_brand, gamma_price,
+           round(CAST(w AS DOUBLE), 6) AS match_weight,
+           round(CAST(adj AS DOUBLE), 6) AS tf_adjustment,
+           round(CAST(w AS DOUBLE) + CAST(adj AS DOUBLE), 6) AS match_weight_tf
+    FROM s
+    """
+
+
+@query("k_tf_adjusted_scores", oracle=_tf_oracle())
+def k_tf_adjusted_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splink-style TF adjustment over a part-to-part link blocked on size:
+    exact brand matches are re-weighted by the brand's term frequency
+    (common brands penalized, rare boosted). The TF table is a broadcast
+    value histogram; the pair stream is never shuffled (operators/tf.py).
+    """
+    from .operators.tf import add_tf_adjustment, term_frequency_table
+
+    model = _tf_model()
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_size").alias("size"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+    )
+    pairs = blocked_pairs(
+        p, p, block_on=["size"], num_partitions=spark.sparkContext.defaultParallelism
+    ).filter(F.col("partkey_l") < F.col("partkey_r"))
+    scored = score_pairs(pairs, model)
+    tf = term_frequency_table(p, "brand")
+    adjusted = add_tf_adjustment(scored, model.comparisons[0], tf, weight=1.0)
+    return adjusted.select(
+        "partkey_l",
+        "partkey_r",
+        "gamma_brand",
+        "gamma_price",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("tf_adjustment", 6).alias("tf_adjustment"),
+        F.round("match_weight_tf", 6).alias("match_weight_tf"),
+    )
