@@ -94,3 +94,30 @@ def test_repetition_signals(spark):
     assert rows[3]["repetition_ok"] is True
     assert rows[1]["repetition_ok"] is False
     assert rows[4]["top_token_frac"] == 0.0
+
+
+def test_curation_projection_streams(spark, tmp_path_factory):
+    """scrub_pii + quality/repetition signals are stateless projections, so
+    the exact same operators run on a readStream source; stream == batch."""
+    import shutil
+
+    from person_linkage_case_study_spark.streaming.stream import run_stream_to_memory
+    from person_linkage_case_study_spark.textops.analysis import add_quality_signals
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", d / "documents.parquet")
+    batch_src = spark.read.parquet(str(d))
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(str(d))
+
+    def curate(df):
+        return add_repetition_signals(
+            add_quality_signals(scrub_pii(df))
+        ).select(
+            "doc_id", "n_email", "quality_ok", "dup_bigram_frac", "text_scrubbed"
+        )
+
+    got = {r["doc_id"]: r for r in run_stream_to_memory(
+        curate(stream_src), "curation_stream_test", output_mode="append"
+    ).collect()}
+    want = {r["doc_id"]: r for r in curate(batch_src).collect()}
+    assert got == want and len(got) > 0
