@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -30,15 +30,15 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, path_glob: str) -> DataFrame:
-    """File-source stream over events parquet files (TIMESTAMP(NANOS)
-    read as raw nanos, normalized to a proper timestamp column)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
+    """File-source stream over events parquet files. ``ts`` is declared
+    TimestampType, matching the TIMESTAMP(MICROS) physical type of the
+    testdata parquet (file streams require a pinned schema; a type drift
+    in the source shows up here as epoch-garbage hours, not an error)."""
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(path_glob)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
