@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +73,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     hash_fn: str = "crc32",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) per document.
 
@@ -78,8 +81,35 @@ def minhash_signatures(
     base hash == DuckDB ``md5_number_lower & 0xFFFFFFFF`` — makes the
     whole signature, banding, and est-jaccard pipeline replicable in SQL;
     see the oracle-checked catalog entry). Permutation arithmetic is
-    exact signed-64 either way."""
+    exact signed-64 either way.
+
+    ``engine``:
+
+    - "arrow" (default): signatures are row-local, so no shuffle is
+      needed at all — one JVM projection computes the per-shingle base
+      hashes, then a numpy pandas UDF min-reduces the ``num_hashes``
+      affine permutations per document (``np.minimum.reduceat`` over the
+      flattened batch). The only exchange is an optional round-robin
+      spread of the *raw* (id, text) rows for single-file local inputs;
+      on a real cluster the parquet scan splits already provide
+      parallelism and that spread is skipped work, not a correctness
+      need.
+    - "agg": the explode → groupBy(id) 64-min-agg formulation (kept as
+      the whole-stage-codegen reference; equality is pinned in
+      tests/test_dedup.py). Shuffles the token arrays once.
+
+    Both engines produce bit-identical signatures: same base hash, same
+    ``(x*a + b) % p`` signed-64 arithmetic (numpy int64 == JVM long —
+    operands bounded by 2^63 by construction, see ``_A_MAX``).
+    Documents whose text is NULL yield no signature row in either
+    engine (the agg engine drops them at explode; the arrow engine
+    filters NULL shingle arrays to match).
+    """
     consts = _permutation_constants(num_hashes, seed)
+    if engine == "arrow":
+        return _minhash_signatures_arrow(
+            df, text_col, id_col, consts, shingle_n, hash_fn
+        )
     # Tokenize BEFORE the exchange: the shingle slice-lambda re-evaluates
     # its input per shingle position, so it must reference a materialized
     # array attribute, not the regex split (measured 8× on sf0.1 docs).
@@ -109,6 +139,79 @@ def minhash_signatures(
     return mins.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
     )
+
+
+def _minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    consts: list[tuple[int, int]],
+    shingle_n: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Zero-shuffle signature build: JVM shingle hashes → numpy min-reduce."""
+    from pyspark.sql import types as T
+
+    a_arr = np.array([a for a, _ in consts], dtype=np.int64)
+    b_arr = np.array([b for _, b in consts], dtype=np.int64)
+    k = len(consts)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(xs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(v) for v in xs), dtype=np.int64, count=len(xs))
+        if len(lens) == 0:
+            return pd.Series([], dtype=object)
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in xs])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # reduceat misbehaves on empty segments; shingle arrays are never
+        # empty by construction (shingles_of_tokens emits ≥1 element), but
+        # guard so a caller feeding raw arrays can't get silent garbage
+        if (lens == 0).any():
+            raise ValueError("minhash: empty shingle array in batch")
+        out = np.empty((len(lens), k), dtype=np.int64)
+        for i in range(k):
+            v = (flat * a_arr[i] + b_arr[i]) % _MERSENNE_P
+            out[:, i] = np.minimum.reduceat(v, starts)
+        return pd.Series(list(out))
+
+    # NULL text is the only way to a NULL shingle array (split/transform
+    # propagate NULL, and tokenization of "" still yields one "" shingle),
+    # so drop it at the scan. Filtering on __xs instead is a trap:
+    # predicate pushdown substitutes the alias, inlining the whole
+    # tokenize→shingle→hash expression into the filter condition, where
+    # its many element_at references re-evaluate the regex split per
+    # shingle position (measured 0.7s → 6.2s at sf0.1).
+    # Spread raw rows for parallelism on single-file local inputs; this is
+    # the plan's ONLY exchange and carries the narrow (id, text) projection.
+    spread = (
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    tok = spread.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    if hash_fn == "md5":
+        from ..functions.hashing import md5_hash32
+
+        def base_hash(s):
+            return md5_hash32(s)
+
+    else:
+
+        def base_hash(s):
+            return F.crc32(s)
+
+    hashed = tok.select(
+        F.col(id_col),
+        F.transform(shingles_of_tokens(F.col("__toks"), shingle_n), base_hash).alias(
+            "__xs"
+        ),
+    )
+    return hashed.select(F.col(id_col), _sig(F.col("__xs")).alias("signature"))
 
 
 def minhash_candidate_pairs(

@@ -52,6 +52,30 @@ def test_minhash_finds_near_dups(docs):
     assert (1, 4) not in found and (4, 5) not in found
 
 
+def test_minhash_engines_bit_identical(docs, spark):
+    """The zero-shuffle arrow kernel and the explode/groupBy agg
+    formulation must agree bit-for-bit (same base hash, same signed-64
+    affine arithmetic), including dropping NULL-text docs identically."""
+    with_null = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 4, F.lit(None)).otherwise(F.col("text"))
+    )
+    for hf in ("md5", "crc32"):
+        a = {
+            r["doc_id"]: tuple(r["signature"])
+            for r in minhash_signatures(
+                with_null, shingle_n=2, hash_fn=hf, engine="arrow"
+            ).collect()
+        }
+        g = {
+            r["doc_id"]: tuple(r["signature"])
+            for r in minhash_signatures(
+                with_null, shingle_n=2, hash_fn=hf, engine="agg"
+            ).collect()
+        }
+        assert a == g, hf
+        assert 4 not in a  # NULL text dropped by both engines
+
+
 def test_minhash_deterministic(docs):
     a = minhash_signatures(docs, num_hashes=16).collect()
     b = minhash_signatures(docs, num_hashes=16).collect()
