@@ -194,23 +194,16 @@ def _minhash_signatures_arrow(
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     tok = spread.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    sh = shingles_of_tokens(F.col("__toks"), shingle_n)
     if hash_fn == "md5":
-        from ..functions.hashing import md5_hash32
+        # two-pass transform: interpreted lambdas have no CSE, so the
+        # inline md5_hash32 form would run md5 4× per shingle
+        from ..functions.hashing import md5_hash32_hof
 
-        def base_hash(s):
-            return md5_hash32(s)
-
+        xs = md5_hash32_hof(sh)
     else:
-
-        def base_hash(s):
-            return F.crc32(s)
-
-    hashed = tok.select(
-        F.col(id_col),
-        F.transform(shingles_of_tokens(F.col("__toks"), shingle_n), base_hash).alias(
-            "__xs"
-        ),
-    )
+        xs = F.transform(sh, lambda s: F.crc32(s))
+    hashed = tok.select(F.col(id_col), xs.alias("__xs"))
     return hashed.select(F.col(id_col), _sig(F.col("__xs")).alias("signature"))
 
 

@@ -34,3 +34,24 @@ def md5_hash32(col: Column) -> Column:
 def md5_hash32_sql(expr: str) -> str:
     """The DuckDB rendering of ``md5_hash32`` for oracle SQL."""
     return f"(md5_number_lower({expr}) & 4294967295)"
+
+
+def _le32_from_hex(m: Column) -> Column:
+    le = F.concat(
+        F.substring(m, 23, 2),
+        F.substring(m, 21, 2),
+        F.substring(m, 19, 2),
+        F.substring(m, 17, 2),
+    )
+    return F.conv(le, 16, 10).cast("long")
+
+
+def md5_hash32_hof(arr_col: Column) -> Column:
+    """``md5_hash32`` mapped over an ``array<string>`` column.
+
+    Interpreted lambda eval has no common-subexpression elimination, so
+    inlining ``md5_hash32`` in a single ``transform`` evaluates ``md5``
+    four times per element (once per substring of the hex digest). Two
+    chained transforms — hash pass, then hex→int pass — run it once.
+    """
+    return F.transform(F.transform(arr_col, lambda s: F.md5(s)), _le32_from_hex)

@@ -95,6 +95,28 @@ def test_simhash_near_dups(docs):
     assert ham[(1, 2)] == 0
 
 
+def test_simhash_engines_bit_identical(docs, spark):
+    """Arrow zero-shuffle simhash == explode/groupBy agg simhash, both
+    hash modes, with NULL-text and whitespace-only docs dropped alike."""
+    degenerate = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 4, F.lit(None))
+        .when(F.col("doc_id") == 5, F.lit("  \t "))
+        .otherwise(F.col("text")),
+    )
+    for hf in ("md5", "xxhash64"):
+        a = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(degenerate, hash_fn=hf, engine="arrow").collect()
+        }
+        g = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(degenerate, hash_fn=hf, engine="agg").collect()
+        }
+        assert a == g, hf
+        assert 4 not in a and 5 not in a
+
+
 def test_minhash_md5_mode(docs):
     # portable base hash: identical docs still produce identical signatures
     # and surface as candidates (the DuckDB oracle checks exact parity)
