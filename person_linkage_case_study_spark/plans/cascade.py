@@ -108,7 +108,12 @@ class PersonLinkageCascade:
                      anti-join embeds the prior state's plan twice; a
                      13-pass run was measured producing a 2 GB plan string
                      and OOMing the driver). The reference clears Spark
-                     checkpoints at exactly these points (K12).
+                     checkpoints at exactly these points (K12). 'off'
+                     skips truncation entirely — sound ONLY for shallow
+                     configs (single-digit total passes): plan depth grows
+                     exponentially in passes, but a 1-pass run pays zero
+                     materialization jobs (cascade_mini at sf0.1: ~0.3s
+                     saved; the rest of its wall is genuine pair scoring).
     """
 
     def __init__(
@@ -149,6 +154,8 @@ class PersonLinkageCascade:
             return df.checkpoint(eager=True)
         if self.checkpoint == "local":
             return df.localCheckpoint(eager=True)
+        if self.checkpoint == "off":
+            return df
         return df.persist(StorageLevel.MEMORY_AND_DISK)
 
     # -- module lifecycle ---------------------------------------------------

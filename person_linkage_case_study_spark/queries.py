@@ -2129,7 +2129,14 @@ def cascade_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = _cascade_mini_model()
     cascade = PersonLinkageCascade(
-        spark, census, {"ref": ref}, model, dates_of_death=None, collect_stats=False
+        spark,
+        census,
+        {"ref": ref},
+        model,
+        dates_of_death=None,
+        collect_stats=False,
+        # single pass — lineage can't grow, so skip the checkpoint jobs
+        checkpoint="off",
     )
     config = CascadeConfig(
         modules=[
