@@ -212,3 +212,87 @@ def hash_shuffle_sql(key_cols: Sequence[str], seed: int = 0) -> str:
     """DuckDB expression for ``hash_shuffle``'s position column."""
     tiebreak = ", ".join(key_cols)
     return f"row_number() OVER (ORDER BY {_key_sql(seed, key_cols)}, {tiebreak}) - 1"
+
+
+def mixture_upsample(
+    df: DataFrame,
+    weights_by: str,
+    weights: dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Fractional-epoch corpus mixing: repeat each row ``w`` times where
+    ``w`` is its source's mixture weight — ``floor(w)`` guaranteed copies
+    plus one more iff the row's content hash lands under ``frac(w)``.
+
+    This is the "epochs per dataset" primitive of LLM pre-training mixes
+    (e.g. 3.3 epochs of wiki, 0.7 of web): deterministic per row (same
+    hash-decision rule as ``hash_sample``, so re-runs/retries/engines
+    agree), shuffle-free (a literal CASE for the weight, one ``explode``
+    of a ``sequence`` at the scan — no join, no agg), and portable (the
+    DuckDB replica pairs ``generate_series`` with the same md5 decision).
+    Sources absent from ``weights`` get weight 0 (dropped). ``copy_col``
+    numbers the copies 0..n-1 so downstream global shuffling
+    (``hash_shuffle`` keyed on key+copy) spreads repeats apart.
+    """
+    w = F.lit(None).cast("double")
+    for src, wt in weights.items():
+        w = F.when(F.col(weights_by) == src, F.lit(float(wt))).otherwise(w)
+    base = F.floor(w).cast("long")
+    frac_thr = ((w - F.floor(w)) * MOD32).cast("long")
+    extra = (md5_hash32(_key(seed, key_cols)) < frac_thr).cast("long")
+    n = (base + extra).alias("__n")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
+def mixture_upsample_sql(
+    weights_by: str,
+    weights: dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 0,
+    copy_col: str = "copy_idx",
+    table: str = "t",
+) -> str:
+    """DuckDB SELECT replicating ``mixture_upsample``: scalar
+    ``generate_series`` (a LIST) unnested in the projection — DuckDB's
+    table-function form rejects lateral column arguments. Compose as a
+    subquery; the caller selects columns on top."""
+    arms = " ".join(
+        f"WHEN {weights_by} = '{s}' THEN CAST({float(w)!r} AS DOUBLE)"
+        for s, w in weights.items()
+    )
+    w = f"(CASE {arms} ELSE NULL END)"
+    extra = (
+        f"(CASE WHEN {_key_sql(seed, key_cols)} < "
+        f"CAST(({w} - floor({w})) * {MOD32} AS BIGINT) THEN 1 ELSE 0 END)"
+    )
+    n = f"(CAST(floor({w}) AS BIGINT) + {extra})"
+    return (
+        f"SELECT {table}.*, CAST(unnest(generate_series(0, {n} - 1)) AS BIGINT)"
+        f" AS {copy_col} FROM {table} WHERE {n} > 0"
+    )
+
+
+def temperature_weights(
+    counts: dict[str, int], temperature: float, target_total: float | None = None
+) -> dict[str, float]:
+    """Per-source mixture weights for temperature-``T`` resampling: the
+    sampling probability of source s becomes ∝ ``counts[s]^(1/T)``
+    (T=1 → natural distribution, T→∞ → uniform). Returned weights are
+    *epoch multipliers* for ``mixture_upsample``: expected post-mix size
+    matches ``target_total`` (default: the input total). Driver-side math
+    on a #sources-sized dict — deliberately NOT a Spark job; feed it the
+    output of a tiny groupBy-count collect."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    total = sum(counts.values())
+    tgt = float(total if target_total is None else target_total)
+    p = {s: c ** (1.0 / temperature) for s, c in counts.items()}
+    z = sum(p.values())
+    return {s: (p[s] / z) * tgt / counts[s] for s in counts if counts[s]}

@@ -1491,6 +1491,32 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fractional-epoch corpus mixing: each language repeats weight-many times
+# (floor(w) copies guaranteed, one more decided by content hash) — the
+# "epochs per dataset" primitive of pre-training mixtures, deterministic
+# and shuffle-free. Weights here are temperature-style upweights of the
+# low-resource languages; copy_idx makes repeats distinct downstream.
+_MIX_WEIGHTS = {"en": 0.6, "zh": 1.8, "es": 1.9, "de": 2.0, "fr": 2.3}
+
+
+def _mixture_oracle() -> str:
+    from .operators.sampling import mixture_upsample_sql
+
+    frag = mixture_upsample_sql(
+        "lang", _MIX_WEIGHTS, ["doc_id"], seed=23, table="documents"
+    )
+    return f"SELECT doc_id, lang, copy_idx FROM ({frag}) up"
+
+
+@query("mixture_upsample_documents", oracle=_mixture_oracle())
+def mixture_upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import mixture_upsample
+
+    d = _t(spark, sf_dir, "documents")
+    up = mixture_upsample(d, "lang", _MIX_WEIGHTS, ["doc_id"], seed=23)
+    return up.select("doc_id", "lang", "copy_idx")
+
+
 # Sequence packing: documents fill fixed-token-budget training sequences
 # in deterministic hash order. Distributed cumsum (mapInPandas running
 # totals + broadcast offsets, one range exchange); the oracle computes the

@@ -132,3 +132,54 @@ def test_matches_reference_hash(spark):
         if h < int(0.25 * (1 << 32)):
             expect.add(k)
     assert got == expect
+
+
+def test_mixture_upsample_copy_counts(spark):
+    """floor(w) copies guaranteed; the fractional extra copy follows the
+    same md5 decision rule as hash_sample, reproducible off-Spark."""
+    from person_linkage_case_study_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    weights = {"a": 2.4, "b": 0.7}
+    out = mixture_upsample(df, "src", weights, ["k"], seed=5).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r["copy_idx"])
+    import hashlib
+
+    for k, src in rows:
+        w = weights[src]
+        m = hashlib.md5(f"5\x1f{k}".encode()).hexdigest()
+        h = int(m[22:24] + m[20:22] + m[18:20] + m[16:18], 16)
+        n = int(w) + (1 if h < int((w - int(w)) * (1 << 32)) else 0)
+        got = sorted(by_key.get(k, []))
+        assert got == list(range(n)), (k, src, n, got)
+    # aggregate sanity: expected size ~ sum of weights over rows
+    assert abs(len(out) - (50 * 2.4 + 50 * 0.7)) < 15
+
+
+def test_mixture_upsample_unknown_source_dropped(spark):
+    from person_linkage_case_study_spark.operators.sampling import mixture_upsample
+
+    df = spark.createDataFrame([(1, "x"), (2, "a")], "k long, src string")
+    out = mixture_upsample(df, "src", {"a": 1.0}, ["k"]).collect()
+    assert {r["k"] for r in out} == {2}
+
+
+def test_temperature_weights():
+    from person_linkage_case_study_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    counts = {"en": 8000, "de": 1500, "fr": 500}
+    w1 = temperature_weights(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in w1.values())  # T=1 → natural
+    w = temperature_weights(counts, 2.0)
+    # rarer source ⇒ larger epoch multiplier; expected total preserved
+    assert w["fr"] > w["de"] > w["en"]
+    assert abs(sum(w[s] * counts[s] for s in counts) - sum(counts.values())) < 1e-6
+    # T→∞ approaches uniform sampling: expected per-source sizes equalize
+    winf = temperature_weights(counts, 1e9)
+    sizes = [winf[s] * counts[s] for s in counts]
+    assert max(sizes) / min(sizes) < 1.001
