@@ -212,6 +212,7 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     est_jaccard_threshold: float | None = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding over signatures → candidate near-dup pairs with
     ``est_jaccard`` (share of equal signature positions).
@@ -225,7 +226,20 @@ def minhash_candidate_pairs(
     ``ngram_jaccard_pairs(candidates=...)``) runs downstream: the signature
     arrays then never flow through the dedup shuffle and no per-pair
     interpreted comparison runs.
+
+    ``materialize`` persists the signatures (MEMORY_AND_DISK, lazy)
+    before the self-join. Both join sides embed the full signature
+    pipeline, and neither plan-time nor AQE exchange reuse deduplicates
+    sub-plans containing a Python UDF node — without the persist the
+    signature kernel genuinely executes twice (measured 4.3s → 2.7s at
+    sf0.1; at scale it is the difference between one and two passes over
+    the corpus). Pass False when the caller manages its own
+    checkpoint/table for the signatures.
     """
+    if materialize:
+        from pyspark import StorageLevel
+
+        signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     sig = signatures.select(F.col(id_col).alias("id"), "signature")
     r_expr = F.floor(F.size("signature") / bands).cast("int")
     banded = sig.select(

@@ -139,15 +139,27 @@ def _simhash_arrow(
 
 
 def simhash_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_l, simhash_r) <= max_hamming.
 
     Requires max_hamming < _CHUNKS so the pigeonhole blocking is lossless:
     with 4 chunks and ≤3 differing bits, at least one chunk is identical.
+
+    ``materialize`` persists ``sigs`` before the chunk self-join —
+    sub-plans with a Python UDF node defeat exchange reuse, so without it
+    the signature pipeline runs once per join side (see
+    minhash_candidate_pairs).
     """
     if max_hamming >= _CHUNKS:
         raise ValueError("max_hamming must be < number of chunks (4)")
+    if materialize:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bits_per_chunk = _BITS // _CHUNKS
     chunked = sigs.select(
         F.col(id_col).alias("id"),

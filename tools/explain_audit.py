@@ -106,6 +106,23 @@ def main() -> None:
     p = plan_of(qs["dedup_exact_documents"](spark, sf_dir))
     check("dedup", "partial_" in p, "map-side partial aggregation before shuffle")
 
+    # Exchange reuse does NOT deduplicate sub-plans containing a Python
+    # UDF node, so the LSH self-joins must read their signatures from a
+    # persisted relation: both join sides as InMemoryTableScan, kernel
+    # computed once (cache build), never row-at-a-time.
+    print("== minhash_near_dups ==")
+    p = executed_plan_of(qs["minhash_near_dups"](spark, sf_dir))
+    check("minhash", p.count("InMemoryTableScan") == 2,
+          f"both self-join sides read cached signatures (got {p.count('InMemoryTableScan')} cached scans)")
+    check("minhash", "BatchEvalPython" not in p, "no row-at-a-time Python")
+
+    print("== simhash_near_dups ==")
+    p = executed_plan_of(qs["simhash_near_dups"](spark, sf_dir))
+    check("simhash", p.count("InMemoryTableScan") == 2,
+          f"both self-join sides read cached signatures (got {p.count('InMemoryTableScan')} cached scans)")
+    check("simhash", "PushedFilters: [IsNotNull(text)" in plan_of(qs["simhash_near_dups"](spark, sf_dir)),
+          "text non-null precondition pushed to the parquet scan")
+
     if failures:
         print(f"\n{len(failures)} plan invariant(s) FAILED")
         sys.exit(1)
