@@ -216,6 +216,12 @@ def embedding_near_dup_pairs(
             corpus, n_centroids=k, iters=4, id_col=id_col, vec_col=vec_col
         )
         corpus = ivf_assign(corpus, centroids, vec_col=vec_col, cluster_col="__ivf_blk")
+        # both self-join sides embed the assignment kernel, and exchange
+        # reuse skips Python-UDF sub-plans (see minhash_candidate_pairs) —
+        # persist so the Arrow matmul runs one corpus pass, not two
+        from pyspark import StorageLevel
+
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
         block_col = "__ivf_blk"
     c = corpus.select(
         F.col(id_col).alias("id"),
