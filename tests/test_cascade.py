@@ -245,3 +245,62 @@ def test_full_pvs_pipeline(spark, fixture):
     assert set(confirmed.columns) >= {
         "record_id_raw_input_file", "pik", "module_name", "pass_name",
     }
+
+
+def test_checkpoint_off_matches_local(spark, fixture, cascade_result):
+    """checkpoint='off' (no lineage truncation — sound for shallow
+    configs) must confirm exactly the same PIKs as the default 'local'
+    mode on the 2-module fixture cascade."""
+    census, geobase, name_dob, fake_names, dod = fixture
+    prepped_census = preprocess_census(census, fake_names, gq_threshold=99)
+    config = CascadeConfig(
+        modules=[
+            ModuleConfig(
+                name="geosearch",
+                reference_file_name="geobase_reference_file",
+                cut_columns=["zip3"],
+                matching_columns=[
+                    "first_name_15", "last_name_12", "middle_initial",
+                    "day_of_birth", "month_of_birth", "year_of_birth", "geokey",
+                ],
+                passes=[PassConfig("geokey", ["geokey_for_blocking"], 0.9)],
+            ),
+            ModuleConfig(
+                name="namesearch",
+                reference_file_name="name_dob_reference_file",
+                cut_columns=["first_initial_cut", "last_initial_cut"],
+                matching_columns=[
+                    "first_name_15", "last_name_12", "middle_initial",
+                    "day_of_birth", "month_of_birth", "year_of_birth",
+                ],
+                passes=[
+                    PassConfig(
+                        "dob and nysiis",
+                        ["day_of_birth", "month_of_birth", "year_of_birth",
+                         "first_name_nysiis", "last_name_nysiis"],
+                        0.9,
+                    ),
+                ],
+            ),
+        ]
+    )
+    off = PersonLinkageCascade(
+        spark,
+        prepped_census,
+        {
+            "geobase_reference_file": preprocess_reference_file(geobase),
+            "name_dob_reference_file": preprocess_reference_file(
+                name_dob, has_address=False
+            ),
+        },
+        make_model(),
+        dates_of_death=dod,
+        checkpoint="off",
+    )
+    got = {
+        (r["record_id_raw_input_file"], r["pik"])
+        for r in off.run(config).collect()
+    }
+    _, confirmed_rows = cascade_result
+    want = {(r["record_id_raw_input_file"], r["pik"]) for r in confirmed_rows}
+    assert got == want
