@@ -121,3 +121,33 @@ def test_curation_projection_streams(spark, tmp_path_factory):
     ).collect()}
     want = {r["doc_id"]: r for r in curate(batch_src).collect()}
     assert got == want and len(got) > 0
+
+
+def test_mixture_upsample_streams(spark, tmp_path_factory):
+    """mixture_upsample is a stateless per-row explode (literal CASE
+    weight + content-hash decision), so it runs unchanged on a streaming
+    source; stream output == batch output, copies included."""
+    import shutil
+
+    from person_linkage_case_study_spark.operators.sampling import mixture_upsample
+    from person_linkage_case_study_spark.streaming.stream import run_stream_to_memory
+
+    d = tmp_path_factory.mktemp("docs_mix_stream")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", d / "documents.parquet")
+    batch_src = spark.read.parquet(str(d))
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(str(d))
+    weights = {"en": 0.5, "de": 2.5, "fr": 1.2, "es": 1.0, "zh": 0.9}
+
+    def mix(df):
+        return mixture_upsample(df, "lang", weights, ["doc_id"], seed=3).select(
+            "doc_id", "lang", "copy_idx"
+        )
+
+    got = {
+        (r["doc_id"], r["copy_idx"])
+        for r in run_stream_to_memory(
+            mix(stream_src), "mixture_stream_test", output_mode="append"
+        ).collect()
+    }
+    want = {(r["doc_id"], r["copy_idx"]) for r in mix(batch_src).collect()}
+    assert got == want and len(got) > 0

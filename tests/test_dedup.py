@@ -172,3 +172,50 @@ def test_ngram_jaccard_bitmap_path_matches_string_path(docs):
     ).collect()
     assert {tuple(r) for r in bitmap} == {tuple(r) for r in strings}
     assert len(bitmap) > 0
+
+
+def test_minhash_simhash_engine_parity_fuzz(spark):
+    """Hypothesis-generated unicode corpora (whitespace runs, empties,
+    CJK, combining marks): arrow and agg engines must agree bit-for-bit
+    for both kernels — one Spark comparison over the whole fuzz corpus."""
+    from hypothesis import given, settings, strategies as st
+
+    corpus: list[str] = []
+    texty = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=80,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(texty)
+    def collect(s):
+        corpus.append(s)
+
+    collect()
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(
+            df, shingle_n=2, hash_fn="md5", engine="arrow"
+        ).collect()
+    }
+    g = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(
+            df, shingle_n=2, hash_fn="md5", engine="agg"
+        ).collect()
+    }
+    assert a == g
+
+    sa = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, hash_fn="md5", engine="arrow").collect()
+    }
+    sg = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, hash_fn="md5", engine="agg").collect()
+    }
+    assert sa == sg
