@@ -309,3 +309,68 @@ def minhash_candidate_pairs(
             "est_jaccard",
         )
     )
+
+
+def minhash_candidate_pairs_between(
+    left_sigs: DataFrame,
+    right_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    est_jaccard_threshold: float | None = 0.5,
+) -> DataFrame:
+    """LSH candidates BETWEEN two signature sets (no within-set pairs):
+    (``{id_col}_l`` from left, ``{id_col}_r`` from right, ``est_jaccard``).
+
+    The incremental-dedup primitive: left = a new micro-batch, right = the
+    accumulated signature store. Both sides band identically (same
+    signature length required), join on (band_idx, band_hash), then the
+    usual position-agreement estimate. Unlike the self-join variant no
+    ``id_l < id_r`` ordering applies — left/right are distinct roles.
+    """
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        sig = sigs.select(F.col(id_col).alias(f"id_{side}"), F.col("signature").alias(f"sig_{side}"))
+        r_expr = F.floor(F.size(f"sig_{side}") / bands).cast("int")
+        return sig.select(
+            f"id_{side}",
+            f"sig_{side}",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        F.hash(
+                            F.slice(F.col(f"sig_{side}"), (b * r_expr) + 1, r_expr)
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        ).select(f"id_{side}", f"sig_{side}", "band.band_idx", "band.band_hash")
+
+    pairs = (
+        banded(left_sigs, "l")
+        .join(banded(right_sigs, "r"), on=["band_idx", "band_hash"])
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    if est_jaccard_threshold is None:
+        return pairs.select(
+            F.col("id_l").alias(f"{id_col}_l"), F.col("id_r").alias(f"{id_col}_r")
+        )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_l"), F.col("sig_r"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_l")
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_jaccard_threshold)
+        .select(
+            F.col("id_l").alias(f"{id_col}_l"),
+            F.col("id_r").alias(f"{id_col}_r"),
+            "est_jaccard",
+        )
+    )
