@@ -1413,6 +1413,60 @@ def streaming_dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.sql(f"select doc_id, lang, fingerprint from {name} order by doc_id")
 
 
+def _streaming_near_dedup_oracle() -> str:
+    """With id-ordered chunking, the incremental rule "dup ⟺ LSH-matches
+    any earlier-arrived or lower-id-in-batch doc" collapses to the global
+    "matches any lower-id doc" — so the full streaming run is checkable
+    against the SAME MinHash SQL replica as minhash_near_dups, wrapped as
+    an IN-subquery membership flag."""
+    inner = _minhash_sql(threshold=0.5)
+    return f"""
+    WITH pairs AS (SELECT * FROM ({inner}) p)
+    SELECT d.doc_id, (d.doc_id IN (SELECT doc_id_r FROM pairs)) AS is_dup
+    FROM documents d
+    """
+
+
+# Streaming incremental near-dedup, END-TO-END value-hash checked: the
+# documents table is split into 3 id-ordered chunks streamed one
+# file per micro-batch through the foreachBatch pipeline (signature
+# store accumulating across batches); the oracle recomputes every
+# decision from the batch MinHash replica. This is the strongest
+# correctness statement in the streaming tier — not a twin of a batch
+# query, but the actual multi-micro-batch run hashed against SQL.
+@query("streaming_near_dedup_decisions", oracle=_streaming_near_dedup_oracle())
+def streaming_near_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming.incremental_dedup import run_incremental_near_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (hi - lo) // 3 + 1
+    tmp = tempfile.mkdtemp(prefix="snd_")
+    for i in range(3):
+        d.filter(
+            (F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)
+        ).coalesce(1).write.parquet(f"{tmp}/src/chunk_{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*")
+    )
+    q = run_incremental_near_dedup(
+        spark,
+        stream,
+        store_path=f"{tmp}/store",
+        sink=f"{tmp}/decisions",
+        est_jaccard_threshold=0.5,
+        shingle_n=2,
+        hash_fn="md5",
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/decisions").select("doc_id", "is_dup")
+
+
 # ---------------------------------------------------------------------------
 # P11 seeded sampling — content-hash based (operators/sampling.py), so the
 # sample is partition-independent, retry-stable, AND value-hash oracle-able
