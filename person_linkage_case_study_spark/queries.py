@@ -1589,6 +1589,54 @@ def _packing_oracle() -> str:
     """
 
 
+# Pretraining-assembly capstone: temperature-style mixture upsampling →
+# deterministic hash-order shuffle → fixed-budget sequence packing, all
+# in one plan. Repeated copies are distinct packing keys ((doc_id,
+# copy_idx)), so the hash order spreads a document's epochs apart — the
+# property mixture+shuffle+packing must jointly deliver. Every stage has
+# an exact SQL replica, so the composition is value-hash checked
+# end-to-end.
+def _assembly_oracle() -> str:
+    from .operators.sampling import mixture_upsample_sql
+    from .textops.packing import pack_sequences_sql
+
+    up = mixture_upsample_sql(
+        "lang", _MIX_WEIGHTS, ["doc_id"], seed=23, table="documents"
+    )
+    seq = pack_sequences_sql(
+        ["doc_id", "copy_idx"], "n_tokens", target_tokens=2048, seed=17
+    )
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+    WITH up AS ({up}),
+    t AS (SELECT doc_id, copy_idx, len({toks}) AS n_tokens FROM up),
+    p AS (SELECT doc_id, copy_idx, n_tokens, {seq} AS seq_id FROM t)
+    SELECT seq_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM p GROUP BY seq_id
+    """
+
+
+@query("pretraining_assembly_pipeline", oracle=_assembly_oracle())
+def pretraining_assembly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import mixture_upsample
+    from .textops.analysis import tokens
+    from .textops.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    up = mixture_upsample(d, "lang", _MIX_WEIGHTS, ["doc_id"], seed=23)
+    t = up.select(
+        "doc_id", "copy_idx", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        t, ["doc_id", "copy_idx"], "n_tokens", target_tokens=2048, seed=17
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 @query("pack_documents_into_sequences", oracle=_packing_oracle())
 def pack_documents_into_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops.analysis import tokens
