@@ -34,9 +34,9 @@ HEADLINE = [
     "events_sessionized",
     "dedup_exact_documents",
     "minhash_near_dups",
-    "ngram_jaccard_docs",
+    "dedup_near_exact_pipeline",
     "ann_brute_force_topk",
-    "text_token_stats",
+    "text_analysis_suite",
     "cascade_mini",
 ]
 

@@ -235,12 +235,20 @@ def mixture_upsample(
     Sources absent from ``weights`` get weight 0 (dropped). ``copy_col``
     numbers the copies 0..n-1 so downstream global shuffling
     (``hash_shuffle`` keyed on key+copy) spreads repeats apart.
+
+    The per-source base count and fractional-copy hash threshold are
+    computed driver-side as Python ints and enter BOTH the Spark plan and
+    the SQL replica as identical integer literals (``_mixture_literals``)
+    — engine-side float→int casts disagree at the margin (Spark ``cast``
+    truncates, DuckDB rounds: a 2^-32-per-doc latent flake, r2 ADVICE),
+    matching the established ``hash_sample`` literal pattern.
     """
-    w = F.lit(None).cast("double")
+    base = F.lit(None).cast("long")
+    frac_thr = F.lit(None).cast("long")
     for src, wt in weights.items():
-        w = F.when(F.col(weights_by) == src, F.lit(float(wt))).otherwise(w)
-    base = F.floor(w).cast("long")
-    frac_thr = ((w - F.floor(w)) * MOD32).cast("long")
+        b, t = _mixture_literals(wt)
+        base = F.when(F.col(weights_by) == src, F.lit(b)).otherwise(base)
+        frac_thr = F.when(F.col(weights_by) == src, F.lit(t)).otherwise(frac_thr)
     extra = (md5_hash32(_key(seed, key_cols)) < frac_thr).cast("long")
     n = (base + extra).alias("__n")
     return (
@@ -249,6 +257,16 @@ def mixture_upsample(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def _mixture_literals(wt: float) -> tuple[int, int]:
+    """(base copies, fractional-copy hash threshold) for one mixture
+    weight, as plain ints — the same double arithmetic the engines would
+    run (float mul then truncation), done ONCE driver-side so both the
+    Spark CASE and the DuckDB CASE carry the identical literal."""
+    w = float(wt)
+    b = int(w)
+    return b, int((w - b) * MOD32)
 
 
 def mixture_upsample_sql(
@@ -262,17 +280,22 @@ def mixture_upsample_sql(
     """DuckDB SELECT replicating ``mixture_upsample``: scalar
     ``generate_series`` (a LIST) unnested in the projection — DuckDB's
     table-function form rejects lateral column arguments. Compose as a
-    subquery; the caller selects columns on top."""
-    arms = " ".join(
-        f"WHEN {weights_by} = '{s}' THEN CAST({float(w)!r} AS DOUBLE)"
-        for s, w in weights.items()
+    subquery; the caller selects columns on top. Thresholds are the same
+    integer literals the Spark plan carries (``_mixture_literals``)."""
+    lits = {s: _mixture_literals(w) for s, w in weights.items()}
+    base_arms = " ".join(
+        f"WHEN {weights_by} = '{s}' THEN CAST({b} AS BIGINT)"
+        for s, (b, _) in lits.items()
     )
-    w = f"(CASE {arms} ELSE NULL END)"
+    thr_arms = " ".join(
+        f"WHEN {weights_by} = '{s}' THEN CAST({t} AS BIGINT)"
+        for s, (_, t) in lits.items()
+    )
     extra = (
         f"(CASE WHEN {_key_sql(seed, key_cols)} < "
-        f"CAST(({w} - floor({w})) * {MOD32} AS BIGINT) THEN 1 ELSE 0 END)"
+        f"(CASE {thr_arms} ELSE NULL END) THEN 1 ELSE 0 END)"
     )
-    n = f"(CAST(floor({w}) AS BIGINT) + {extra})"
+    n = f"((CASE {base_arms} ELSE NULL END) + {extra})"
     return (
         f"SELECT {table}.*, CAST(unnest(generate_series(0, {n} - 1)) AS BIGINT)"
         f" AS {copy_col} FROM {table} WHERE {n} > 0"

@@ -73,7 +73,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int):
     return rng.standard_normal((n_planes, dim))
 
 
-def _buckets_udf(all_planes):
+def seeded_int_planes(dim: int, n_planes: int, seed: int, scale: int = 1000):
+    """Integer-valued random hyperplanes in [-scale, scale] from a seeded
+    RNG. With vectors quantized to integers (``_quantize_int``), bucket
+    bits come from the sign of an INTEGER dot product — bit-exact in any
+    engine regardless of summation order, so the LSH assignment is
+    engine-reproducible and a SQL oracle can replay it verbatim. (The
+    float-dot sign of a near-zero projection is summation-order dependent
+    — the same latent-flake class the r2 ADVICE flagged on
+    mixture_upsample thresholds.)"""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-scale, scale + 1, size=(n_planes, dim)).astype(np.int64)
+
+
+def _quantize_int(V: np.ndarray, scale: float) -> np.ndarray:
+    """floor(x*scale + 0.5) — three IEEE ops with no summation, identical
+    in numpy and SQL ``floor(x*scale + 0.5)``, so both engines derive the
+    same integer grid from the same float vectors."""
+    return np.floor(V * scale + 0.5).astype(np.int64)
+
+
+def _buckets_udf(all_planes, quantize: float | None = None):
     """Sign-bit bucket ids of a vector against every table's hyperplanes,
     as ONE Arrow-vectorized pass (array<long>, one bucket per table).
 
@@ -94,6 +114,8 @@ def _buckets_udf(all_planes):
         if not len(vs):
             return pd.Series([], dtype="object")
         V = np.stack(vs.to_numpy())
+        if quantize is not None:
+            V = _quantize_int(V, quantize)  # int64 @ int64 — exact
         signs = (V @ flat.T) > 0  # (n, n_tables*n_planes)
         signs = signs.reshape(len(V), n_tables, n_planes)
         b = (signs * weights[None, None, :]).sum(axis=2)  # (n, n_tables)
@@ -112,14 +134,26 @@ def lsh_bucket_topk(
     n_tables: int = 4,
     seed: int = 7,
     dim: int | None = None,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket in ≥1 of
     ``n_tables`` hyperplane tables, ranked by exact cosine within the
     candidate set. Recall grows with n_tables; candidate count shrinks
-    with n_planes (expected corpus/2^n_planes per bucket)."""
+    with n_planes (expected corpus/2^n_planes per bucket).
+
+    ``quantize``: when set (e.g. 10000), hyperplanes are integer-valued
+    (``seeded_int_planes``) and vectors are snapped to the integer grid
+    ``floor(x*quantize + 0.5)`` before the sign test — bucket assignment
+    becomes exact integer arithmetic, reproducible bit-for-bit across
+    engines (the catalog oracle replays it in SQL). Final ranking still
+    uses the full-precision cosine."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    buckets = _buckets_udf([_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)])
+    if quantize is not None:
+        planes = [seeded_int_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+    else:
+        planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    buckets = _buckets_udf(planes, quantize=quantize)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("corpus_vec"),
@@ -305,7 +339,19 @@ def ivf_train_centroids(
     return [[float(x) for x in c] for c in _train_kmeans_np(X, n_centroids, iters)]
 
 
-def _assign_udf(centroids):
+def _centroid_matrix(centroids, quantize: float | None):
+    """(C, cn): centroid matrix and its per-row squared norms — quantized
+    to the integer grid when ``quantize`` is set, so distance comparisons
+    (cn - 2 v·c, the |v|²-free argmin form) are exact int64 arithmetic
+    identical to a SQL replay."""
+    C = np.asarray(centroids, dtype=np.float64)
+    if quantize is not None:
+        C = _quantize_int(C, quantize)
+    cn = (C * C).sum(axis=1)
+    return C, cn
+
+
+def _assign_udf(centroids, quantize: float | None = None):
     """Vectorized nearest-centroid pandas UDF (ties -> lowest cluster id).
 
     asNondeterministic stops Catalyst cloning the UDF across pushdown
@@ -313,35 +359,41 @@ def _assign_udf(centroids):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
-    C = np.asarray(centroids, dtype=np.float64)
-    cn = (C * C).sum(axis=1)
+    C, cn = _centroid_matrix(centroids, quantize)
 
     @pandas_udf(IntegerType())
     def assign(vs: pd.Series) -> pd.Series:
         if not len(vs):
             return pd.Series([], dtype="int32")
         V = np.stack(vs.to_numpy())
-        d = cn[None, :] - 2.0 * (V @ C.T)
+        if quantize is not None:
+            V = _quantize_int(V, quantize)
+            d = cn[None, :] - 2 * (V @ C.T)
+        else:
+            d = cn[None, :] - 2.0 * (V @ C.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     return assign.asNondeterministic()
 
 
-def _probe_udf(centroids, nprobe: int):
+def _probe_udf(centroids, nprobe: int, quantize: float | None = None):
     """Vectorized nprobe-nearest-cells pandas UDF -> array<int> per query
     (cells ordered by distance, ties by cluster id — stable argsort)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    C = np.asarray(centroids, dtype=np.float64)
-    cn = (C * C).sum(axis=1)
+    C, cn = _centroid_matrix(centroids, quantize)
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe(vs: pd.Series) -> pd.Series:
         if not len(vs):
             return pd.Series([], dtype="object")
         V = np.stack(vs.to_numpy())
-        d = cn[None, :] - 2.0 * (V @ C.T)
+        if quantize is not None:
+            V = _quantize_int(V, quantize)
+            d = cn[None, :] - 2 * (V @ C.T)
+        else:
+            d = cn[None, :] - 2.0 * (V @ C.T)
         order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
@@ -353,13 +405,37 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     cluster_col: str = "ivf_cluster",
+    quantize: float | None = None,
 ) -> DataFrame:
     """Add the nearest-centroid id — usable directly as a ``block_col``
     for ``embedding_near_dup_pairs``."""
-    assign = _assign_udf(centroids)
+    assign = _assign_udf(centroids, quantize=quantize)
     return df.withColumn(
         cluster_col, assign(F.col(vec_col).cast("array<double>"))
     )
+
+
+def ivf_medoid_centroids(
+    corpus: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Medoid quantizer: centroids are the embedding vectors of explicit
+    corpus ids (ordered as given). A shade worse than k-means as a coarse
+    quantizer, but fully engine-reproducible: an oracle can fetch the
+    same rows by id in SQL — no float means, no RNG, no training sample.
+    """
+    rows = (
+        corpus.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    by_id = {r["id"]: r["v"] for r in rows}
+    missing = [i for i in centroid_ids if i not in by_id]
+    if missing:
+        raise ValueError(f"centroid ids not in corpus: {missing}")
+    return [[float(x) for x in by_id[i]] for i in centroid_ids]
 
 
 def ivf_topk(
@@ -372,6 +448,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: each query probes its ``nprobe`` nearest
     IVF cells; candidates in those cells are ranked by exact cosine.
@@ -380,6 +457,12 @@ def ivf_topk(
     cell join shuffles on cluster id — at scale, write the corpus
     partitioned by cluster once and every query batch prunes to nprobe
     partitions (partition pruning on the scan).
+
+    ``quantize``: snap vectors and centroids to the integer grid
+    ``floor(x*quantize + 0.5)`` for assignment/probing — cell choice
+    becomes exact int64 arithmetic a SQL oracle can replay (pair with
+    ``ivf_medoid_centroids`` for engine-reproducible centroids). Final
+    ranking still uses full-precision cosine.
     """
     if centroids is None:
         centroids = ivf_train_centroids(
@@ -393,8 +476,9 @@ def ivf_topk(
         centroids,
         vec_col="corpus_vec",
         cluster_col="cl",
+        quantize=quantize,
     )
-    probe = _probe_udf(centroids, nprobe)
+    probe = _probe_udf(centroids, nprobe, quantize=quantize)
     probed = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("query_vec"),

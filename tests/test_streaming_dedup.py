@@ -94,3 +94,62 @@ def test_store_accumulates_all(spark, tmp_path_factory):
     store = spark.read.parquet(str(tmp / "store"))
     assert store.count() == 7  # dups stored too — they witness later docs
     assert store.select(F.size("signature")).distinct().collect()[0][0] == 64
+
+
+def test_replay_idempotent(spark, tmp_path_factory):
+    """foreachBatch replay contract: re-running a batch with the same
+    batch_id (the restart-after-mid-batch-failure case, where the failed
+    attempt may already have written this batch's store partition) must
+    produce the SAME decisions and store — no self-matching, no
+    duplicated rows (r2 ADVICE)."""
+    from person_linkage_case_study_spark.streaming.incremental_dedup import (
+        parquet_decisions_sink,
+        process_dedup_batch,
+    )
+
+    tmp = tmp_path_factory.mktemp("dedup_replay")
+    docs = _docs()
+    store, sink = str(tmp / "store"), str(tmp / "decisions")
+    sink_fn = parquet_decisions_sink(sink)
+    b0 = spark.createDataFrame(docs[:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(docs[3:], "doc_id long, text string")
+
+    def snapshot():
+        dec = {
+            r["doc_id"]: r["is_dup"]
+            for r in spark.read.parquet(sink).collect()
+        }
+        st = spark.read.parquet(store)
+        return dec, st.count(), {r["doc_id"] for r in st.select("doc_id").collect()}
+
+    process_dedup_batch(spark, b0, 0, store, sink_fn, shingle_n=2)
+    process_dedup_batch(spark, b1, 1, store, sink_fn, shingle_n=2)
+    first = snapshot()
+    assert first[1] == 7 and len(first[0]) == 7
+    # worst-case replay: batch 1's store partition is fully present
+    process_dedup_batch(spark, b1, 1, store, sink_fn, shingle_n=2)
+    assert snapshot() == first
+    # doc 7 must still be flagged (dup of 4, batch 0 history), and the
+    # unique batch-1 docs must NOT have been self-matched on replay
+    dec = snapshot()[0]
+    assert dec[7] is True and dec[4] is False and dec[5] is False
+
+
+def test_read_store_propagates_non_missing_errors(spark, tmp_path_factory):
+    """Only the missing-path case degrades to an empty store; a corrupt
+    store file must raise, not silently disable cross-batch dedup."""
+    import pytest as _pytest
+
+    from person_linkage_case_study_spark.streaming.incremental_dedup import (
+        _read_store,
+    )
+
+    tmp = tmp_path_factory.mktemp("dedup_store_err")
+    # missing path → empty store
+    assert _read_store(spark, str(tmp / "nope")).count() == 0
+    # corrupt file → error surfaces at read/execute time
+    bad = tmp / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    with _pytest.raises(Exception):
+        _read_store(spark, str(bad)).count()

@@ -98,9 +98,10 @@ def main() -> None:
     check("jw", p.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in p,
           f"JW is JVM-native or one Arrow node (got {p.count('ArrowEvalPython')} arrow)")
 
-    print("== j3_customers_no_open_orders ==")
-    p = plan_of(qs["j3_customers_no_open_orders"](spark, sf_dir))
-    check("j3", "LeftAnti" in p, "anti-join is a first-class LeftAnti join")
+    print("== j34_urgent_no_open_customers ==")
+    p = plan_of(qs["j34_urgent_no_open_customers"](spark, sf_dir))
+    check("j34", "LeftAnti" in p and "LeftSemi" in p,
+          "anti- and semi-join are first-class LeftAnti/LeftSemi joins")
 
     print("== dedup_exact_documents ==")
     p = plan_of(qs["dedup_exact_documents"](spark, sf_dir))
