@@ -41,8 +41,46 @@ HEADLINE = [
 ]
 
 
+def run_cascade_ri_scale(sf_dir: str) -> None:
+    """Exclusive mode (``--mode=cascade_ri_scale`` or
+    ``SPARK_GRAFT_BENCH_MODE=cascade_ri_scale``): the baseline
+    head-to-head — tools/bench_linkage.py at 8× orders scale ≈ 1.2M
+    person records, the shape of the reference's ri benchmark (1,099,938
+    records in 1670.58s on 10 dask workers × 2 cpu,
+    benchmarks/benchmark-ri.txt:2). Run it ALONE: concurrent Spark jobs
+    on this box inflate the wall 30%+ (SCALING.md rehearsal notes)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_linkage.py", sf_dir, "8"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = next(
+        (
+            l for l in reversed(proc.stdout.splitlines())
+            if l.startswith("{") and '"metric"' in l
+        ),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(proc.returncode or 1)
+    payload = json.loads(line)
+    payload["metric"] = "cascade_1p2m_wall"
+    print(json.dumps(payload))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "headline")
+    for a in sys.argv[1:]:
+        if a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+    if mode == "cascade_ri_scale":
+        run_cascade_ri_scale(sf_dir)
+        return
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     qs = catalog.queries()

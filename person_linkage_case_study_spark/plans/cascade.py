@@ -83,6 +83,16 @@ class PassStats:
     n_still_eligible: int
 
 
+@dataclass
+class ConfirmStats:
+    """Per-module confirm drops (reference 03:2132-2234 reports both:
+    small_sample drops 115 deceased links and 4 multi-PIK conflicts)."""
+
+    module: str
+    n_deceased_dropped: int
+    n_multi_pik_dropped: int
+
+
 class PersonLinkageCascade:
     """Driver-side cascade state machine.
 
@@ -136,6 +146,7 @@ class PersonLinkageCascade:
         self.dates_of_death = dates_of_death
         self.collect_stats = collect_stats
         self.stats: list[PassStats] = []
+        self.confirm_stats: list[ConfirmStats] = []
         # accumulator: ≤1 row per record_id_raw_input_file after each module
         self.confirmed_piks: DataFrame = spark.createDataFrame(
             [],
@@ -292,12 +303,16 @@ class PersonLinkageCascade:
             piks, on="record_id_reference_file", how="left"
         )
 
+        n_deceased_dropped = -1
         if self.dates_of_death is not None:
             dod = self.dates_of_death.select("pik", "date_of_death")
-            links = links.join(F.broadcast(dod), on="pik", how="left").filter(
-                F.col("date_of_death").isNull()
-                | (F.col("date_of_death") > F.lit(CENSUS_DAY).cast("date"))
-            ).drop("date_of_death")
+            alive = F.col("date_of_death").isNull() | (
+                F.col("date_of_death") > F.lit(CENSUS_DAY).cast("date")
+            )
+            links = links.join(F.broadcast(dod), on="pik", how="left")
+            if self.collect_stats:
+                n_deceased_dropped = links.filter(~alive).count()
+            links = links.filter(alive).drop("date_of_death")
 
         # best links per raw input record (ties kept), then drop records
         # whose tied best links name >1 distinct PIK (reference 03:2171-2207)
@@ -310,6 +325,11 @@ class PersonLinkageCascade:
         single = pik_counts.filter(F.col("num_unique_piks") <= 1).select(
             "record_id_raw_input_file"
         )
+        if self.collect_stats:
+            n_multi = pik_counts.filter(F.col("num_unique_piks") > 1).count()
+            self.confirm_stats.append(
+                ConfirmStats(cfg.name, n_deceased_dropped, n_multi)
+            )
         confirmed = keep_best(
             best.join(single, on="record_id_raw_input_file", how="left_semi"),
             keys=["record_id_raw_input_file"],

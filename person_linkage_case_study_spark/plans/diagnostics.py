@@ -96,6 +96,74 @@ def gamma_pattern_summary(
     )
 
 
+def parameter_estimate_comparisons_table(
+    spark: SparkSession,
+    histories: list[list[dict]],
+    session_labels: list[str] | None = None,
+) -> DataFrame:
+    """Splink's ``parameter_estimate_comparisons_chart`` data: each EM
+    training session's FINAL m estimate per (comparison, gamma), side by
+    side, with the cross-session spread — the reference compares the
+    block-on-name and block-on-DOB sessions' estimates this way
+    (03_link_datasets.ipynb:1702). Feed it the ``histories=`` output of
+    ``estimate_m_two_sessions``; a comparison appears only for sessions
+    that estimated it (sessions skip their own blocking columns).
+    """
+    rows = []
+    for si, hist in enumerate(histories):
+        label = session_labels[si] if session_labels else f"session_{si}"
+        final: dict[tuple[str, int], float] = {}
+        for h in hist:  # iteration order — last write is the converged m
+            final[(h["comparison"], h["gamma"])] = float(h["m"])
+        rows += [(label, comp, g, m) for (comp, g), m in final.items()]
+    df = spark.createDataFrame(
+        rows, "session string, comparison string, gamma int, m_estimate double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comparison", "gamma")
+    return df.select(
+        "session",
+        "comparison",
+        "gamma",
+        F.round("m_estimate", 6).alias("m_estimate"),
+        F.round(
+            F.max("m_estimate").over(w) - F.min("m_estimate").over(w), 6
+        ).alias("m_spread"),
+        F.count(F.lit(1)).over(w).alias("n_sessions"),
+    )
+
+
+def pair_drilldown_table(
+    scored_pairs: DataFrame, model: LinkageModel, id_cols: list[str]
+) -> DataFrame:
+    """Comparison-viewer per-pair drilldown (03_link_datasets.ipynb:
+    2036-2041): for every scored pair, the observed gamma vector, the
+    prior weight, each comparison's log2 Bayes factor contribution, and
+    the total — the waterfall Splink renders per record pair. Pure
+    in-plan column arithmetic over the scored table (model constants as
+    literals, same emission as ``score_pairs``), so it scales with the
+    pair stream and is spot-checkable: prior + Σ contributions =
+    match_weight."""
+    from ..operators.scoring import _log2_bayes_factor
+
+    prior = float(round(math.log2(model.prior_odds()), 6))
+    contribs = [
+        F.round(_log2_bayes_factor(c), 6).alias(f"log2_bf_{c.col}")
+        for c in model.comparisons
+    ]
+    total = F.lit(math.log2(model.prior_odds()))
+    for c in model.comparisons:
+        total = total + _log2_bayes_factor(c)
+    return scored_pairs.select(
+        *id_cols,
+        *[F.col(c.gamma_col) for c in model.comparisons],
+        F.lit(prior).alias("prior_weight"),
+        *contribs,
+        F.round(total, 6).alias("total_match_weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chart emission — the reference publishes Splink's diagnostics as HTML
 # reports (45 files under diagnostics/splink_reports/). Parity here is a
@@ -152,6 +220,25 @@ def match_weights_chart_spec(weights_table: DataFrame) -> dict:
                 "condition": {"test": "datum.match_weight > 0", "value": "#2a7"},
                 "value": "#c33",
             },
+        },
+    )
+
+
+def parameter_estimate_comparisons_chart_spec(table: DataFrame) -> dict:
+    """Splink's parameter-estimate-comparison chart: per (comparison,
+    gamma) grouped bars, one bar per EM session (ref 03:1702)."""
+    vals = [r.asDict() for r in table.collect()]
+    return _vl(
+        "m estimates across training sessions",
+        vals,
+        "bar",
+        {
+            "row": {"field": "comparison", "type": "nominal"},
+            "x": {"field": "m_estimate", "type": "quantitative",
+                  "axis": {"format": ".4f"}},
+            "y": {"field": "gamma", "type": "ordinal"},
+            "color": {"field": "session", "type": "nominal"},
+            "xOffset": {"field": "session"},
         },
     )
 

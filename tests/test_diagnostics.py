@@ -178,3 +178,97 @@ def test_chart_specs_and_report(spark, tmp_path):
     html = out.read_text()
     assert "vegaEmbed" in html and '"match_weight"' in html
     assert html.count("<h2>") == 3
+
+
+def test_parameter_estimate_comparisons_table(spark):
+    """The cross-session m-estimate comparison (ref 03:1702): final m per
+    session per (comparison, gamma), with spread; sessions only carry the
+    comparisons they estimated."""
+    from person_linkage_case_study_spark.plans.diagnostics import (
+        parameter_estimate_comparisons_table,
+    )
+
+    # two synthetic histories: session 0 estimated name, session 1 both
+    h0 = [
+        {"iteration": 1, "comparison": "name", "gamma": 1, "m": 0.5, "max_delta": 1},
+        {"iteration": 2, "comparison": "name", "gamma": 1, "m": 0.62, "max_delta": 0.1},
+    ]
+    h1 = [
+        {"iteration": 1, "comparison": "name", "gamma": 1, "m": 0.7, "max_delta": 1},
+        {"iteration": 1, "comparison": "dob", "gamma": 1, "m": 0.3, "max_delta": 1},
+    ]
+    t = parameter_estimate_comparisons_table(
+        spark, [h0, h1], session_labels=["block_dob", "block_name"]
+    )
+    rows = {(r["session"], r["comparison"], r["gamma"]): r for r in t.collect()}
+    # last iteration wins as the session estimate
+    assert rows[("block_dob", "name", 1)]["m_estimate"] == 0.62
+    assert rows[("block_name", "name", 1)]["m_estimate"] == 0.7
+    assert rows[("block_dob", "name", 1)]["m_spread"] == pytest.approx(0.08)
+    assert rows[("block_dob", "name", 1)]["n_sessions"] == 2
+    assert rows[("block_name", "dob", 1)]["n_sessions"] == 1
+    assert rows[("block_name", "dob", 1)]["m_spread"] == 0.0
+
+
+def test_parameter_comparisons_from_real_two_session_run(spark):
+    """End-to-end: histories= from estimate_m_two_sessions feed the table;
+    each session contributes only the non-blocked comparison."""
+    from person_linkage_case_study_spark.plans.diagnostics import (
+        parameter_estimate_comparisons_chart_spec,
+        parameter_estimate_comparisons_table,
+    )
+
+    left = spark.createDataFrame(
+        [(f"n{i}", f"d{i}") for i in range(60)], ["name", "dob"]
+    )
+    right = spark.createDataFrame(
+        [(f"n{i}" if i % 5 else f"x{i}", f"d{i}") for i in range(60)],
+        ["name", "dob"],
+    )
+    name_c, dob_c = exact_comparison("name"), exact_comparison("dob")
+    name_c.u, dob_c.u = [0.9, 0.1], [0.9, 0.1]
+    model = LinkageModel([name_c, dob_c], lambda_prior=0.999)
+    histories = []
+    estimate_m_two_sessions(
+        left, right, [["dob"], ["name"]], model, histories=histories
+    )
+    t = parameter_estimate_comparisons_table(
+        spark, histories, session_labels=["block_dob", "block_name"]
+    )
+    got = {(r["session"], r["comparison"]) for r in t.collect()}
+    assert ("block_dob", "name") in got and ("block_name", "dob") in got
+    assert ("block_dob", "dob") not in got  # session skips its own block col
+    spec = parameter_estimate_comparisons_chart_spec(t)
+    assert spec["mark"] == "bar" and spec["encoding"]["color"]["field"] == "session"
+
+
+def test_pair_drilldown_table(spark):
+    """Per-pair waterfall (ref 03:2036-2041): prior + per-comparison
+    contributions reconstruct the pair's match weight exactly."""
+    from person_linkage_case_study_spark.operators.gamma import banded_comparison  # noqa: F401
+    from person_linkage_case_study_spark.plans.diagnostics import pair_drilldown_table
+
+    model = make_model()
+    pairs = spark.createDataFrame(
+        [
+            ("a", "x", "JONES", "JONES", 2001, 2001),
+            ("b", "y", "JONES", "SMITH", 2001, 1990),
+        ],
+        ["id_l", "id_r", "name_l", "name_r", "year_l", "year_r"],
+    )
+    scored = score_pairs(pairs, model)
+    d = {r["id_l"]: r for r in pair_drilldown_table(
+        scored, model, id_cols=["id_l", "id_r"]
+    ).collect()}
+    a = d["a"]
+    assert a["gamma_name"] == 2 and a["gamma_year"] == 1
+    expected = (
+        math.log2(0.01 / 0.99) + math.log2(0.7 / 0.05) + math.log2(0.8 / 0.1)
+    )
+    assert a["total_match_weight"] == pytest.approx(expected, abs=1e-5)
+    assert a["prior_weight"] + a["log2_bf_name"] + a["log2_bf_year"] == pytest.approx(
+        a["total_match_weight"], abs=2e-6
+    )
+    b = d["b"]
+    assert b["gamma_name"] in (0, 1) and b["gamma_year"] == 0
+    assert b["log2_bf_year"] == pytest.approx(math.log2(0.2 / 0.9), abs=1e-5)

@@ -122,3 +122,16 @@ def test_lineage_merge(spark):
     lin = {(r["record_id"], r["source_record_id"]) for r in lineage.collect()}
     # s1's merged row (keeps r1) carries both r1 and r3 as sources
     assert ("r1", "r1") in lin and ("r1", "r3") in lin
+
+
+def test_catalog_window_and_operator_map_drift():
+    """Every registry entry sits inside the driver's 50-entry verification
+    window, has an oracle, and appears in the catalog report's operator
+    map (tools/catalog_report.py) — the r2 process defect, pinned."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.catalog_report import build_report
+
+    _, problems = build_report()
+    assert problems == []

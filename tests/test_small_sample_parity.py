@@ -137,27 +137,74 @@ def test_shape_matches_small_sample(pipeline_result):
 
 
 def test_pik_coverage_band(pipeline_result):
-    # reference small_sample: 89.38% PIKed (03 cell 150; 2010 CUF: 90.28%)
+    # reference small_sample: 89.38% PIKed (03 cell 150; 2010 CUF: 90.28%).
+    # ±3pp band — the synthesized world lands at 91.7%, the reference at
+    # 89.38; anything outside means the noise model or the cascade drifted
     r = pipeline_result["report"]
-    assert 0.84 <= r.piked_proportion <= 0.95, r.as_dict()
+    assert 0.87 <= r.piked_proportion <= 0.93, r.as_dict()
 
 
 def test_accuracy_bands(pipeline_result):
     # reference: 99.60% of assigned PIKs correct under definition 3
+    # (04 cell 49; real PVS: 99.82%) — this world scores 1.0
     r = pipeline_result["report"]
-    assert r.accuracy_def3 >= 0.99, r.as_dict()
-    assert r.accuracy_def1 >= 0.97, r.as_dict()
-    # nearly everyone is possible to PIK (reference: 99.55%)
-    assert r.possible_to_pik_proportion >= 0.90, r.as_dict()
+    assert r.accuracy_def3 >= 0.995, r.as_dict()
+    assert r.accuracy_def1 >= 0.99, r.as_dict()
+    # nearly everyone is possible to PIK (reference: 99.55%; this world
+    # synthesizes 94% SSA coverage, so its ceiling is ~0.94)
+    assert r.possible_to_pik_proportion >= 0.93, r.as_dict()
 
 
-def test_pass_profile_first_pass_dominates(pipeline_result):
-    # reference: geokey pass finds 6,950 of ~12,151 total links (57%)
+def test_pass_profile_bands(pipeline_result):
+    """Per-pass link-count profile vs the reference's published run
+    (03 cells 86-143: geosearch 6950/46/756/2/3596, namesearch
+    281/106/13/63, dobsearch 5/68/43/129, hhcompsearch 80/13 — total
+    12,151 links on 11,043 records). The synthesized world can't hit the
+    integers, so the assertions are structural bands that hold for BOTH
+    profiles: geokey dominates, module totals are ordered geo ≫ name >
+    dob/hhcomp, every module lands inside its share band, and total
+    link volume stays near one link per census record."""
     stats = pipeline_result["cascade"].stats
     assert stats[0].module == "geosearch" and stats[0].pass_name == "geokey"
     total = sum(s.n_links for s in stats)
     assert total > 0
-    assert stats[0].n_links / total >= 0.45, [(s.pass_name, s.n_links) for s in stats]
+    profile = [(s.pass_name, s.n_links) for s in stats]
+
+    # geokey pass share: reference 57%, this world 85%
+    assert 0.55 <= stats[0].n_links / total <= 0.95, profile
+
+    by_module: dict[str, int] = {}
+    for s in stats:
+        by_module[s.module] = by_module.get(s.module, 0) + s.n_links
+    shares = {m: n / total for m, n in by_module.items()}
+    # reference shares: geo 93.4%, name 3.8%, dob 2.0%, hhcomp 0.8%
+    # this world:       geo 87.5%, name 9.9%, dob 0.9%, hhcomp 1.6%
+    assert 0.75 <= shares["geosearch"] <= 0.96, shares
+    assert 0.02 <= shares["namesearch"] <= 0.15, shares
+    assert 0.003 <= shares["dobsearch"] <= 0.05, shares
+    assert 0.003 <= shares["hhcompsearch"] <= 0.05, shares
+    assert shares["geosearch"] > shares["namesearch"] > max(
+        shares["dobsearch"], shares["hhcompsearch"]
+    ), shares
+
+    # total link volume per census record: reference 1.10, this world 1.15
+    ratio = total / pipeline_result["census_raw_count"]
+    assert 1.0 <= ratio <= 1.35, (total, ratio, profile)
+
+    # the mop-up tail is real: most passes find links (9/15 here; all 15
+    # in the reference — the zero passes are the address/name-switch
+    # variants this world's noise model doesn't generate)
+    assert sum(1 for _, n in profile if n > 0) >= 9, profile
+
+
+def test_confirm_drops_are_exercised(pipeline_result):
+    """The confirm stage's two drop rules both fire on this world
+    (reference: 115 deceased links dropped, 4 multi-PIK conflicts,
+    03 cell 97) — without nonzero counts the deceased/multi-PIK tests
+    would be vacuously green."""
+    cs = pipeline_result["cascade"].confirm_stats
+    assert sum(c.n_deceased_dropped for c in cs) > 0, cs
+    assert sum(c.n_multi_pik_dropped for c in cs) > 0, cs
 
 
 def test_every_module_contributes(pipeline_result):
