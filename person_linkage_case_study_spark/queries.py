@@ -1589,21 +1589,25 @@ def streaming_near_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def _p11_oracle() -> str:
-    from .operators.sampling import hash_sample_sql
+# S7 generator source: the pseudopeople-style simulated-census generator
+# (reference notebook 01), re-expressed as pure hash projections over
+# spark.range — zero shuffle, deterministic under repartition/retry, and
+# (uniquely vs the reference's numpy RNG) replayable verbatim in DuckDB,
+# so the full generated table is value-hash checked. Uses the reference's
+# "very noisy" config (01 cells 14-17).
+def _s7_oracle() -> str:
+    from .sources.generator import generate_decennial_census_sql, very_noisy_config
 
-    pred = hash_sample_sql(["o_orderkey"], fraction=0.1, seed=1234)
-    return f"SELECT o_orderkey, o_custkey FROM orders WHERE {pred}"
+    return generate_decennial_census_sql(15_000, year=2030, seed=0,
+                                         config=very_noisy_config())
 
 
-@query("p11_seeded_sample", oracle=_p11_oracle())
-def p11_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.sampling import hash_sample
+@query("s7_generated_census", oracle=_s7_oracle())
+def s7_generated_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.generator import generate_decennial_census, very_noisy_config
 
-    o = _t(spark, sf_dir, "orders")
-    return hash_sample(o, ["o_orderkey"], fraction=0.1, seed=1234).select(
-        "o_orderkey", "o_custkey"
-    )
+    return generate_decennial_census(spark, 15_000, year=2030, seed=0,
+                                     config=very_noisy_config())
 
 
 # Training-data rebalancing: per-language quotas, content-hash decided —
@@ -1621,22 +1625,31 @@ _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def _strata_split_oracle() -> str:
-    from .operators.sampling import hash_split_sql, stratified_hash_sample_sql
+    from .operators.sampling import (
+        hash_sample_sql,
+        hash_split_sql,
+        stratified_hash_sample_sql,
+    )
 
+    p11 = hash_sample_sql(["doc_id"], fraction=0.9, seed=1234)
     pred = stratified_hash_sample_sql("lang", _STRATA_FRACTIONS, ["doc_id"], seed=7)
     case = hash_split_sql(["doc_id"], _SPLIT_WEIGHTS, seed=11)
     return f"""
     SELECT {case} AS split, lang, count(*) AS n_docs
-    FROM documents WHERE {pred}
+    FROM documents WHERE {p11} AND {pred}
     GROUP BY 1, 2
     """
 
 
 @query("sampling_strata_and_split", oracle=_strata_split_oracle())
 def sampling_strata_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.sampling import hash_split, stratified_hash_sample
+    # P11 seeded-sample front step (content-hash sampler, former
+    # p11_seeded_sample entry) feeding the stratified sampler + split —
+    # all three sampling operators verified in one plan.
+    from .operators.sampling import hash_sample, hash_split, stratified_hash_sample
 
     d = _t(spark, sf_dir, "documents")
+    d = hash_sample(d, ["doc_id"], fraction=0.9, seed=1234)
     kept = stratified_hash_sample(d, "lang", _STRATA_FRACTIONS, ["doc_id"], seed=7)
     return (
         hash_split(kept, ["doc_id"], _SPLIT_WEIGHTS, seed=11)

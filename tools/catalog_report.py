@@ -53,8 +53,8 @@ OPERATORS: dict[str, str] = {
     "events_sessionized": "sessionization lag-window",
     "streaming_dedup_first_seen": "streaming-stateful-dedup",
     "streaming_near_dedup_decisions": "streaming-incremental-near-dedup",
-    "p11_seeded_sample": "P11",
-    "sampling_strata_and_split": "stratified-sample train-val-test-split",
+    "s7_generated_census": "S7",
+    "sampling_strata_and_split": "P11 stratified-sample train-val-test-split",
     "mixture_upsample_documents": "mixture-upsample",
     "pretraining_assembly_pipeline": "assembly-capstone",
     "pack_documents_into_sequences": "sequence-packing",
