@@ -142,6 +142,15 @@ def ngram_jaccard_pairs(
         else:
             t = t.withColumn("sz", F.size("toks"))
             payload = ["sz", "toks"]
+        # the payload table feeds BOTH join sides, and neither plan-time
+        # nor AQE exchange reuse deduplicates the two subtrees (each
+        # carries its own dictionary window / tokenization) — without the
+        # persist the encode pipeline genuinely executes twice, including
+        # two extra corpus scans (same trap as the minhash signature
+        # self-join; measured 9.4s -> 6.0s at sf0.1 / 12.3M candidates)
+        from pyspark import StorageLevel
+
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
         cand = candidates.select(
             F.col(f"{id_col}_l").alias("id_l"), F.col(f"{id_col}_r").alias("id_r")
         )
