@@ -47,11 +47,14 @@ def split_dob(df: DataFrame, date_format: str = "yyyyMMdd") -> DataFrame:
     """D1-D2: parse date_of_birth with coercion → day/month/year_of_birth ints,
     then drop the source column (reference 03_link_datasets.ipynb:703-720).
 
-    ``to_date`` returns NULL on unparseable input — the same semantics as
-    ``pd.to_datetime(errors="coerce")``. Spark's nullable IntegerType avoids
-    the reference's float upcast (SURVEY.md §1.4).
+    ``try_to_date`` returns NULL on unparseable input — the same semantics
+    as ``pd.to_datetime(errors="coerce")``. Plain ``to_date`` is NOT that:
+    under Spark 4's default ANSI mode it throws on the first malformed
+    string (found by the S7 e2e test: wrong-digit noise can corrupt a DOB
+    separator, '12/24/1970' → '12424/1970'). Spark's nullable IntegerType
+    avoids the reference's float upcast (SURVEY.md §1.4).
     """
-    dob = F.to_date(F.col("date_of_birth"), date_format)
+    dob = F.try_to_date(F.col("date_of_birth"), date_format)
     return (
         df.withColumn("month_of_birth", F.month(dob))
         .withColumn("year_of_birth", F.year(dob))

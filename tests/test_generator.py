@@ -118,3 +118,146 @@ def test_zero_shuffle_plan(spark):
     only, the property that makes it linear at 100 TB."""
     plan = generate_decennial_census(spark, N, seed=1)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_generator_feeds_full_pipeline(spark):
+    """The reference's whole notebook flow 01→02→03, entirely in-engine:
+    generated SSA/W2 datasets build the reference files (02), the
+    generated census links against them through the cascade (03), and the
+    shared latent-simulant axis provides ground truth — PIK→SSN→sid must
+    agree with the census record's sid for ≥95% of confirmed links
+    (1% wrong-digit SSN noise in W2 creates genuinely wrong geobase rows,
+    the realistic error PVS contends with)."""
+    from person_linkage_case_study_spark.operators.gamma import (
+        banded_comparison,
+        exact_comparison,
+        jw_comparison,
+    )
+    from person_linkage_case_study_spark.operators.scoring import LinkageModel
+    from person_linkage_case_study_spark.plans.cascade import (
+        CascadeConfig,
+        ModuleConfig,
+        PassConfig,
+        PersonLinkageCascade,
+    )
+    from person_linkage_case_study_spark.plans.preprocess import (
+        preprocess_census,
+        preprocess_reference_file,
+    )
+    from person_linkage_case_study_spark.plans.reference_files import (
+        build_geobase_reference_file,
+        build_name_dob_reference_file,
+        dedupe_alternates,
+        mint_pik_crosswalk,
+    )
+    from person_linkage_case_study_spark.sources.generator import (
+        generate_decennial_census,
+        generate_social_security,
+        generate_taxes_w2_and_1099,
+    )
+
+    n = 3000
+    ssa = generate_social_security(spark, n, seed=0)
+    w2 = generate_taxes_w2_and_1099(spark, n, seed=0)
+    census_raw = generate_decennial_census(spark, n, seed=0)
+
+    # notebook 02: reference files from the administrative records
+    alt_names = dedupe_alternates(
+        ssa, ["ssn", "first_name", "middle_name", "last_name"]
+    )
+    alt_dobs = dedupe_alternates(ssa, ["ssn", "date_of_birth"])
+    xwalk = mint_pik_crosswalk(ssa.select("ssn"))
+    name_dob = build_name_dob_reference_file(alt_names, alt_dobs, xwalk)
+    addrs = w2.select(
+        "record_id", "ssn",
+        *[c for c in w2.columns if c.startswith("mailing_address_")],
+    )
+    geobase = build_geobase_reference_file(name_dob, addrs)
+    dod = (
+        ssa.filter("event_type = 'date_of_death'")
+        .join(xwalk, "ssn")
+        .selectExpr("pik", "to_date(event_date, 'yyyyMMdd') AS date_of_death")
+    )
+
+    # notebook 03: preprocess + cascade
+    fake = spark.createDataFrame([("UNKNOWN",)], ["fake_name"])
+    prepped_census = preprocess_census(census_raw, fake, gq_threshold=99)
+    prepped_geobase = preprocess_reference_file(geobase)
+    prepped_name_dob = preprocess_reference_file(name_dob, has_address=False)
+
+    comps = []
+    for col, th in [("first_name_15", (0.9, 0.75)), ("last_name_12", (0.9, 0.75))]:
+        c = jw_comparison(col, thresholds=th)
+        c.m = [0.02, 0.05, 0.2, 0.73]
+        c.u = [0.85, 0.08, 0.05, 0.02]
+        comps.append(c)
+    mi = exact_comparison("middle_initial")
+    mi.m = [0.2, 0.8]
+    mi.u = [0.95, 0.05]
+    comps.append(mi)
+    for col, band in [("day_of_birth", 5), ("month_of_birth", 3), ("year_of_birth", 5)]:
+        c = banded_comparison(col, band)
+        c.m = [0.05, 0.15, 0.8]
+        c.u = [0.85, 0.1, 0.05]
+        comps.append(c)
+    gk = jw_comparison("geokey", thresholds=(0.9, 0.65))
+    gk.m = [0.05, 0.1, 0.25, 0.6]
+    gk.u = [0.9, 0.06, 0.03, 0.01]
+    comps.append(gk)
+    model = LinkageModel(comps, lambda_prior=1e-3)
+
+    config = CascadeConfig(
+        modules=[
+            ModuleConfig(
+                name="geosearch",
+                reference_file_name="geobase_reference_file",
+                cut_columns=["zip3"],
+                matching_columns=[
+                    "first_name_15", "last_name_12", "middle_initial",
+                    "day_of_birth", "month_of_birth", "year_of_birth", "geokey",
+                ],
+                passes=[PassConfig("geokey", ["geokey_for_blocking"], 0.9)],
+            ),
+            ModuleConfig(
+                name="namesearch",
+                reference_file_name="name_dob_reference_file",
+                cut_columns=["first_initial_cut", "last_initial_cut"],
+                matching_columns=[
+                    "first_name_15", "last_name_12", "middle_initial",
+                    "day_of_birth", "month_of_birth", "year_of_birth",
+                ],
+                passes=[
+                    PassConfig(
+                        "dob and nysiis",
+                        ["day_of_birth", "month_of_birth", "year_of_birth",
+                         "first_name_nysiis", "last_name_nysiis"],
+                        0.9,
+                    ),
+                ],
+            ),
+        ]
+    )
+    cascade = PersonLinkageCascade(
+        spark, prepped_census,
+        {"geobase_reference_file": prepped_geobase,
+         "name_dob_reference_file": prepped_name_dob},
+        model, dates_of_death=dod, collect_stats=False,
+    )
+    confirmed = cascade.run(config).cache()
+    n_census = census_raw.count()
+    n_links = confirmed.count()
+    assert n_links / n_census > 0.5  # most of the enumerated link
+
+    # ground truth: census sid (from record_id) vs PIK→SSN→sid
+    scored = (
+        confirmed.join(xwalk, "pik")
+        .selectExpr(
+            "CAST(regexp_extract(record_id_raw_input_file, 'census_2030_(\\\\d+)', 1) AS BIGINT) AS census_sid",
+            "CAST(ssn AS BIGINT) - 100000000 AS ref_sid",
+        )
+    )
+    acc = scored.selectExpr(
+        "avg(CASE WHEN census_sid = ref_sid THEN 1.0 ELSE 0.0 END) AS acc"
+    ).first()["acc"]
+    assert acc >= 0.95, acc
+    confirmed.unpersist()
