@@ -36,8 +36,10 @@ def fill_event_date_for_sort(
 ) -> DataFrame:
     """D4: sentinel-filled sort key as epoch seconds (the reference fills
     unparseable/missing dates with 1900/2100 sentinels and sorts by int64,
-    02:1296-1321)."""
-    d = F.coalesce(F.to_date(F.col(date_col), "yyyyMMdd"), F.lit(fill).cast("date"))
+    02:1296-1321). ``try_to_date``, not ``to_date``: "unparseable → fill"
+    is the documented contract, and under Spark 4's default ANSI mode a
+    strict parse would throw on the first malformed event date instead."""
+    d = F.coalesce(F.try_to_date(F.col(date_col), "yyyyMMdd"), F.lit(fill).cast("date"))
     return df.withColumn(
         "event_date_for_sort", F.unix_timestamp(d.cast("timestamp"))
     )
