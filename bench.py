@@ -104,13 +104,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: the box is a shared microVM and single runs can
-    # be inflated 2-6x by host noise; the min measures the engine
+    # best-of-3 per query: the box is a shared microVM and single runs can
+    # be inflated 2-6x by host noise; the min measures the engine (r3: a
+    # best-of-2 suite run measured 2.8x slower than an identical run
+    # minutes later — one extra rep materially tightens the floor)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
