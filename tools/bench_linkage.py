@@ -149,17 +149,52 @@ def make_model() -> LinkageModel:
     return LinkageModel(comps, lambda_prior=1e-3)
 
 
+def bench_u_estimation(spark, census, ref, n_records: int, sf: float) -> None:
+    """Head-to-head with the reference's u-estimation benchmark: 1e7
+    random cross pairs through the full comparison set (ri executed
+    03_link_datasets.ipynb cell 70: 52.1 s on duckdb at 1.1M records;
+    BASELINE.md). Uses the deterministic hash sampler so the measured run
+    is also the reproducible-at-scale configuration."""
+    from person_linkage_case_study_spark.operators.estimation import estimate_u
+
+    model = make_model()
+    t0 = time.time()
+    estimate_u(
+        census,
+        ref,
+        model.comparisons,
+        max_pairs=1e7,
+        sample_keys=(["record_id"], ["record_id"]),
+    )
+    wall = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "u_estimation_1e7_wall",
+                "value": wall,
+                "unit": "sec",
+                "records": n_records,
+                "sf": sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     scale_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    mode = sys.argv[3] if len(sys.argv) > 3 else "cascade"
     spark = get_spark("bench-linkage")
     census, ref = synthesize(spark, sf_dir, scale_mult)
     n_records = census.count()
     ref = ref.persist()
     ref.count()
+    if mode == "uest":
+        bench_u_estimation(spark, census, ref, n_records, sf)
+        return
 
     matching = [
         "first_name_15", "last_name_12", "middle_initial",
