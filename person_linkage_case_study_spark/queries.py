@@ -929,14 +929,14 @@ def f89_phonetic_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Document near-dup, exact token-set Jaccard: the SCALE-SAFE catalog entry
-# is `dedup_near_exact_pipeline` (MinHash-LSH candidates= scored by the
-# exact kernel — pair volume bounded by banding, never O(|block|²)). The
-# blocked mode (`ngram_jaccard_pairs(block_col=)`, fine for genuinely
-# low-cardinality blocks) stays covered by tests/test_dedup_ngram.py; the
-# r2 verdict flagged the blocked-on-`lang` catalog demo as the one
-# quadratic-at-100× entry left, so it was dropped from the catalog rather
-# than kept as a footgun.
+# Document near-dup, exact token-set Jaccard: every catalog entry that
+# needs a near-dup pair source now uses the SCALE-SAFE composition
+# (MinHash-LSH candidates= scored by the exact kernel — pair volume
+# bounded by banding, never O(|block|²)). The blocked mode
+# (`ngram_jaccard_pairs(block_col=)`, fine for genuinely low-cardinality
+# blocks) stays covered by tests/test_dedup.py; the r2 verdict flagged
+# blocked-on-`lang` as the one quadratic-at-100× shape left, so no
+# catalog entry demos it anymore.
 # ---------------------------------------------------------------------------
 
 
@@ -944,15 +944,18 @@ def f89_phonetic_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (survivor) doc per cluster. The component min-label is a property of the
 # edge set alone, so the iterative Spark label propagation is value-hash
 # checked against a DuckDB recursive transitive closure over the same
-# pairs — two entirely different algorithms, same fixpoint.
+# edge definition — two entirely different algorithms AND two entirely
+# different pair sources (Spark: MinHash-LSH candidates scored exactly,
+# recall-exhaustive at J≥0.8 by the band math in
+# `dedup_near_exact_pipeline`; DuckDB: full quadratic), same fixpoint.
 _CC_ORACLE = f"""
     WITH RECURSIVE t AS (
-        SELECT doc_id, lang, list_distinct({_SQL_TOKENS.format(t='text')}) AS toks
+        SELECT doc_id, list_distinct({_SQL_TOKENS.format(t='text')}) AS toks
         FROM documents
     ),
     e AS (
         SELECT l.doc_id AS a, r.doc_id AS b
-        FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        FROM t l JOIN t r ON l.doc_id < r.doc_id
         WHERE len(list_intersect(l.toks, r.toks)) /
               len(list_distinct(list_concat(l.toks, r.toks))) >= 0.8
     ),
@@ -970,10 +973,13 @@ _CC_ORACLE = f"""
 @query("dedup_cluster_canonical", oracle=_CC_ORACLE)
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.cluster import canonical_documents
+    from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
     from .dedup.ngram import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, block_col="lang", threshold=0.8)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(d, shingle_n=1)
+    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    pairs = ngram_jaccard_pairs(d, candidates=cands, threshold=0.8)
     return canonical_documents(pairs.select("doc_id_l", "doc_id_r"))
 
 
@@ -1005,7 +1011,7 @@ def _curation_oracle() -> str:
     ),
     e AS (
         SELECT l.doc_id AS a, r.doc_id AS b
-        FROM qd l JOIN qd r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        FROM qd l JOIN qd r ON l.doc_id < r.doc_id
         WHERE len(list_intersect(l.dt, r.dt)) /
               len(list_distinct(list_concat(l.dt, r.dt))) >= 0.8
     ),
@@ -1034,13 +1040,16 @@ def _curation_oracle() -> str:
 @query("corpus_curation_pipeline", oracle=_curation_oracle())
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.cluster import canonical_documents
+    from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
     from .dedup.ngram import ngram_jaccard_pairs
     from .textops.analysis import add_quality_signals, tokens
     from .textops.packing import pack_sequences
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    q = add_quality_signals(d).filter("quality_ok").select("doc_id", "lang", "text")
-    pairs = ngram_jaccard_pairs(q, block_col="lang", threshold=0.8)
+    q = add_quality_signals(d).filter("quality_ok").select("doc_id", "text")
+    sigs = minhash_signatures(q, shingle_n=1)
+    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    pairs = ngram_jaccard_pairs(q, candidates=cands, threshold=0.8)
     canon = canonical_documents(pairs.select("doc_id_l", "doc_id_r"))
     survivors = (
         q.join(canon, on="doc_id", how="left")
