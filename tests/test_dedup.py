@@ -219,3 +219,50 @@ def test_minhash_simhash_engine_parity_fuzz(spark):
         for r in simhash(df, hash_fn="md5", engine="agg").collect()
     }
     assert sa == sg
+
+
+def test_candidates_path_equals_quadratic_at_high_threshold(spark):
+    """Pin for the catalog's scale path (dedup_cluster_canonical /
+    corpus_curation_pipeline / dedup_near_exact_pipeline): MinHash-LSH
+    candidates (unigram shingles, 32 bands x 2 rows) scored by the exact
+    kernel must recover EXACTLY the J>=0.8 pair set of the full
+    quadratic self-join — miss probability (1-0.64)^32 ~ 1e-14 per true
+    pair, so equality, not containment. Randomized dup-injected corpus:
+    seeded so failures replay."""
+    import random
+
+    rng = random.Random(1234)
+    words = [f"w{i}" for i in range(60)]
+    rows = []
+    doc_id = 0
+    for _ in range(25):
+        base = rng.sample(words, rng.randint(8, 20))
+        rows.append((doc_id, " ".join(base)))
+        doc_id += 1
+        # inject near dups: drop/replace up to 2 tokens
+        for _ in range(rng.randint(0, 2)):
+            mutated = list(base)
+            for _ in range(rng.randint(0, 2)):
+                op = rng.random()
+                if op < 0.5 and len(mutated) > 3:
+                    mutated.pop(rng.randrange(len(mutated)))
+                else:
+                    mutated[rng.randrange(len(mutated))] = rng.choice(words)
+            rows.append((doc_id, " ".join(mutated)))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(df, shingle_n=1)
+    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    via_lsh = {
+        (r["doc_id_l"], r["doc_id_r"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, candidates=cands, threshold=0.8).collect()
+    }
+    quad = {
+        (r["doc_id_l"], r["doc_id_r"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            df.withColumn("one", F.lit(0)), block_col="one", threshold=0.8
+        ).collect()
+    }
+    assert via_lsh == quad
+    assert len(quad) > 0  # the injection produced true near-dups
