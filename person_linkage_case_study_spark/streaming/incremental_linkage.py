@@ -8,10 +8,14 @@ blocked-pairs → gamma → Fellegi-Sunter plan as the batch engine, so
 semantics are identical by construction (tested: streaming the input in
 chunks produces exactly the batch result).
 
-State: confirmed links accumulate in an append-only parquet sink; the
-"already linked" exclusion happens naturally because each input record
-arrives exactly once (file/queue source semantics). For at-least-once
-sources, dedup on record_id at read (dropDuplicates with watermark).
+State: confirmed links accumulate in a parquet sink partitioned by
+``ingest_batch`` and written with dynamic partition overwrite, so a
+foreachBatch REPLAY (same batch_id after a mid-batch failure) replaces
+any partial write instead of appending duplicate link rows — the same
+idempotency contract as ``incremental_dedup``. The "already linked"
+exclusion happens naturally because each input record arrives exactly
+once (file/queue source semantics); for at-least-once sources, dedup on
+record_id at read (dropDuplicates with watermark).
 """
 
 from __future__ import annotations
@@ -56,15 +60,20 @@ def run_incremental_linkage(
     """Start a foreachBatch streaming query linking ``input_stream``
     against ``reference``.
 
-    ``sink``: a callable (links_df, batch_id) or a parquet path for an
-    append-only sink. Returns the StreamingQuery (caller awaits)."""
+    ``sink``: a callable (links_df, batch_id) or a parquet path for a
+    replay-idempotent per-batch-partition sink. Returns the
+    StreamingQuery (caller awaits)."""
     reference = reference.persist()
 
     if isinstance(sink, str):
         sink_path = sink
 
         def write_links(links: DataFrame, batch_id: int) -> None:
-            links.write.mode("append").parquet(sink_path)
+            links.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "ingest_batch"
+            ).parquet(sink_path)
 
         sink_fn = write_links
     else:

@@ -67,3 +67,60 @@ def test_streaming_equals_batch(spark, data):
         for r in spark.read.parquet(sink_path).collect()
     }
     assert got == want
+
+
+def test_linkage_sink_replay_idempotent(spark, data, tmp_path_factory):
+    """Same foreachBatch replay contract as incremental_dedup (r2
+    ADVICE): re-running a batch with the same batch_id must overwrite
+    that batch's sink partition, not append duplicate link rows."""
+    from person_linkage_case_study_spark.streaming.incremental_linkage import (
+        run_incremental_linkage,
+    )
+
+    base, inputs, reference = data
+    model = make_model()
+    tmp = tmp_path_factory.mktemp("linkage_replay")
+    sink_path = str(tmp / "links")
+
+    # drive the module's parquet sink writer directly, replaying batch 1
+    import person_linkage_case_study_spark.streaming.incremental_linkage as mod
+
+    b0 = inputs.filter(F.col("record_id") < "i3")
+    b1 = inputs.filter(F.col("record_id") >= "i3")
+
+    def write(links, batch_id):
+        links.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "ingest_batch"
+        ).parquet(sink_path)
+
+    for batch, bid in [(b0, 0), (b1, 1)]:
+        write(mod.link_microbatch(batch, reference, model, ["blk"], 0.5), bid)
+    first = spark.read.parquet(sink_path).count()
+    # replay batch 1: partial/total prior write must be replaced, not appended
+    write(mod.link_microbatch(b1, reference, model, ["blk"], 0.5), 1)
+    assert spark.read.parquet(sink_path).count() == first
+
+
+def test_parquet_sink_path_uses_partition_overwrite(spark, data, tmp_path_factory):
+    """End-to-end: the string-sink path writes ingest_batch partitions
+    (the physical layout replay idempotency depends on)."""
+    import os
+
+    base, inputs, reference = data
+    model = make_model()
+    tmp = tmp_path_factory.mktemp("linkage_sink_layout")
+    stream = (
+        spark.readStream.schema("record_id string, blk int, name string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    sink_path = str(tmp / "links_out")
+    q = run_incremental_linkage(
+        spark, stream, reference, model, ["blk"], 0.5,
+        sink=sink_path, checkpoint_dir=str(tmp / "ckpt"),
+    )
+    q.awaitTermination()
+    parts = [p for p in os.listdir(sink_path) if p.startswith("ingest_batch=")]
+    assert len(parts) >= 2  # two source files -> two micro-batch partitions
