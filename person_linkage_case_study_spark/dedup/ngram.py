@@ -40,6 +40,10 @@ DEFAULT_MAX_BITMAP_VOCAB = 64 * 64
 # between sf0.01's 33k pairs and sf0.1's 3.3M)
 DEFAULT_MIN_BITMAP_PAIRS = 250_000
 
+# previous candidates-path payload cache, released on the next call (the
+# returned DataFrame is lazy, so the current call can never release its own)
+_last_candidates_payload = None
+
 
 def _token_sets(df: DataFrame, block_col: str, text_col: str, id_col: str) -> DataFrame:
     return df.select(
@@ -147,10 +151,21 @@ def ngram_jaccard_pairs(
         # carries its own dictionary window / tokenization) — without the
         # persist the encode pipeline genuinely executes twice, including
         # two extra corpus scans (same trap as the minhash signature
-        # self-join; measured 9.4s -> 6.0s at sf0.1 / 12.3M candidates)
+        # self-join; measured 9.4s -> 6.0s at sf0.1 / 12.3M candidates).
+        # The result stays lazy, so the cache can't be released here; a
+        # module-level handoff releases the PREVIOUS call's payload cache
+        # instead, bounding the leak to one table per session (callers
+        # that consume the result before the next call lose nothing).
         from pyspark import StorageLevel
 
+        global _last_candidates_payload
         t = t.persist(StorageLevel.MEMORY_AND_DISK)
+        if _last_candidates_payload is not None:
+            try:
+                _last_candidates_payload.unpersist()
+            except Exception:
+                pass  # session of the old cache may already be gone
+        _last_candidates_payload = t
         cand = candidates.select(
             F.col(f"{id_col}_l").alias("id_l"), F.col(f"{id_col}_r").alias("id_r")
         )

@@ -75,25 +75,31 @@ def asof_join(
     }
     matched_ts = right_ts + suffix if right_ts in left.columns or right_ts == left_ts else right_ts
 
-    # one struct per right row: carries the tiebreak prefix so last()
-    # over the ts-ordered frame resolves equal-ts rights by max tiebreak
-    # (aliased __tb* so a tiebreak col that is also payload stays unambiguous)
+    # Two structs per right row: __ord (tiebreak prefix only) is what the
+    # window sorts equal-ts rights by — keeping payload columns OUT of the
+    # ORDER BY so unorderable payload types (maps) don't break the join —
+    # and __payload carries the matched ts + payload for last() to pick up.
+    # Right rows with a NULL timestamp are dropped up front: ASOF semantics
+    # (DuckDB / pandas merge_asof) never match them, and under asc()
+    # nulls-first ordering they would otherwise poison every left row.
     tb = [
         F.col(c).alias(f"__tb{i}")
         for i, c in enumerate(tiebreak_cols or [right_ts])
     ]
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).cast("double").alias("__ts"),
         F.lit(0).alias("__side"),
+        F.struct(*tb).alias("__ord"),
         F.struct(
-            *tb, F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload_cols]
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload_cols]
         ).alias("__payload"),
     )
     l_tagged = left.select(
         "*",
         F.col(left_ts).cast("double").alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__ord"].dataType).alias("__ord"),
         F.lit(None).cast(r_tagged.schema["__payload"].dataType).alias("__payload"),
     )
 
@@ -101,7 +107,7 @@ def asof_join(
     order = [
         F.col("__ts").asc() if asc else F.col("__ts").desc(),
         F.col("__side").asc(),  # right rows first at equal ts: ties eligible
-        F.col("__payload").asc_nulls_first(),  # equal-ts rights: max tiebreak last
+        F.col("__ord").asc_nulls_first(),  # equal-ts rights: max tiebreak last
     ]
     w = (
         Window.partitionBy(*keys)
@@ -109,7 +115,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l_tagged.select(
-        *[F.col(c) for c in left.columns], "__ts", "__side", "__payload"
+        *[F.col(c) for c in left.columns], "__ts", "__side", "__ord", "__payload"
     ).unionByName(
         r_tagged.select(
             *[
@@ -118,18 +124,30 @@ def asof_join(
             ],
             "__ts",
             "__side",
+            "__ord",
             "__payload",
         )
     )
     matched = (
         unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
-        .drop("__side", "__payload")
+        .drop("__side", "__ord", "__payload")
+    )
+    # a left row with NULL ts has no position in as-of order: never matches
+    # (under desc ordering it would otherwise sort last and see every right)
+    matched = matched.withColumn(
+        "__match", F.when(F.col(left_ts).isNotNull(), F.col("__match"))
     )
     if tolerance is not None:
-        gap = F.abs(F.col("__ts") - F.col("__match.__rts").cast("double"))
+        # signed gap in the ORIGINAL ts type: timestamp - timestamp is an
+        # interval, so an interval tolerance (the natural spelling for
+        # timestamps) compares directly; numeric ts compare numerically
+        rts = F.col("__match.__rts")
+        gap = (
+            F.col(left_ts) - rts if direction == "backward" else rts - F.col(left_ts)
+        )
         matched = matched.withColumn(
-            "__match", F.when(gap <= tolerance.cast("double"), F.col("__match"))
+            "__match", F.when(gap <= tolerance, F.col("__match"))
         )
     return matched.select(
         *[F.col(c) for c in left.columns],

@@ -86,10 +86,14 @@ class PassStats:
 @dataclass
 class ConfirmStats:
     """Per-module confirm drops (reference 03:2132-2234 reports both:
-    small_sample drops 115 deceased links and 4 multi-PIK conflicts)."""
+    small_sample drops 115 deceased links and 4 multi-PIK conflicts).
+
+    ``n_deceased_dropped`` is ``None`` — not a numeric sentinel — for a
+    module run without a dates_of_death table, so aggregating consumers
+    (sums, reports) don't silently absorb placeholder values."""
 
     module: str
-    n_deceased_dropped: int
+    n_deceased_dropped: int | None
     n_multi_pik_dropped: int
 
 
@@ -147,6 +151,7 @@ class PersonLinkageCascade:
         self.collect_stats = collect_stats
         self.stats: list[PassStats] = []
         self.confirm_stats: list[ConfirmStats] = []
+        self._stats_caches: list[DataFrame] = []
         # accumulator: ≤1 row per record_id_raw_input_file after each module
         self.confirmed_piks: DataFrame = spark.createDataFrame(
             [],
@@ -303,7 +308,14 @@ class PersonLinkageCascade:
             piks, on="record_id_reference_file", how="left"
         )
 
-        n_deceased_dropped = -1
+        # stats caches from the PREVIOUS module can be released now; this
+        # module's (registered below) must outlive confirm_piks because
+        # the accumulator fold may be lazy (persist / off checkpoint modes)
+        for c in self._stats_caches:
+            c.unpersist()
+        self._stats_caches = []
+
+        n_deceased_dropped = None
         if self.dates_of_death is not None:
             dod = self.dates_of_death.select("pik", "date_of_death")
             alive = F.col("date_of_death").isNull() | (
@@ -311,6 +323,12 @@ class PersonLinkageCascade:
             )
             links = links.join(F.broadcast(dod), on="pik", how="left")
             if self.collect_stats:
+                # the deceased count and the alive path both consume the
+                # full provisional-links+piks+dod join: cache it so the
+                # stats action doesn't recompute the module's whole link
+                # pipeline a second time
+                links = links.persist(StorageLevel.MEMORY_AND_DISK)
+                self._stats_caches.append(links)
                 n_deceased_dropped = links.filter(~alive).count()
             links = links.filter(alive).drop("date_of_death")
 
@@ -319,6 +337,11 @@ class PersonLinkageCascade:
         best = max_per_group_with_ties(
             links, ["record_id_raw_input_file"], "match_probability"
         )
+        if self.collect_stats:
+            # consumed by the n_multi count, the single-PIK filter, and
+            # the confirmed join — cache the window result once
+            best = best.persist(StorageLevel.MEMORY_AND_DISK)
+            self._stats_caches.append(best)
         pik_counts = best.groupBy("record_id_raw_input_file").agg(
             F.count_distinct("pik").alias("num_unique_piks")
         )

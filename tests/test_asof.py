@@ -137,3 +137,53 @@ def test_single_shuffle_plan(frames):
     plan = asof_join(trades, quotes, on=["k"], left_ts="ts")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_timestamps_never_match(spark):
+    """ASOF semantics (DuckDB/pandas): a right row with NULL ts matches
+    nothing; a left row with NULL ts matches nothing — both previously
+    leaked matches via nulls-first/last window ordering."""
+    left = spark.createDataFrame(
+        [("A", 5.0, 1), ("A", None, 2)], "k string, ts double, id long"
+    )
+    right = spark.createDataFrame(
+        [("A", None, 100.0), ("A", 3.0, 101.0)], "k string, ts double, px double"
+    )
+    got = {r["id"]: r for r in asof_join(left, right, on=["k"], left_ts="ts").collect()}
+    assert got[1]["px"] == 101.0 and got[1]["ts_r"] == 3.0  # real match only
+    assert got[2]["px"] is None and got[2]["ts_r"] is None  # null-ts left: no match
+    # forward direction: null-ts left previously saw every right under desc
+    fwd = {r["id"]: r for r in asof_join(
+        left, right, on=["k"], left_ts="ts", direction="forward"
+    ).collect()}
+    assert fwd[2]["px"] is None
+
+
+def test_interval_tolerance_on_timestamps(spark):
+    """The docstring's tolerance spelling for timestamp columns must work:
+    timestamp - timestamp yields an interval, compared to the interval."""
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [("A", datetime(2030, 1, 1, 12, 0), 1), ("A", datetime(2030, 1, 1, 18, 0), 2)],
+        "k string, ts timestamp, id long",
+    )
+    right = spark.createDataFrame(
+        [("A", datetime(2030, 1, 1, 11, 30), 7.0)], "k string, ts timestamp, px double"
+    )
+    out = {r["id"]: r for r in asof_join(
+        left, right, on=["k"], left_ts="ts", tolerance=F.expr("INTERVAL 1 HOUR")
+    ).collect()}
+    assert out[1]["px"] == 7.0      # 30 min gap: kept
+    assert out[2]["px"] is None     # 6.5 h gap: nulled by tolerance
+
+
+def test_map_payload_column_survives(spark):
+    """Payload columns stay out of the window ORDER BY, so unorderable
+    types (map) join fine."""
+    left = spark.createDataFrame([("A", 5.0, 1)], "k string, ts double, id long")
+    right = spark.createDataFrame(
+        [("A", 3.0, {"x": 1})], "k string, ts double, attrs map<string,int>"
+    )
+    r = asof_join(left, right, on=["k"], left_ts="ts").collect()[0]
+    assert r["attrs"] == {"x": 1}

@@ -203,7 +203,7 @@ def test_confirm_drops_are_exercised(pipeline_result):
     03 cell 97) — without nonzero counts the deceased/multi-PIK tests
     would be vacuously green."""
     cs = pipeline_result["cascade"].confirm_stats
-    assert sum(c.n_deceased_dropped for c in cs) > 0, cs
+    assert sum(c.n_deceased_dropped or 0 for c in cs) > 0, cs
     assert sum(c.n_multi_pik_dropped for c in cs) > 0, cs
 
 
