@@ -40,9 +40,10 @@ DEFAULT_MAX_BITMAP_VOCAB = 64 * 64
 # between sf0.01's 33k pairs and sf0.1's 3.3M)
 DEFAULT_MIN_BITMAP_PAIRS = 250_000
 
-# previous candidates-path payload cache, released on the next call (the
-# returned DataFrame is lazy, so the current call can never release its own)
-_last_candidates_payload = None
+# previous candidates-path caches (token sets + payload), released on the
+# next call (the returned DataFrame is lazy, so a call can never release
+# its own)
+_last_candidates_caches: list = []
 
 
 def _token_sets(df: DataFrame, block_col: str, text_col: str, id_col: str) -> DataFrame:
@@ -131,13 +132,31 @@ def ngram_jaccard_pairs(
         num_partitions = spark.sparkContext.defaultParallelism
 
     if candidates is not None:
+        from pyspark import StorageLevel
+
+        # release the PREVIOUS call's caches (the returned DataFrame is
+        # lazy, so a call can never release its own — the handoff bounds
+        # the leak to one call's caches per session; r3 review)
+        global _last_candidates_caches
+        for old in _last_candidates_caches:
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session of the old cache may already be gone
+        _last_candidates_caches = []
+
+        # token sets are cached FIRST: the vocab count, the dictionary
+        # build, and the bitmap encode each consume them — uncached, the
+        # corpus would be re-tokenized (regex split over full text, the
+        # expensive part at scale) three times
         t = df.select(
             F.col(id_col).alias("id"),
             F.array_distinct(tokens(F.col(text_col))).alias("toks"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _last_candidates_caches.append(t)
         # bitmap decision on vocab alone: counting the candidates would
         # execute the (expensive) candidate pipeline a second time, while
-        # the vocab count is one cheap pass over the docs
+        # the vocab count is one cheap pass over the cached token sets
         vocab_size = t.select(F.explode("toks")).distinct().count()
         use_bitmap = 0 < vocab_size <= max_bitmap_vocab
         if use_bitmap:
@@ -148,24 +167,12 @@ def ngram_jaccard_pairs(
             payload = ["sz", "toks"]
         # the payload table feeds BOTH join sides, and neither plan-time
         # nor AQE exchange reuse deduplicates the two subtrees (each
-        # carries its own dictionary window / tokenization) — without the
-        # persist the encode pipeline genuinely executes twice, including
-        # two extra corpus scans (same trap as the minhash signature
-        # self-join; measured 9.4s -> 6.0s at sf0.1 / 12.3M candidates).
-        # The result stays lazy, so the cache can't be released here; a
-        # module-level handoff releases the PREVIOUS call's payload cache
-        # instead, bounding the leak to one table per session (callers
-        # that consume the result before the next call lose nothing).
-        from pyspark import StorageLevel
-
-        global _last_candidates_payload
+        # carries its own dictionary window) — without the persist the
+        # encode pipeline genuinely executes twice (same trap as the
+        # minhash signature self-join; measured 9.4s -> 6.0s at sf0.1 /
+        # 12.3M candidates)
         t = t.persist(StorageLevel.MEMORY_AND_DISK)
-        if _last_candidates_payload is not None:
-            try:
-                _last_candidates_payload.unpersist()
-            except Exception:
-                pass  # session of the old cache may already be gone
-        _last_candidates_payload = t
+        _last_candidates_caches.append(t)
         cand = candidates.select(
             F.col(f"{id_col}_l").alias("id_l"), F.col(f"{id_col}_r").alias("id_r")
         )
