@@ -13,6 +13,21 @@ The wide 1-row aggregate is then unpivoted driver-side into the familiar
 long form (one row per column) — a #columns-bounded reshape, not a data
 pass. Approximate knobs: `rel_err` for quantiles (Spark's
 `percentile_approx` accuracy = 1/rel_err), HLL++ default rsd ≈ 2.3%.
+
+Incremental variant (``profile_increment`` / ``merge_increments``): at
+100 TB the table arrives in slices (a day of ingest, one source shard) and
+re-profiling the whole table per slice is a full rescan per day. Every
+statistic the incremental profiler keeps is MERGEABLE: count/nulls/sum
+add, min/max combine, and NDV is carried as the Apache DataSketches HLL
+sketch itself (``hll_sketch_agg`` → BINARY column) rather than a number —
+sketch union is lossless, so the merged estimate is IDENTICAL to what a
+single pass over the concatenated data would report (pinned by test).
+Profile each slice once, store the #cols-row sketch table next to the
+data, and fold sketches at query time: stats over any subset of slices
+without touching data bytes again. (Quantiles are intentionally absent
+here: GK summaries don't round-trip through Spark SQL as values; at scale
+keep the full-pass ``profile_table`` for quantiles or store t-digests via
+a pandas UDF.)
 """
 
 from __future__ import annotations
@@ -90,3 +105,102 @@ def profile_table(
             ]
         rows.append(F.struct(*fields))
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def _hll_input(df: DataFrame, c: str):
+    """hll_sketch_agg accepts int/long/string/binary; everything else is
+    profiled through its canonical string form (NDV-equivalent)."""
+    dt = dict(df.dtypes)[c]
+    if dt in ("int", "bigint", "string", "binary"):
+        return F.col(c)
+    return F.col(c).cast("string")
+
+
+def profile_increment(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Profile ONE slice of a growing table into mergeable state: a row per
+    column — ``(column, count, nulls, min, max, sum, ndv_sketch)`` where
+    ``ndv_sketch`` is the serialized HLL sketch (BINARY).
+
+    Same single-scan / single-agg shape as :func:`profile_table`. Persist
+    the result (e.g. parquet partitioned by slice id); fold any set of
+    slices with :func:`merge_increments` — no data rescan.
+
+    ``lg_k`` must match across slices that will be merged (sketch union
+    requires a common configuration; 12 → ~1.6% rsd, 4 KB per column).
+    """
+    cols = list(cols or df.columns)
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"))
+        aggs.append(
+            F.hll_sketch_agg(_hll_input(df, c), F.lit(lg_k)).alias(f"{c}__hll")
+        )
+        if c in numeric:
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            aggs.append(F.sum(F.col(c).cast("double")).alias(f"{c}__sum"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        fields = [
+            F.lit(c).alias("column"),
+            F.col(f"{c}__count").alias("count"),
+            F.col(f"{c}__nulls").alias("nulls"),
+        ]
+        if c in numeric:
+            fields += [
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.col(f"{c}__sum").alias("sum"),
+            ]
+        else:
+            fields += [
+                F.lit(None).cast("double").alias("min"),
+                F.lit(None).cast("double").alias("max"),
+                F.lit(None).cast("double").alias("sum"),
+            ]
+        fields.append(F.col(f"{c}__hll").alias("ndv_sketch"))
+        rows.append(F.struct(*fields))
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def merge_increments(profiles: DataFrame) -> DataFrame:
+    """Fold slice profiles (union of :func:`profile_increment` outputs,
+    any number of slices) into final per-column stats.
+
+    Input size is #slices × #cols rows — merging is driver-trivial no
+    matter how big the underlying data was. ``approx_distinct`` comes from
+    the UNIONED sketch, so it equals the single-pass estimate over all
+    slices combined (not a sum of per-slice estimates, which would
+    overcount shared values).
+    """
+    return (
+        profiles.groupBy("column")
+        .agg(
+            F.sum("count").alias("count"),
+            F.sum("nulls").alias("nulls"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum").alias("sum"),
+            F.hll_union_agg("ndv_sketch").alias("__hll"),
+        )
+        .select(
+            "column",
+            "count",
+            "nulls",
+            F.hll_sketch_estimate("__hll").alias("approx_distinct"),
+            "min",
+            "max",
+            F.round(
+                F.when(F.col("count") > 0, F.col("sum") / F.col("count")), 6
+            ).alias("mean"),
+        )
+    )

@@ -74,3 +74,71 @@ def test_single_aggregate_plan(spark):
     assert plan.count("Scan parquet") == 1
     # one global-aggregate collapse: a single single-partition exchange
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# incremental (sketch-merge) profiler
+# ---------------------------------------------------------------------------
+
+
+def test_merged_slices_equal_single_pass(spark):
+    """The incremental contract: profile 4 slices separately, merge the
+    sketch rows — every stat (including the HLL NDV estimate, because
+    sketch union is lossless) equals the one-pass profile of the whole."""
+    from person_linkage_case_study_spark.operators.profile import (
+        merge_increments,
+        profile_increment,
+    )
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    whole = {
+        r["column"]: r
+        for r in merge_increments(profile_increment(df, cols)).collect()
+    }
+    slices = [
+        profile_increment(df.filter(f"o_orderkey % 4 = {i}"), cols)
+        for i in range(4)
+    ]
+    u = slices[0]
+    for s in slices[1:]:
+        u = u.unionByName(s)
+    merged = {r["column"]: r for r in merge_increments(u).collect()}
+    assert set(merged) == set(whole)
+    for c in cols:
+        for field in ("count", "nulls", "approx_distinct", "min", "max", "mean"):
+            assert merged[c][field] == whole[c][field], (c, field)
+
+
+def test_incremental_ndv_within_sketch_bound(spark):
+    from person_linkage_case_study_spark.operators.profile import (
+        merge_increments,
+        profile_increment,
+    )
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    got = {
+        r["column"]: r
+        for r in merge_increments(
+            profile_increment(df, ["o_custkey", "o_orderpriority"])
+        ).collect()
+    }
+    con = duckdb.connect()
+    ndv_cust, ndv_prio = con.execute(
+        f"""SELECT count(DISTINCT o_custkey), count(DISTINCT o_orderpriority)
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchone()
+    # lg_k=12 → rsd ≈ 1.6%; 5x band, same stance as the one-pass test
+    assert abs(got["o_custkey"]["approx_distinct"] - ndv_cust) <= 0.08 * ndv_cust
+    assert got["o_orderpriority"]["approx_distinct"] == ndv_prio
+
+
+def test_increment_is_single_scan(spark):
+    from person_linkage_case_study_spark.operators.profile import profile_increment
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (
+        profile_increment(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,154 @@
+"""Dedup-at-scale rehearsal: MinHash LSH → exact Jaccard on a REALISTIC corpus.
+
+The catalog's documents table is adversarial for LSH (small shared
+vocabulary → nearly every pair is genuinely similar; SCALING.md "worst-case
+pair density"). This rehearsal measures the other regime — the one a 100 TB
+web corpus actually lives in: a wide vocabulary (1M content words) with a
+Zipf-ish stopword head (30% of tokens from a 100-word pool), so random doc
+pairs sit at unigram-set J ≈ 0.06 while planted near-dups (3% token
+substitution) sit at J ≈ 0.94.
+
+What it proves, with numbers:
+
+* candidate volume is ~LINEAR in corpus size (spurious collisions only from
+  the LSH false-positive floor), not quadratic — the property that makes
+  near-dedup feasible at 100 TB;
+* recall of planted near-dups at threshold 0.8 is 100% (banding math:
+  r=4 rows/band × 32 bands → P(miss at J=0.94) ≈ 1e-13);
+* the r=2 default that suits J≈0.5 searches is the WRONG knob here: at
+  r=2 the J≈0.06 floor collides ~11% of ALL pairs (measured in dev) —
+  num_hashes=128 / bands=32 (r=4) drops the floor to ~4e-4 while keeping
+  the high-J recall guarantee. Choosing r by threshold is the documented
+  operating procedure (SCALING.md dedup section).
+
+Corpus is synthesized in-plan from ``spark.range`` — pure xxhash64
+projections, zero shuffle, deterministic across partitionings/retries, so
+the rehearsal scales to any ``mult`` without input files.
+
+Usage: python tools/bench_dedup.py [mult] [threshold]
+  mult: corpus = 100k docs × mult (+5% planted near-dups)
+Prints ONE JSON line:
+{"metric": "dedup_rehearsal_wall", "value": sec, "docs": N,
+ "candidates": C, "pairs": P, "planted": K, "recall": r, "mult": m}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.dedup.minhash import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
+from person_linkage_case_study_spark.dedup.ngram import ngram_jaccard_pairs
+from person_linkage_case_study_spark.session import get_spark
+
+BASE_DOCS = 100_000
+DUP_EVERY = 20          # 5% of base docs get a planted near-dup
+SUB_EVERY = 33          # ~3% of the dup's tokens substituted → J ≈ 0.94
+STOP_POOL = 100         # stopword head
+VOCAB = 1_000_000       # content-word vocabulary
+
+
+def synthesize(spark: SparkSession, n_base: int) -> DataFrame:
+    """(doc_id, text): n_base originals + one near-dup per DUP_EVERY-th
+    original (dup doc_id = base doc_id + n_base). All columns are pure
+    hash projections — regenerating any partition yields identical rows."""
+    base = spark.range(n_base).select(F.col("id").alias("doc_id"))
+    dups = (
+        spark.range(n_base)
+        .filter(F.xxhash64(F.lit("dup?"), F.col("id")) % DUP_EVERY == 0)
+        .select((F.col("id") + n_base).alias("doc_id"))
+    )
+    docs = base.unionByName(dups)
+    eff = F.when(F.col("doc_id") < n_base, F.col("doc_id")).otherwise(
+        F.col("doc_id") - n_base
+    )
+    is_dup = F.col("doc_id") >= n_base
+    n_tok = (F.abs(F.xxhash64(F.lit("len"), eff)) % 80 + 100).cast("int")
+
+    def token(i):
+        # 30% stopword head, 70% wide-vocab content word
+        h = F.xxhash64(F.lit("tok"), eff, i)
+        stop = F.abs(F.xxhash64(F.lit("stop?"), eff, i)) % 10 < 3
+        word = F.when(
+            stop, F.concat(F.lit("the"), (F.abs(h) % STOP_POOL).cast("string"))
+        ).otherwise(F.concat(F.lit("w"), (F.abs(h) % VOCAB).cast("string")))
+        # planted near-dup: substitute ~3% of content positions
+        subbed = F.abs(F.xxhash64(F.lit("sub?"), eff, i)) % SUB_EVERY == 0
+        return F.when(
+            is_dup & subbed & ~stop,
+            F.concat(F.lit("x"), (F.abs(h) % VOCAB).cast("string")),
+        ).otherwise(word)
+
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_tok - 1), token), " "
+        ).alias("text"),
+    )
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
+    n_base = BASE_DOCS * mult
+    spark = get_spark(f"dedup-rehearsal-{mult}x")
+
+    t0 = time.time()
+    docs = synthesize(spark, n_base)
+    # 128 hashes / 32 bands → r=4: keeps P(miss) ~1e-13 at planted J≈0.94
+    # while crushing the random-pair (J≈0.06) collision floor to ~4e-4.
+    sigs = minhash_signatures(docs, shingle_n=1, num_hashes=128)
+    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    n_cands = cands.count()
+    t_cand = time.time()
+    pairs = ngram_jaccard_pairs(docs, candidates=cands, threshold=threshold)
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    t_score = time.time()
+
+    planted = (
+        docs.filter(F.col("doc_id") >= n_base)
+        .select(
+            (F.col("doc_id") - n_base).alias("doc_id_l"),
+            F.col("doc_id").alias("doc_id_r"),
+        )
+    )
+    n_planted = planted.count()
+    n_found = planted.join(
+        pairs, ["doc_id_l", "doc_id_r"], "left_semi"
+    ).count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_rehearsal_wall",
+                "value": round(wall, 1),
+                "unit": "sec",
+                "docs": n_base + n_planted,
+                "candidates": n_cands,
+                "pairs": n_pairs,
+                "planted": n_planted,
+                "recall": round(n_found / max(1, n_planted), 6),
+                "stage_walls": {
+                    "candidates": round(t_cand - t0, 1),
+                    "exact_scoring": round(t_score - t_cand, 1),
+                },
+                "mult": mult,
+                "threshold": threshold,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
