@@ -42,6 +42,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _orderable_ts(df: DataFrame, col: str) -> Column:
+    """Orderable sort key for the union window: timestamp-like columns
+    (TIMESTAMP, TIMESTAMP_NTZ, DATE) go through exact integer epoch
+    micros (no double-mantissa precision cliff); numeric ts stay numeric."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp") or dt == "date":
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    return F.col(col).cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -88,7 +98,7 @@ def asof_join(
     ]
     r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
-        F.col(right_ts).cast("double").alias("__ts"),
+        _orderable_ts(right, right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.struct(*tb).alias("__ord"),
         F.struct(
@@ -97,7 +107,7 @@ def asof_join(
     )
     l_tagged = left.select(
         "*",
-        F.col(left_ts).cast("double").alias("__ts"),
+        _orderable_ts(left, left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r_tagged.schema["__ord"].dataType).alias("__ord"),
         F.lit(None).cast(r_tagged.schema["__payload"].dataType).alias("__payload"),

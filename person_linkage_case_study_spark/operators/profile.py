@@ -56,11 +56,13 @@ def profile_table(
     rel_err: float = 0.01,
 ) -> DataFrame:
     """One-pass profile: DataFrame with a row per profiled column —
-    ``(column, count, nulls, approx_distinct, min, max, mean, q_*)``.
+    ``(column, count, nulls, approx_distinct, min, max, mean, std, q_*)``.
 
-    min/max/mean/quantiles are null for non-numeric columns (min/max on
-    strings would force full-string comparisons through the aggregate;
-    profile those via NDV + nulls, or cast explicitly if needed).
+    min/max/mean/std/quantiles are null for non-numeric columns (min/max
+    on strings would force full-string comparisons through the aggregate;
+    profile those via NDV + nulls, or cast explicitly if needed). ``std``
+    is the n-1 sample form, matching pandas ``describe`` and DuckDB
+    ``stddev_samp``.
     """
     cols = list(cols or df.columns)
     numeric = {
@@ -75,6 +77,7 @@ def profile_table(
             aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
             aggs.append(F.avg(c).cast("double").alias(f"{c}__mean"))
+            aggs.append(F.stddev_samp(F.col(c).cast("double")).alias(f"{c}__std"))
             aggs.append(
                 F.percentile_approx(
                     F.col(c).cast("double"),
@@ -99,6 +102,7 @@ def profile_table(
                 F.col(f"{c}__min").alias("min"),
                 F.col(f"{c}__max").alias("max"),
                 F.round(F.col(f"{c}__mean"), 6).alias("mean"),
+                F.round(F.col(f"{c}__std"), 6).alias("std"),
                 *[
                     F.round(F.col(f"{c}__qs").getItem(i), 6).alias(n)
                     for i, n in enumerate(qnames)
@@ -109,6 +113,7 @@ def profile_table(
                 F.lit(None).cast("double").alias("min"),
                 F.lit(None).cast("double").alias("max"),
                 F.lit(None).cast("double").alias("mean"),
+                F.lit(None).cast("double").alias("std"),
                 *[F.lit(None).cast("double").alias(n) for n in qnames],
             ]
         rows.append(F.struct(*fields))

@@ -427,27 +427,6 @@ def w2_priciest_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# U1/U2 — union + distinct.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "u1_active_nation_keys",
-    oracle="""
-    SELECT DISTINCT nationkey FROM (
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION ALL
-        SELECT s_nationkey AS nationkey FROM supplier
-    )
-    """,
-)
-def u1_active_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.unionByName(s).distinct()
-
-
-# ---------------------------------------------------------------------------
 # A8 — value_counts (grouped size, sorted).
 # ---------------------------------------------------------------------------
 
@@ -522,35 +501,6 @@ def f_standardized_part_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_brand", 1, 3).alias("brand3"),
         name_cut.alias("name_cut"),
         geokey.alias("partkey_geokey"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# D1/D2/D4 — string→date parse with coercion, part extraction.
-# Round-trips o_orderdate through the reference's MM/DD/YYYY string format.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "d_dob_style_date_parts",
-    oracle="""
-    SELECT year(d) AS year_part, month(d) AS month_part, count(*) AS n
-    FROM (
-        SELECT strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS d
-        FROM orders
-    )
-    GROUP BY year(d), month(d)
-    """,
-)
-def d_dob_style_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    d = F.to_date(F.date_format("o_orderdate", "MM/dd/yyyy"), "MM/dd/yyyy")
-    return (
-        o.select(d.alias("d"))
-        .groupBy(
-            F.year("d").alias("year_part"), F.month("d").alias("month_part")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -890,33 +840,55 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # F8+F9 phonetics in one entry: Spark built-in soundex vs a hand-written
 # SQL port, and NYSIIS (pure-Python pandas UDF) vs a golden word→code map
-# (the part-name first-word vocabulary is the fixed 8-word TPC-H adjective
-# list at every sf) computed by the same pure-Python NYSIIS that is
-# golden-tested against jellyfish-pinned vectors in tests/test_phonetics.py.
-# Unmapped words surface as a sentinel code so a vocabulary change fails
-# loudly instead of silently passing.
+# computed at ORACLE-BUILD time by the same pure-Python NYSIIS (itself
+# golden-tested against jellyfish-pinned vectors in
+# tests/test_phonetics.py) over the ACTUAL distinct first words of every
+# available testdata sf — so the entry keeps full value-hash strength
+# even if the data generator ever widens the part-name vocabulary.
+# Unmapped words still surface as a sentinel code so an unreadable-data
+# fallback (the fixed 8-word TPC-H adjective list) fails loudly rather
+# than silently passing on a changed vocabulary.
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "f89_phonetic_part_names",
-    oracle=f"""
+def _f89_oracle() -> str:
+    from .functions.phonetics import nysiis
+
+    words: set[str] = set()
+    try:
+        import glob
+
+        import duckdb
+
+        con = duckdb.connect()
+        for path in glob.glob("/root/testdata/sf*/part.parquet"):
+            for (w,) in con.execute(
+                "SELECT DISTINCT upper(split_part(p_name, ' ', 1)) "
+                f"FROM read_parquet('{path}')"
+            ).fetchall():
+                if w:
+                    words.add(w)
+    except Exception:
+        pass
+    if not words:  # fallback: the fixed TPC-H adjective list
+        words = {"BLUE", "COLD", "HOT", "LARGE", "NEW", "OLD", "RED", "SMALL"}
+    vals = ", ".join(f"('{w}','{nysiis(w)}')" for w in sorted(words))
+    return f"""
     WITH w AS (
         SELECT upper(split_part(p_name, ' ', 1)) AS w,
                {_soundex_sql("upper(string_split(p_name, ' ')[1])")} AS name_soundex
         FROM part
     ),
-    m(w, ny) AS (VALUES
-        ('BLUE','BL'), ('COLD','CALD'), ('HOT','HAT'), ('LARGE','LARG'),
-        ('NEW','N'), ('OLD','OLD'), ('RED','RAD'), ('SMALL','SNAL')
-    )
+    m(w, ny) AS (VALUES {vals})
     SELECT w.name_soundex,
            coalesce(m.ny, '<UNMAPPED:' || w.w || '>') AS name_nysiis,
            count(*) AS n
     FROM w LEFT JOIN m ON w.w = m.w
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("f89_phonetic_part_names", oracle=_f89_oracle())
 def f89_phonetic_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.phonetics import nysiis_udf, soundex
 
@@ -1487,6 +1459,48 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# As-of join (operators/asof.py, beyond-reference temporal operator):
+# every click event paired with the user's most recent PRIOR error event.
+# The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent engine's
+# implementation of the same semantics, the strongest available check for
+# an operator Spark lacks. The Spark side is the union+window trick: ONE
+# hash exchange of |clicks|+|errors| rows, no range-join pair explosion
+# (plan pinned single-Exchange in tests/test_asof.py).
+@query(
+    "asof_prior_error_state",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+           round(e.err_value, 2) AS err_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value AS err_value
+          FROM events WHERE event_type = 'error') e
+    ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def asof_prior_error_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    j = asof_join(clicks, errors, on=["user_id"], left_ts="ts")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        F.date_format("ts_r", fmt).alias("err_ts"),
+        F.round("err_value", 2).alias("err_value"),
+    )
+
+
 # Custom stateful streaming (applyInPandasWithState): first-seen dedup over
 # the documents table streamed file-by-file; state (seen-count per
 # fingerprint) persists across micro-batches. Oracle: within a micro-batch
@@ -1588,6 +1602,80 @@ def streaming_near_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.read.parquet(f"{tmp}/decisions").select("doc_id", "is_dup")
+
+
+def _sil_oracle() -> str:
+    # each micro-batch runs the SAME blocked→gamma→FS plan against the
+    # static reference, so the union of all batches equals the batch run:
+    # the oracle is the batch FS replica thresholded. 0.001 sits between
+    # the discrete probability levels 0.000196 and 0.003326 of the demo
+    # model at sf0.01 — no rounding-boundary risk.
+    return f"""
+    SELECT custkey AS record_id_input, suppkey AS record_id_reference,
+           match_weight, match_probability
+    FROM ({_fs_oracle()})
+    WHERE match_probability >= 0.001
+    """
+
+
+# Streaming incremental LINKAGE, end-to-end value-hash checked (the
+# linkage sibling of streaming_near_dedup_decisions): customers stream in
+# 3 id-ordered chunks, each micro-batch linked against the static
+# supplier reference via foreachBatch running the batch scoring plan
+# (streaming/incremental_linkage.py); the replay-idempotent per-batch
+# parquet sink accumulates confirmed links, and the full multi-micro-batch
+# output is hashed against the batch Fellegi-Sunter SQL replica.
+@query("streaming_incremental_linkage", oracle=_sil_oracle())
+def streaming_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming.incremental_linkage import run_incremental_linkage
+
+    model = demo_linkage_model()
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("record_id"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("record_id"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    lo, hi = c.agg(F.min("custkey"), F.max("custkey")).first()
+    step = (hi - lo) // 3 + 1
+    tmp = tempfile.mkdtemp(prefix="sil_")
+    for i in range(3):
+        c.filter(
+            (F.col("custkey") >= lo + i * step) & (F.col("custkey") < lo + (i + 1) * step)
+        ).drop("custkey").coalesce(1).write.parquet(f"{tmp}/src/chunk_{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "record_id long, nationkey int, name string, acctbal double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*")
+    )
+    q = run_incremental_linkage(
+        spark,
+        stream,
+        reference=s,
+        model=model,
+        block_on=["nationkey"],
+        threshold=0.001,
+        sink=f"{tmp}/links",
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/links").select(
+        "record_id_input",
+        "record_id_reference",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1904,11 +1992,63 @@ def a9_k9_summary_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle() -> str:
+    numeric = ["o_orderkey", "o_custkey", "o_totalprice"]
+    strings = ["o_orderpriority", "o_orderstatus"]
+    parts = []
+    for c in numeric:
+        parts.append(
+            f"""SELECT '{c}' AS "column", count({c}) AS "count",
+                count(*) - count({c}) AS nulls,
+                CAST(min({c}) AS DOUBLE) AS "min",
+                CAST(max({c}) AS DOUBLE) AS "max",
+                round(avg({c}), 6) AS mean,
+                round(stddev_samp({c}), 6) AS std
+                FROM orders"""
+        )
+    for c in strings:
+        parts.append(
+            f"""SELECT '{c}' AS "column", count({c}) AS "count",
+                count(*) - count({c}) AS nulls,
+                CAST(NULL AS DOUBLE) AS "min", CAST(NULL AS DOUBLE) AS "max",
+                CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std
+                FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+# A9 as an OPERATOR, not a query: the single-pass table profiler
+# (operators/profile.py profile_table — `describe` that survives 100 TB:
+# every stat compiles into ONE agg over ONE scan, plan-pinned in
+# tests/test_profile.py). The deterministic stats are value-hash checked
+# against per-column DuckDB aggregates; the approximate tier (HLL NDV,
+# GK quantiles) is bound-tested in pytest where exactness is the wrong
+# contract.
+@query("profile_orders_table", oracle=_profile_oracle())
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    prof = profile_table(
+        o,
+        cols=[
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderstatus",
+        ],
+    )
+    return prof.select("column", "count", "nulls", "min", "max", "mean", "std")
+
+
 # Window running total (cumulative agg over an ordered frame) + D3/D4
 # (date literal comparison, sentinel fill, epoch sort key — the
-# deceased-check and event-date-for-sort patterns), as columns of one
-# per-order projection (former separate w_running_total_per_customer and
-# d3_date_literals entries, folded for the driver window).
+# deceased-check and event-date-for-sort patterns) + D1/D2 (folded,
+# former d_dob_style_date_parts entry: the DOB-style MM/DD/YYYY
+# string round-trip parse + year/month part extraction), as columns of
+# one per-order projection (former separate w_running_total_per_customer
+# and d3_date_literals entries, folded for the driver window).
 @query(
     "w_d3_order_row_ops",
     oracle="""
@@ -1918,7 +2058,9 @@ def a9_k9_summary_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
            CAST(o_orderdate <= TIMESTAMP '1997-06-30 00:00:00' AS INT) AS before_cutoff,
            CAST(epoch(coalesce(o_orderdate, TIMESTAMP '1900-01-01 00:00:00')) AS BIGINT)
-               AS sort_key
+               AS sort_key,
+           year(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')) AS year_part,
+           month(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')) AS month_part
     FROM orders
     """,
 )
@@ -1931,12 +2073,15 @@ def w_d3_order_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = F.lit("1997-06-30 00:00:00").cast("timestamp")
     sentinel = F.lit("1900-01-01 00:00:00").cast("timestamp")
+    dob = F.to_date(F.date_format("o_orderdate", "MM/dd/yyyy"), "MM/dd/yyyy")
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
         (F.col("o_orderdate") <= cutoff).cast("int").alias("before_cutoff"),
         F.unix_timestamp(F.coalesce(F.col("o_orderdate"), sentinel)).alias("sort_key"),
+        F.year(dob).alias("year_part"),
+        F.month(dob).alias("month_part"),
     )
 
 
@@ -1987,19 +2132,36 @@ def p9_f4_customer_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j5_accumulating_merge",
     oracle="""
-    SELECT coalesce(a.k, b.k, c.k) AS nationkey,
-           a.n_customers, b.n_suppliers, c.nation
-    FROM
-      (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1) a
-      FULL OUTER JOIN
-      (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1) b
-      ON a.k = b.k
-      FULL OUTER JOIN
-      (SELECT n_nationkey AS k, n_name AS nation FROM nation) c
-      ON coalesce(a.k, b.k) = c.k
+    WITH active AS (
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+    )
+    SELECT m.nationkey, m.n_customers, m.n_suppliers, m.nation,
+           (act.nationkey IS NOT NULL) AS is_active
+    FROM (
+        SELECT coalesce(a.k, b.k, c.k) AS nationkey,
+               a.n_customers, b.n_suppliers, c.nation
+        FROM
+          (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1) a
+          FULL OUTER JOIN
+          (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1) b
+          ON a.k = b.k
+          FULL OUTER JOIN
+          (SELECT n_nationkey AS k, n_name AS nation FROM nation) c
+          ON coalesce(a.k, b.k) = c.k
+    ) m LEFT JOIN active act ON m.nationkey = act.nationkey
     """,
 )
 def j5_accumulating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 accumulating merge + (folded, former u1_active_nation_keys
+    entry) U1/U2 union-distinct: the merged nation roster gains an
+    ``is_active`` membership flag computed from the union-distinct of
+    customer/supplier nation keys — both set operators verified in the
+    same plan (the distinct-key set stays tiny, so its membership join is
+    broadcast)."""
     from .sources.lineage import merge_preserving_source_records, new_lineage
 
     cust = (
@@ -2023,7 +2185,27 @@ def j5_accumulating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(cust, new_lineage(cust)), (supp, new_lineage(supp)), (nat, new_lineage(nat))],
         key="nationkey",
     )
-    return merged.select("nationkey", "n_customers", "n_suppliers", "nation")
+    active = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(
+            _t(spark, sf_dir, "supplier").select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
+        .distinct()
+        .withColumn("__act", F.lit(1))
+    )
+    return (
+        merged.join(F.broadcast(active), on="nationkey", how="left")
+        .select(
+            "nationkey",
+            "n_customers",
+            "n_suppliers",
+            "nation",
+            F.col("__act").isNotNull().alias("is_active"),
+        )
+    )
 
 
 # A10 — u-estimation over a seeded pair sample. The deterministic
@@ -2408,31 +2590,55 @@ def _pii_enriched_sql() -> str:
     """
 
 
-def _pii_oracle() -> str:
+def _pii_repetition_oracle() -> str:
     from .textops.curation import scrub_pii_sql
 
+    toks = _SQL_TOKENS.format(t="text")
     return f"""
-    SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
-           md5(text_scrubbed) AS scrub_md5
-    FROM (
-        SELECT doc_id, {scrub_pii_sql("t", "text_scrubbed")}
-        FROM (SELECT doc_id, {_pii_enriched_sql()} AS t FROM documents) e
+    WITH pii AS (
+        SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+               md5(text_scrubbed) AS scrub_md5
+        FROM (
+            SELECT doc_id, {scrub_pii_sql("t", "text_scrubbed")}
+            FROM (SELECT doc_id, {_pii_enriched_sql()} AS t FROM documents) e
+        )
+    ), rep AS (
+        SELECT doc_id,
+               round(CASE WHEN len(t) >= 2
+                     THEN 1 - len(list_distinct(
+                              list_transform(generate_series(1, len(t)-1),
+                                             i -> t[i] || ' ' || t[i+1])))
+                          / (len(t) - 1)
+                     ELSE 0.0 END, 6) AS dup_bigram_frac,
+               round(CASE WHEN len(t) > 0
+                     THEN list_max(list_transform(list_distinct(t),
+                              x -> len(list_filter(t, y -> y = x)))) / len(t)
+                     ELSE 0.0 END, 6) AS top_token_frac
+        FROM (SELECT doc_id, {toks} AS t FROM documents) d
     )
+    SELECT pii.doc_id, pii.n_email, pii.n_ssn, pii.n_phone, pii.n_ipv4,
+           pii.scrub_md5, rep.dup_bigram_frac, rep.top_token_frac
+    FROM pii JOIN rep USING (doc_id)
     """
 
 
-@query("pii_scrub_docs", oracle=_pii_oracle())
-def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII masking over a deterministically-enriched documents extract:
-    emails / SSNs / phones / IPv4s are counted then masked in one narrow
-    JVM-regex projection (textops/curation.py scrub_pii); the md5 of the
-    scrubbed text pins byte-identical masking across engines."""
-    from .textops.curation import scrub_pii
+@query("pii_repetition_signals", oracle=_pii_repetition_oracle())
+def pii_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + Gopher-style repetition rules in ONE scan (folded,
+    former pii_scrub_docs / text_repetition_signals entries): emails /
+    SSNs / phones / IPv4s are counted then masked in a narrow JVM-regex
+    projection over a deterministically-enriched extract (the md5 of the
+    scrubbed text pins byte-identical masking across engines), and the
+    duplicate-bigram fraction + top-token share of the ORIGINAL text ride
+    the same projection — at 100 TB every per-document signal wants to be
+    a column of one pass, not its own job."""
+    from .textops.curation import add_repetition_signals, scrub_pii
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pad4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
     enriched = d.select(
         "doc_id",
+        "text",
         F.when(
             F.col("doc_id") % 3 == 0,
             F.concat(
@@ -2451,43 +2657,21 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("t"),
     )
-    return scrub_pii(enriched, text_col="t", out_col="text_scrubbed").select(
+    # chain, don't join: repetition signals (on the original text) and the
+    # scrub are narrow projections stacked on one scan of documents
+    return scrub_pii(
+        add_repetition_signals(enriched),
+        text_col="t",
+        out_col="text_scrubbed",
+    ).select(
         "doc_id",
         "n_email",
         "n_ssn",
         "n_phone",
         "n_ipv4",
         F.md5(F.col("text_scrubbed")).alias("scrub_md5"),
-    )
-
-
-def _repetition_oracle() -> str:
-    toks = _SQL_TOKENS.format(t="text")
-    return f"""
-    SELECT doc_id,
-           round(CASE WHEN len(t) >= 2
-                 THEN 1 - len(list_distinct(
-                          list_transform(generate_series(1, len(t)-1),
-                                         i -> t[i] || ' ' || t[i+1])))
-                      / (len(t) - 1)
-                 ELSE 0.0 END, 6) AS dup_bigram_frac,
-           round(CASE WHEN len(t) > 0
-                 THEN list_max(list_transform(list_distinct(t),
-                          x -> len(list_filter(t, y -> y = x)))) / len(t)
-                 ELSE 0.0 END, 6) AS top_token_frac
-    FROM (SELECT doc_id, {toks} AS t FROM documents) d
-    """
-
-
-@query("text_repetition_signals", oracle=_repetition_oracle())
-def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality rules (duplicate-bigram fraction,
-    most-frequent-token share) as a narrow per-row projection."""
-    from .textops.curation import add_repetition_signals
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return add_repetition_signals(d).select(
-        "doc_id", "dup_bigram_frac", "top_token_frac"
+        "dup_bigram_frac",
+        "top_token_frac",
     )
 
 

@@ -108,13 +108,20 @@ def main() -> None:
     # 128 hashes / 32 bands → r=4: keeps P(miss) ~1e-13 at planted J≈0.94
     # while crushing the random-pair (J≈0.06) collision floor to ~4e-4.
     sigs = minhash_signatures(docs, shingle_n=1, num_hashes=128)
-    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    # persist BEFORE counting: only the signatures are persisted inside
+    # minhash_candidate_pairs, so without this the band self-join +
+    # dropDuplicates would re-execute inside ngram_jaccard_pairs and the
+    # exact_scoring stage wall would include candidate recomputation
+    cands = minhash_candidate_pairs(
+        sigs, bands=32, est_jaccard_threshold=None
+    ).persist()
     n_cands = cands.count()
     t_cand = time.time()
     pairs = ngram_jaccard_pairs(docs, candidates=cands, threshold=threshold)
     pairs = pairs.persist()
     n_pairs = pairs.count()
     t_score = time.time()
+    cands.unpersist()
 
     planted = (
         docs.filter(F.col("doc_id") >= n_base)

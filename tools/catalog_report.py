@@ -31,10 +31,8 @@ OPERATORS: dict[str, str] = {
     "bucketed_join_revenue": "S2b J1",
     "w1_best_order_per_customer": "W1",
     "w2_priciest_lines_per_order": "W2 A4",
-    "u1_active_nation_keys": "U1 U2",
     "a8_order_priority_counts": "A8",
     "f_standardized_part_keys": "F1 F2 F3 F5 F7 F13 M3",
-    "d_dob_style_date_parts": "D1 D2",
     "jw_similar_part_names": "J6 F11 X2",
     "fs_customer_supplier_scores": "K2 K3 K4 K7 M1 M2",
     "k8_blocking_pair_count": "K8",
@@ -51,8 +49,10 @@ OPERATORS: dict[str, str] = {
     "ann_lsh_ivf_topk": "ann-lsh ann-ivf",
     "emb_near_dup_pairs": "embedding-near-dup",
     "events_sessionized": "sessionization lag-window",
+    "asof_prior_error_state": "asof-join temporal-state",
     "streaming_dedup_first_seen": "streaming-stateful-dedup",
     "streaming_near_dedup_decisions": "streaming-incremental-near-dedup",
+    "streaming_incremental_linkage": "streaming-incremental-linkage",
     "s7_generated_census": "S7",
     "sampling_strata_and_split": "P11 stratified-sample train-val-test-split",
     "mixture_upsample_documents": "mixture-upsample",
@@ -61,16 +61,16 @@ OPERATORS: dict[str, str] = {
     "shuffle_documents_for_training": "global-shuffle",
     "mm_media_features": "multimodal-schema mapInPandas-features",
     "a9_k9_summary_stats_sql": "A9 K9",
-    "w_d3_order_row_ops": "W-running-total D3 D4",
+    "profile_orders_table": "A9 table-profiler",
+    "w_d3_order_row_ops": "W-running-total D1 D2 D3 D4",
     "p9_f4_customer_cleanup": "P8 P9 P10 F4",
-    "j5_accumulating_merge": "J5",
+    "j5_accumulating_merge": "J5 U1 U2",
     "a10_u_estimation": "A10 K5",
     "a11_em_training": "A11 K6",
     "cascade_mini": "K1 K12 J9 S6",
     "k11_mu_parameters": "K11",
     "decontaminate_docs": "decontamination",
-    "pii_scrub_docs": "pii-scrubbing",
-    "text_repetition_signals": "repetition-rules",
+    "pii_repetition_signals": "pii-scrubbing repetition-rules",
     "k_tf_adjusted_scores": "K+ tf-adjustment",
 }
 
