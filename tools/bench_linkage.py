@@ -187,7 +187,22 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     scale_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     mode = sys.argv[3] if len(sys.argv) > 3 else "cascade"
-    spark = get_spark("bench-linkage")
+    # Size the single-JVM heap and reducer count to the data, the way a
+    # cluster submit would: the standard 8g local heap OOMs at 128×
+    # (19.2M records — a map-side hash agg across 32 concurrent tasks
+    # exhausted the heap while the box sat at 10/128 GiB used), so the
+    # ladder scales heap ~mult/2 GiB (floor 8, cap 64) and shuffle
+    # partitions 2×mult past 16× so per-reducer state keeps shrinking as
+    # the data grows — the local analog of adding executors.
+    heap_g = min(64, max(8, scale_mult // 2))
+    shuffle_parts = max(32, 2 * scale_mult)
+    spark = get_spark(
+        "bench-linkage",
+        extra_conf={
+            "spark.driver.memory": f"{heap_g}g",
+            "spark.sql.shuffle.partitions": str(shuffle_parts),
+        },
+    )
     census, ref = synthesize(spark, sf_dir, scale_mult)
     n_records = census.count()
     ref = ref.persist()

@@ -124,6 +124,32 @@ def main() -> None:
     check("simhash", "PushedFilters: [IsNotNull(text)" in plan_of(qs["simhash_near_dups"](spark, sf_dir)),
           "text non-null precondition pushed to the parquet scan")
 
+    print("== asof_prior_error_state ==")
+    p = executed_plan_of(qs["asof_prior_error_state"](spark, sf_dir))
+    check("asof", p.count("Exchange hashpartitioning") == 1,
+          f"union+window as-of: exactly ONE key exchange (got {p.count('Exchange hashpartitioning')})")
+    check("asof", "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "no pair explosion (no cartesian / broadcast-nested-loop)")
+
+    print("== profile_orders_table ==")
+    p = executed_plan_of(qs["profile_orders_table"](spark, sf_dir))
+    check("profile", p.count("Scan parquet") == 1,
+          f"whole profile is ONE scan (got {p.count('Scan parquet')})")
+    check("profile", p.count("Exchange") == 1,
+          f"one global-aggregate collapse, no per-column jobs (got {p.count('Exchange')} exchanges)")
+
+    print("== pii_repetition_signals ==")
+    p = executed_plan_of(qs["pii_repetition_signals"](spark, sf_dir))
+    check("pii_rep", p.count("Scan parquet") == 1,
+          f"folded scrub+repetition run as ONE scan (got {p.count('Scan parquet')})")
+    check("pii_rep", "Exchange" not in p and "BatchEvalPython" not in p,
+          "pure narrow projection: no shuffle, no Python")
+
+    print("== j5_accumulating_merge ==")
+    p = executed_plan_of(qs["j5_accumulating_merge"](spark, sf_dir))
+    check("j5", "BroadcastHashJoin" in p,
+          "is_active membership join is broadcast, not shuffled")
+
     if failures:
         print(f"\n{len(failures)} plan invariant(s) FAILED")
         sys.exit(1)
