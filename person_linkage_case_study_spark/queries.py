@@ -1670,7 +1670,13 @@ def streaming_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame
         checkpoint_dir=f"{tmp}/ckpt",
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{tmp}/links").select(
+    # explicit schema: at tiny sf a batch can confirm ZERO links, leaving
+    # the sink with no data files to infer from — the empty result is
+    # still a valid (and oracle-checked) answer
+    return spark.read.schema(
+        "record_id_input bigint, record_id_reference bigint, "
+        "match_weight double, match_probability double, ingest_batch int"
+    ).parquet(f"{tmp}/links").select(
         "record_id_input",
         "record_id_reference",
         F.round("match_weight", 6).alias("match_weight"),
