@@ -54,6 +54,7 @@ def profile_table(
     cols: Sequence[str] | None = None,
     quantiles: Sequence[float] = _Q,
     rel_err: float = 0.01,
+    by: Sequence[str] | None = None,
 ) -> DataFrame:
     """One-pass profile: DataFrame with a row per profiled column —
     ``(column, count, nulls, approx_distinct, min, max, mean, std, q_*)``.
@@ -63,8 +64,14 @@ def profile_table(
     profile those via NDV + nulls, or cast explicitly if needed). ``std``
     is the n-1 sample form, matching pandas ``describe`` and DuckDB
     ``stddev_samp``.
+
+    ``by``: optional grouping columns — the grouped describe
+    (``df.groupby(by).describe()`` in pandas): one output row per
+    (group × profiled column), still ONE scan and ONE aggregate; the
+    global collapse just becomes a keyed hash aggregate.
     """
-    cols = list(cols or df.columns)
+    by = list(by or [])
+    cols = list(cols or [c for c in df.columns if c not in by])
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
@@ -85,9 +92,10 @@ def profile_table(
                     F.lit(max(2, int(1.0 / rel_err))),
                 ).alias(f"{c}__qs")
             )
-    wide = df.agg(*aggs)
+    wide = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
-    # unpivot the 1-row wide aggregate: #cols structs, driver-side shape only
+    # unpivot the wide aggregate (one row per group, or exactly one):
+    # #cols structs, plan-side shape only — never a data pass
     qnames = [f"q{int(q * 100):02d}" for q in quantiles]
     rows = []
     for c in cols:
@@ -117,7 +125,9 @@ def profile_table(
                 *[F.lit(None).cast("double").alias(n) for n in qnames],
             ]
         rows.append(F.struct(*fields))
-    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    return wide.select(*by, F.explode(F.array(*rows)).alias("p")).select(
+        *by, "p.*"
+    )
 
 
 def _hll_input(df: DataFrame, c: str):

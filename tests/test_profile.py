@@ -58,6 +58,38 @@ def test_median_within_gk_bound(prof, oracle):
     assert p["q25"] <= p["q50"] <= p["q75"]
 
 
+def test_grouped_profile_matches_duckdb(spark):
+    """by= grouped describe: one row per (group, column), exact stats
+    equal DuckDB's per-group aggregates."""
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    got = {
+        r["o_orderpriority"]: r
+        for r in profile_table(
+            df, cols=["o_totalprice"], by=["o_orderpriority"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    for prio, cnt, mn, mx, mean, std in con.execute(
+        f"""SELECT o_orderpriority, count(o_totalprice), min(o_totalprice),
+                   max(o_totalprice), avg(o_totalprice),
+                   stddev_samp(o_totalprice)
+            FROM read_parquet('{SF}/orders.parquet') GROUP BY 1"""
+    ).fetchall():
+        p = got[prio]
+        assert p["column"] == "o_totalprice"
+        assert p["count"] == cnt and p["min"] == mn and p["max"] == mx
+        assert abs(p["mean"] - mean) < 1e-4 and abs(p["std"] - std) < 1e-4
+
+
+def test_grouped_profile_single_scan(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (
+        profile_table(df, cols=["o_totalprice"], by=["o_orderpriority"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
 def test_non_numeric_columns_profiled_without_minmax(prof):
     p = prof["o_orderpriority"]
     assert p["min"] is None and p["mean"] is None
