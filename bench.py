@@ -38,6 +38,10 @@ HEADLINE = [
     "ann_brute_force_topk",
     "text_analysis_suite",
     "cascade_mini",
+    # r4 flagship additions (suite membership change is interpretable via
+    # the calibration probe + raw_runs in the payload)
+    "asof_prior_error_state",
+    "profile_orders_table",
 ]
 
 

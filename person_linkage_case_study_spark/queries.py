@@ -876,26 +876,29 @@ def _f89_oracle() -> str:
     return f"""
     WITH w AS (
         SELECT upper(split_part(p_name, ' ', 1)) AS w,
-               {_soundex_sql("upper(string_split(p_name, ' ')[1])")} AS name_soundex
+               {_soundex_sql("upper(string_split(p_name, ' ')[1])")} AS name_soundex,
+               {_soundex_sql("reverse(upper(string_split(p_name, ' ')[1]))")}
+                   AS name_rsoundex
         FROM part
     ),
     m(w, ny) AS (VALUES {vals})
-    SELECT w.name_soundex,
+    SELECT w.name_soundex, w.name_rsoundex,
            coalesce(m.ny, '<UNMAPPED:' || w.w || '>') AS name_nysiis,
            count(*) AS n
     FROM w LEFT JOIN m ON w.w = m.w
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
     """
 
 
 @query("f89_phonetic_part_names", oracle=_f89_oracle())
 def f89_phonetic_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.phonetics import nysiis_udf, soundex
+    from .functions.phonetics import nysiis_udf, reverse_soundex, soundex
 
     p = _t(spark, sf_dir, "part")
     first_word = F.upper(F.split(F.col("p_name"), " ").getItem(0))
     return p.groupBy(
         soundex(first_word).alias("name_soundex"),
+        reverse_soundex(first_word).alias("name_rsoundex"),  # F6+F10
         nysiis_udf(first_word).alias("name_nysiis"),
     ).agg(F.count(F.lit(1)).alias("n"))
 
@@ -2066,7 +2069,8 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch(coalesce(o_orderdate, TIMESTAMP '1900-01-01 00:00:00')) AS BIGINT)
                AS sort_key,
            year(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')) AS year_part,
-           month(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')) AS month_part
+           month(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')) AS month_part,
+           starts_with(o_orderpriority, '1-') AS is_urgent_class
     FROM orders
     """,
 )
@@ -2088,6 +2092,8 @@ def w_d3_order_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.coalesce(F.col("o_orderdate"), sentinel)).alias("sort_key"),
         F.year(dob).alias("year_part"),
         F.month(dob).alias("month_part"),
+        # F12 — the ITIN-style startswith predicate as a flag column
+        F.col("o_orderpriority").startswith("1-").alias("is_urgent_class"),
     )
 
 

@@ -39,7 +39,7 @@ OPERATORS: dict[str, str] = {
     "events_hourly_rollup": "streaming-twin windowed-agg",
     "dedup_exact_documents": "dedup-exact",
     "text_analysis_suite": "F14 lang-id quality tokens fingerprint",
-    "f89_phonetic_part_names": "F8 F9 X1",
+    "f89_phonetic_part_names": "F6 F8 F9 F10 X1",
     "dedup_cluster_canonical": "near-dup-clusters",
     "corpus_curation_pipeline": "curation-capstone",
     "minhash_near_dups": "minhash-lsh",
@@ -62,7 +62,7 @@ OPERATORS: dict[str, str] = {
     "mm_media_features": "multimodal-schema mapInPandas-features",
     "a9_k9_summary_stats_sql": "A9 K9",
     "profile_orders_table": "A9 table-profiler",
-    "w_d3_order_row_ops": "W-running-total D1 D2 D3 D4",
+    "w_d3_order_row_ops": "W-running-total D1 D2 D3 D4 F12",
     "p9_f4_customer_cleanup": "P8 P9 P10 F4",
     "j5_accumulating_merge": "J5 U1 U2",
     "a10_u_estimation": "A10 K5",
