@@ -1632,9 +1632,15 @@ def _sil_oracle() -> str:
 def streaming_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
+    from .operators.scoring import LinkageModel as _LM
     from .streaming.incremental_linkage import run_incremental_linkage
 
-    model = demo_linkage_model()
+    tmp = tempfile.mkdtemp(prefix="sil_")
+    # K10 in the serving path: a deployed streaming linker scores with a
+    # PERSISTED model — round-trip the demo model through its JSON form
+    # (bit-identity of the round-trip is pinned in test_scoring)
+    demo_linkage_model().save(f"{tmp}/model.json")
+    model = _LM.load(f"{tmp}/model.json")
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("record_id"),
         F.col("c_custkey").alias("custkey"),
@@ -1650,7 +1656,6 @@ def streaming_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     lo, hi = c.agg(F.min("custkey"), F.max("custkey")).first()
     step = (hi - lo) // 3 + 1
-    tmp = tempfile.mkdtemp(prefix="sil_")
     for i in range(3):
         c.filter(
             (F.col("custkey") >= lo + i * step) & (F.col("custkey") < lo + (i + 1) * step)

@@ -52,7 +52,7 @@ OPERATORS: dict[str, str] = {
     "asof_prior_error_state": "asof-join temporal-state",
     "streaming_dedup_first_seen": "streaming-stateful-dedup",
     "streaming_near_dedup_decisions": "streaming-incremental-near-dedup",
-    "streaming_incremental_linkage": "streaming-incremental-linkage",
+    "streaming_incremental_linkage": "streaming-incremental-linkage K10 S2",
     "s7_generated_census": "S7",
     "sampling_strata_and_split": "P11 stratified-sample train-val-test-split",
     "mixture_upsample_documents": "mixture-upsample",
