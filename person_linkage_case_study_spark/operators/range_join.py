@@ -1,0 +1,219 @@
+"""Binned range join: point-in-interval and interval-overlap joins.
+
+The reference never joins on ranges (its blocking is equality-shaped:
+`/root/reference/src/person_linkage_case_study/` passes block on zip /
+name-initial equality), but event-shaped curation data constantly needs
+"which validity interval was this event inside" (price in effect, session
+window containing a click, config epoch covering a record). Spark has no
+range-join operator: the direct spelling
+
+    left.join(right, (k equal) & (start <= ts) & (ts < end))
+
+hash-joins on the key and evaluates the range as a residual — which
+means every same-key (point, interval) pair is materialized before the
+filter: quadratic per key, and with no key at all (global intervals)
+Catalyst degenerates to BroadcastNestedLoopJoin outright. Fatal at
+100 TB either way.
+
+The scale-correct formulation is *binning* (the same technique behind
+Databricks' range-join optimization and Postgres' SP-GiST ranges): pick a
+bin width `w`, explode each interval into the integer bins it covers
+(cost: interval_length/w extra rows), map each point to its single bin,
+and join on (keys, bin) PLUS the exact range predicate. The equality on
+bin turns the join into an ordinary shuffled hash/sort-merge join;
+the exact predicate runs as the join's residual filter. Each qualifying
+(point, interval) pair shares exactly ONE bin — the point's — so no
+dedup is needed and left/semi/anti join types work unchanged.
+
+For interval-vs-interval overlap the same trick needs a dedup rule,
+because an overlapping pair can share many bins: the pair is credited
+only in the bin containing ``greatest(a.start, b.start)`` — a point that
+lies in both intervals precisely when they overlap — so again each pair
+appears exactly once and outer variants stay correct.
+
+Choosing ``bin_width``: ~the median interval length. Wider bins explode
+fewer rows but let more non-matching pairs through to the residual
+filter; narrower bins do the reverse. Cost model per right row is
+``1 + ceil(length/w)`` exploded rows; the residual filter is a codegen
+comparison, so over-wide bins only waste shuffle I/O, never correctness.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_JOIN_TYPES = ("inner", "left", "left_semi", "left_anti")
+
+
+def _numeric(df: DataFrame, col: str) -> Column:
+    """Exact numeric image of a timestamp/date/numeric column (epoch
+    micros for temporal types), for bin arithmetic."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp") or dt == "date":
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.col(col)
+
+
+def _bins(lo: Column, hi: Column, width: int) -> Column:
+    """All integer bins covered by [lo, hi] (numeric images), as an array.
+
+    ``sequence`` is JVM-side; callers guarantee lo <= hi (empty/inverted
+    intervals are filtered before this is applied).
+    """
+    return F.sequence(
+        F.floor(lo / F.lit(width)), F.floor(hi / F.lit(width))
+    )
+
+
+def _width_micros(df: DataFrame, col: str, bin_width: float) -> int:
+    """bin_width is given in the column's natural units (seconds for
+    temporal columns, raw units for numerics); convert to the internal
+    numeric image's units."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp") or dt == "date":
+        return max(int(bin_width * 1_000_000), 1)
+    return max(int(bin_width), 1)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    point: str,
+    start: str,
+    end: str,
+    bin_width: float,
+    how: str = "inner",
+    closed: str = "left",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Join each left row (at ``left[point]``) to every right interval
+    ``[right[start], right[end])`` containing it, per ``on`` key.
+
+    ``closed``: 'left' ([start, end)), 'both' ([start, end]), 'right'
+    ((start, end]), 'neither' ((start, end)). ``bin_width`` in the point
+    column's natural units (seconds for timestamps). ``how`` in
+    {'inner', 'left', 'left_semi', 'left_anti'}; outer variants are
+    correct because each qualifying pair materializes in exactly one bin.
+    Right rows with NULL/inverted bounds never match; left rows with a
+    NULL point never match (and survive with null payload under 'left').
+    """
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {_JOIN_TYPES}")
+    if closed not in ("left", "right", "both", "neither"):
+        raise ValueError("closed must be left|right|both|neither")
+    keys = list(on)
+    width = _width_micros(left, point, bin_width)
+
+    r_lo, r_hi = _numeric(right, start), _numeric(right, end)
+    r = (
+        right.filter(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (F.col(start) <= F.col(end))
+        )
+        .withColumn("__bin", F.explode(_bins(r_lo, r_hi, width)))
+    )
+    # suffix right columns that collide with left names (keys are dropped
+    # from the right side entirely — they're equal by the join condition)
+    payload = [c for c in right.columns if c not in keys]
+    renames = {c: (c + suffix if c in left.columns else c) for c in payload}
+    r = r.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        F.col("__bin").alias("__rbin"),
+        *[F.col(c).alias(renames[c]) for c in payload],
+    )
+
+    l_pt = _numeric(left, point)
+    l = left.withColumn("__bin", F.floor(l_pt / F.lit(width)))
+
+    s_col, e_col = F.col(renames[start]), F.col(renames[end])
+    lo_ok = F.col(point) >= s_col if closed in ("left", "both") else F.col(point) > s_col
+    hi_ok = F.col(point) <= e_col if closed in ("right", "both") else F.col(point) < e_col
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__rk_{k}"))
+    cond = cond & (F.col("__bin") == F.col("__rbin")) & lo_ok & hi_ok
+
+    # Spark extracts the equalities (keys, __bin) as hash-join keys and
+    # runs the range predicate as the join residual — one shuffle, no
+    # nested loop. Verified by the plan pin in tests/test_range_join.py.
+    out = l.join(r, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return out.drop("__bin")
+    return out.drop("__bin", "__rbin", *[f"__rk_{k}" for k in keys])
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner join of overlapping half-open intervals per key:
+    ``[l_start, l_end) ∩ [r_start, r_end) ≠ ∅``.
+
+    Both sides explode to their covered bins; a pair is credited only in
+    the bin containing ``greatest(l_start, r_start)`` — inside both
+    intervals exactly when they overlap — so every overlapping pair is
+    emitted exactly once. NULL or inverted (end <= start, i.e. empty)
+    intervals never match.
+    """
+    keys = list(on)
+    width = _width_micros(left, left_start, bin_width)
+
+    def prep(df: DataFrame, s: str, e: str, key_prefix: str) -> DataFrame:
+        lo, hi = _numeric(df, s), _numeric(df, e)
+        return (
+            df.filter(
+                F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(s) < F.col(e))
+            )
+            # half-open [lo, hi): covering through floor(hi/w) may emit one
+            # bin past the last truly-covered one — a harmless extra
+            # candidate row the residual overlap filter removes; computing
+            # the tight cap would assume integer bounds, this doesn't
+            .withColumn(
+                f"__{key_prefix}bin",
+                F.explode(_bins(lo, hi, width)),
+            )
+            .withColumn(f"__{key_prefix}lo", lo)
+        )
+
+    l = prep(left, left_start, left_end, "l")
+    payload = [c for c in right.columns if c not in keys]
+    renames = {c: (c + suffix if c in left.columns else c) for c in payload}
+    r = prep(right, right_start, right_end, "r").select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        "__rbin",
+        "__rlo",
+        *[F.col(c).alias(renames[c]) for c in payload],
+    )
+
+    rs, re_ = F.col(renames[right_start]), F.col(renames[right_end])
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__rk_{k}"))
+    cond = (
+        cond
+        & (F.col("__lbin") == F.col("__rbin"))
+        # overlap of half-open intervals
+        & (F.col(left_start) < re_)
+        & (rs < F.col(left_end))
+        # dedup: credit the pair only in max(l_start, r_start)'s bin
+        & (
+            F.col("__lbin")
+            == F.floor(F.greatest(F.col("__llo"), F.col("__rlo")) / F.lit(width))
+        )
+    )
+    out = l.join(r, cond, "inner")
+    return out.drop(
+        "__lbin", "__rbin", "__llo", "__rlo", *[f"__rk_{k}" for k in keys]
+    )
