@@ -1462,29 +1462,44 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# As-of join (operators/asof.py, beyond-reference temporal operator):
-# every click event paired with the user's most recent PRIOR error event.
-# The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent engine's
-# implementation of the same semantics, the strongest available check for
-# an operator Spark lacks. The Spark side is the union+window trick: ONE
-# hash exchange of |clicks|+|errors| rows, no range-join pair explosion
-# (plan pinned single-Exchange in tests/test_asof.py).
+# Temporal operators (beyond-reference): every click event paired with
+# (a) the user's most recent PRIOR error event — asof_join
+# (operators/asof.py), oracled by DuckDB's NATIVE ASOF LEFT JOIN, an
+# independent engine's implementation of the same semantics — and
+# (b) how many 1-hour error windows were open at click time — range_join
+# (operators/range_join.py), oracled by a plain inequality join. The
+# Spark side of (a) is the union+window trick (ONE hash exchange of
+# |clicks|+|errors| rows, plan pinned single-Exchange in tests/test_asof);
+# (b) is the binned equi-join formulation (each window explodes into ≤3
+# half-window bins; the exact containment predicate is the join residual;
+# no NestedLoop/Cartesian — plan pinned in tests/test_range_join).
 @query(
     "asof_prior_error_state",
     oracle="""
     SELECT c.event_id, c.user_id,
            strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
            strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
-           round(e.err_value, 2) AS err_value
+           round(e.err_value, 2) AS err_value,
+           CAST(coalesce(w.n, 0) AS BIGINT) AS n_open_err_windows
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
     ASOF LEFT JOIN
          (SELECT user_id, ts, value AS err_value
           FROM events WHERE event_type = 'error') e
     ON c.user_id = e.user_id AND c.ts >= e.ts
+    LEFT JOIN (
+        SELECT c2.event_id, count(*) AS n
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c2
+        JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e2
+          ON c2.user_id = e2.user_id
+         AND c2.ts >= e2.ts AND c2.ts < e2.ts + INTERVAL 1 HOUR
+        GROUP BY c2.event_id
+    ) w ON c.event_id = w.event_id
     """,
 )
 def asof_prior_error_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.asof import asof_join
+    from .operators.range_join import range_join
 
     e = _events(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select(
@@ -1494,13 +1509,32 @@ def asof_prior_error_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("value").alias("err_value")
     )
     j = asof_join(clicks, errors, on=["user_id"], left_ts="ts")
-    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    return j.select(
-        "event_id",
+    windows = errors.select(
         "user_id",
-        F.date_format("ts", fmt).alias("click_ts"),
-        F.date_format("ts_r", fmt).alias("err_ts"),
-        F.round("err_value", 2).alias("err_value"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+    )
+    open_counts = (
+        range_join(
+            clicks, windows, on=["user_id"], point="ts", start="lo",
+            end="hi", bin_width=1800, closed="left",
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_open_err_windows"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        j.join(open_counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("click_ts"),
+            F.date_format("ts_r", fmt).alias("err_ts"),
+            F.round("err_value", 2).alias("err_value"),
+            F.coalesce("n_open_err_windows", F.lit(0))
+            .cast("long")
+            .alias("n_open_err_windows"),
+        )
     )
 
 

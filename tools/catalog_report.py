@@ -49,7 +49,7 @@ OPERATORS: dict[str, str] = {
     "ann_lsh_ivf_topk": "ann-lsh ann-ivf",
     "emb_near_dup_pairs": "embedding-near-dup",
     "events_sessionized": "sessionization lag-window",
-    "asof_prior_error_state": "asof-join temporal-state",
+    "asof_prior_error_state": "asof-join range-join temporal-state",
     "streaming_dedup_first_seen": "streaming-stateful-dedup",
     "streaming_near_dedup_decisions": "streaming-incremental-near-dedup",
     "streaming_incremental_linkage": "streaming-incremental-linkage K10 S2",
