@@ -427,23 +427,81 @@ def w2_priciest_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A8 — value_counts (grouped size, sorted).
+# A8 — value_counts (grouped size, sorted) + mergeable heavy-hitters
+# (operators/topk.py, beyond-reference): the same counts re-derived the
+# 100 TB way — 4 hash slices summarized independently (topk_increment,
+# capacity 3 of 5 values so pruning actually happens), folded by
+# merge_topk into [n_lower, n_upper] bounds and a PROVABLE top-3
+# certificate. The oracle replays the pruned-counter algorithm
+# (Mergeable Summaries, Agarwal et al., PODS'12 §3) in DuckDB SQL, so
+# bounds and certificates are value-hash-checked, not just the exact
+# counts. n_lower/n_upper/guaranteed are NULL for values outside the
+# merged top-3 candidate cut.
 # ---------------------------------------------------------------------------
 
 
 @query(
     "a8_order_priority_counts",
     oracle="""
-    SELECT o_orderpriority AS priority, count(*) AS n
-    FROM orders GROUP BY o_orderpriority
-    ORDER BY n DESC, priority ASC
+    WITH slice_counts AS (
+        SELECT o_orderkey % 4 AS slice_id, o_orderpriority AS value,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY slice_id ORDER BY n DESC, value ASC) AS rn
+        FROM slice_counts
+    ), thr AS (
+        SELECT s.slice_id,
+               coalesce(max(CASE WHEN rn > 3 THEN n END), 0) AS slice_threshold
+        FROM ranked s GROUP BY 1
+    ), kept AS (
+        SELECT r.slice_id, r.value, r.n, t.slice_threshold
+        FROM ranked r JOIN thr t USING (slice_id) WHERE r.rn <= 3
+    ), merged AS (
+        SELECT value,
+               CAST(sum(n) AS BIGINT) AS n_lower,
+               CAST(sum(n) AS BIGINT)
+                 + (SELECT CAST(sum(slice_threshold) AS BIGINT) FROM thr)
+                 - CAST(sum(slice_threshold) AS BIGINT) AS n_upper
+        FROM kept GROUP BY value
+    ), cut AS (
+        SELECT *, row_number() OVER (ORDER BY n_upper DESC, value ASC) AS ub_rank
+        FROM merged
+    ), topk AS (
+        SELECT value, n_lower, n_upper,
+               n_lower >= coalesce(
+                   (SELECT n_upper FROM cut WHERE ub_rank = 4), 0
+               ) AS guaranteed
+        FROM cut ORDER BY n_lower DESC, value ASC LIMIT 3
+    )
+    SELECT e.priority, e.n, t.n_lower, t.n_upper, t.guaranteed
+    FROM (SELECT o_orderpriority AS priority, count(*) AS n
+          FROM orders GROUP BY 1) e
+    LEFT JOIN topk t ON e.priority = t.value
+    ORDER BY e.n DESC, e.priority ASC
     """,
 )
 def a8_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topk import merge_topk, topk_increment
+
+    orders = _t(spark, sf_dir, "orders")
+    exact = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    increments = None
+    for s in range(4):
+        inc = topk_increment(
+            orders.filter(F.pmod("o_orderkey", F.lit(4)) == s),
+            "o_orderpriority",
+            capacity=3,
+            slice_id=str(s),
+        )
+        increments = inc if increments is None else increments.unionByName(inc)
+    folded = merge_topk(increments, k=3)
     return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        exact.join(folded, exact.priority == folded.value, "left")
+        .select("priority", "n", "n_lower", "n_upper", "guaranteed")
         .orderBy(F.desc("n"), F.asc("priority"))
     )
 

@@ -31,7 +31,7 @@ OPERATORS: dict[str, str] = {
     "bucketed_join_revenue": "S2b J1",
     "w1_best_order_per_customer": "W1",
     "w2_priciest_lines_per_order": "W2 A4",
-    "a8_order_priority_counts": "A8",
+    "a8_order_priority_counts": "A8 topk-mergeable",
     "f_standardized_part_keys": "F1 F2 F3 F5 F7 F13 M3",
     "jw_similar_part_names": "J6 F11 X2",
     "fs_customer_supplier_scores": "K2 K3 K4 K7 M1 M2",
