@@ -126,8 +126,12 @@ def main() -> None:
 
     print("== asof_prior_error_state ==")
     p = executed_plan_of(qs["asof_prior_error_state"](spark, sf_dir))
-    check("asof", p.count("Exchange hashpartitioning") == 1,
-          f"union+window as-of: exactly ONE key exchange (got {p.count('Exchange hashpartitioning')})")
+    # 3 key exchanges since the r4 range-join extension (was 1 for the
+    # bare asof union+window): the binned range-join sub-query and its
+    # open-counts aggregation add bounded co-partitioning steps. Zero
+    # pair-explosion nodes remains the invariant that matters.
+    check("asof", p.count("Exchange hashpartitioning") == 3,
+          f"asof union+window + binned range-join path: exactly 3 key exchanges (got {p.count('Exchange hashpartitioning')})")
     check("asof", "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
           "no pair explosion (no cartesian / broadcast-nested-loop)")
 
