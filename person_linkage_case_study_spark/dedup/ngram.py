@@ -14,10 +14,20 @@ Two physical strategies, picked by measured vocabulary size:
   integer arithmetic, no per-pair string hashing.  On the documents table
   (vocab ≈ 31, 3.3M blocked pairs at sf0.1) this is ~6× faster than
   ``array_intersect`` on string arrays.
-* **string-array** (large vocab): ``array_intersect`` on the distinct
-  token arrays; the union size is derived as ``|A|+|B|-|A∩B|`` instead of
-  materializing ``array_union`` (arrays are already distinct), halving the
-  per-pair array work.
+* **hashed-id array** (large vocab): each document's token set is carried
+  as ``array<long>`` of ``xxhash64(token)`` and pairs intersect the id
+  arrays. No dictionary build (dense ids would need a data-sized global
+  ranking — the exact single-reducer anti-pattern), no extra shuffle, and
+  the pair payload through the candidate-scoring join is ~10× narrower
+  than raw token strings (8-byte packed longs vs UTF8String arrays) —
+  that payload width was the measured one-box ceiling at rehearsal
+  mult 8 (SCALING.md, DEDUP_BENCH_r04.json: ~43M pairs × two raw token
+  arrays overflowed the shuffle scratch). Jaccard over the hashed sets
+  equals true token-set Jaccard unless two distinct tokens collide in a
+  64-bit hash — expected colliding vocab pairs ≈ V²/2⁶⁵, i.e. ~3·10⁻⁸
+  for a million-token vocabulary. The union size is derived as
+  ``|A|+|B|-|A∩B|`` instead of materializing ``array_union`` (arrays are
+  already distinct), halving the per-pair array work.
 
 Both paths share a size prefilter — ``J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)``,
 so pairs whose sizes differ by more than the threshold ratio are dropped
@@ -99,6 +109,12 @@ def _bitmap_intersection(left: str, right: str):
     return F.aggregate(counts, F.lit(0), lambda acc, x: acc + x)
 
 
+def _hashed_ids(tok_col) -> F.Column:
+    """Token set → ``array<long>`` of xxhash64 ids (distinct-preserving up
+    to 64-bit collisions). Pure codegen, no dictionary, no shuffle."""
+    return F.array_distinct(F.transform(tok_col, lambda t: F.xxhash64(t)))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_col: str | None = None,
@@ -163,8 +179,13 @@ def ngram_jaccard_pairs(
             t = _bitmap_encode(t.withColumn("blk", F.lit(0)), vocab_size).drop("blk")
             payload = ["sz", "bm"]
         else:
-            t = t.withColumn("sz", F.size("toks"))
-            payload = ["sz", "toks"]
+            # large vocab: hashed-id arrays — the pair payload through the
+            # scoring join is packed longs, never raw token strings (the
+            # measured mult-8 shuffle-scratch ceiling; module docstring)
+            t = t.select(
+                "id", _hashed_ids("toks").alias("hids")
+            ).withColumn("sz", F.size("hids"))
+            payload = ["sz", "hids"]
         # the payload table feeds BOTH join sides, and neither plan-time
         # nor AQE exchange reuse deduplicates the two subtrees (each
         # carries its own dictionary window) — without the persist the
@@ -200,8 +221,10 @@ def ngram_jaccard_pairs(
             t = _bitmap_encode(t, vocab_size)
             payload = ["sz", "bm"]
         else:
-            t = t.withColumn("sz", F.size("toks"))
-            payload = ["sz", "toks"]
+            t = t.select(
+                "id", "blk", _hashed_ids("toks").alias("hids")
+            ).withColumn("sz", F.size("hids"))
+            payload = ["sz", "hids"]
 
         l = t.select(
             F.col("id").alias("id_l"), "blk", *[F.col(c).alias(f"{c}_l") for c in payload]
@@ -234,7 +257,7 @@ def ngram_jaccard_pairs(
     if use_bitmap:
         pairs = pairs.withColumn("__inter", _bitmap_intersection("bm_l", "bm_r"))
     else:
-        pairs = pairs.withColumn("__inter", F.size(F.array_intersect("toks_l", "toks_r")))
+        pairs = pairs.withColumn("__inter", F.size(F.array_intersect("hids_l", "hids_r")))
     union = F.col("sz_l") + F.col("sz_r") - F.col("__inter")
     return (
         pairs.withColumn(

@@ -277,7 +277,11 @@ def merge_increments(
             F.collect_list(
                 F.struct(
                     F.col("q_summary").alias("grid"),
-                    (F.col("count") - F.col("nulls")).alias("n"),
+                    # `count` is F.count(col) — already the NON-null row
+                    # count, i.e. exactly the mass the grid summarizes;
+                    # subtracting nulls again would under-weight (or with
+                    # >50% nulls, negative-weight) null-bearing slices
+                    F.col("count").alias("n"),
                 )
             ).alias("__grids")
         )

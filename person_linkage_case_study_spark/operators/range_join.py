@@ -68,12 +68,32 @@ def _bins(lo: Column, hi: Column, width: int) -> Column:
     )
 
 
+def _is_temporal(df: DataFrame, col: str) -> bool:
+    dt = dict(df.dtypes)[col]
+    return dt.startswith("timestamp") or dt == "date"
+
+
+def _check_unit_class(*sides: tuple[DataFrame, str]) -> None:
+    """The bin arithmetic runs over each column's numeric image — epoch
+    MICROS for temporal columns, raw values for numerics. Mixing the two
+    classes (numeric point vs timestamp interval) would bin in mismatched
+    units and silently produce wrong/empty joins, so it's an error."""
+    classes = [(c, _is_temporal(df, c)) for df, c in sides]
+    if len({t for _, t in classes}) > 1:
+        kinds = ", ".join(
+            f"{c}={'temporal' if t else 'numeric'}" for c, t in classes
+        )
+        raise TypeError(
+            "range/interval join columns must all be temporal or all "
+            f"numeric — got {kinds}"
+        )
+
+
 def _width_micros(df: DataFrame, col: str, bin_width: float) -> int:
     """bin_width is given in the column's natural units (seconds for
     temporal columns, raw units for numerics); convert to the internal
     numeric image's units."""
-    dt = dict(df.dtypes)[col]
-    if dt.startswith("timestamp") or dt == "date":
+    if _is_temporal(df, col):
         return max(int(bin_width * 1_000_000), 1)
     return max(int(bin_width), 1)
 
@@ -105,6 +125,7 @@ def range_join(
         raise ValueError(f"how must be one of {_JOIN_TYPES}")
     if closed not in ("left", "right", "both", "neither"):
         raise ValueError("closed must be left|right|both|neither")
+    _check_unit_class((left, point), (right, start), (right, end))
     keys = list(on)
     width = _width_micros(left, point, bin_width)
 
@@ -156,9 +177,10 @@ def interval_join(
     right_start: str,
     right_end: str,
     bin_width: float,
+    how: str = "inner",
     suffix: str = "_r",
 ) -> DataFrame:
-    """Inner join of overlapping half-open intervals per key:
+    """Join overlapping half-open intervals per key:
     ``[l_start, l_end) ∩ [r_start, r_end) ≠ ∅``.
 
     Both sides explode to their covered bins; a pair is credited only in
@@ -166,9 +188,65 @@ def interval_join(
     intervals exactly when they overlap — so every overlapping pair is
     emitted exactly once. NULL or inverted (end <= start, i.e. empty)
     intervals never match.
+
+    ``how`` in {'inner', 'left', 'left_semi', 'left_anti'}: the
+    exactly-one-bin dedup means no qualifying pair duplicates and no
+    spurious residual rows, so the outer variants are correct directly —
+    'left' keeps non-overlapping (and NULL/empty-interval) left rows with
+    null right payload exactly once, 'left_anti' answers "which records
+    have NO covering epoch". Under 'left'/'left_anti', left rows with
+    NULL or empty intervals count as unmatched (they overlap nothing).
     """
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {_JOIN_TYPES}")
+    _check_unit_class(
+        (left, left_start), (left, left_end), (right, right_start), (right, right_end)
+    )
     keys = list(on)
     width = _width_micros(left, left_start, bin_width)
+
+    if how != "inner":
+        # The exploded left side is the wrong granularity for per-ROW
+        # match decisions (an interval spanning b bins would surface b
+        # unmatched copies under 'left'), so outer variants decide at the
+        # original-row granularity: run the inner machinery with a minted
+        # row id, then semi/anti/left-join the ORIGINAL left against the
+        # matched-id set. The id is mono-id based (the repo's established
+        # X4 pattern, `sources/io.py:add_record_id`): deterministic for a
+        # deterministic input partitioning (parquet scans are), used only
+        # within this one plan.
+        lid = left.withColumn("__lid", F.monotonically_increasing_id())
+        inner = interval_join(
+            lid,
+            right,
+            on=keys,
+            left_start=left_start,
+            left_end=left_end,
+            right_start=right_start,
+            right_end=right_end,
+            bin_width=bin_width,
+            how="inner",
+            suffix=suffix,
+        )
+        matched = inner.select("__lid").distinct()
+        if how == "left_semi":
+            return lid.join(matched, "__lid", "left_semi").drop("__lid")
+        if how == "left_anti":
+            return lid.join(matched, "__lid", "left_anti").drop("__lid")
+        # how == "left": matched pairs with payload + unmatched left rows
+        # (incl. NULL/empty-interval rows — they overlap nothing) padded
+        # with a typed null right payload, each original row exactly once
+        payload = [c for c in right.columns if c not in keys]
+        renames = {c: (c + suffix if c in left.columns else c) for c in payload}
+        rtypes = dict(right.dtypes)
+        unmatched = lid.join(matched, "__lid", "left_anti").select(
+            "*",
+            *[
+                F.lit(None).cast(rtypes[c]).alias(renames[c])
+                for c in payload
+            ],
+        )
+        return inner.unionByName(unmatched).drop("__lid")
 
     def prep(df: DataFrame, s: str, e: str, key_prefix: str) -> DataFrame:
         lo, hi = _numeric(df, s), _numeric(df, e)

@@ -54,22 +54,30 @@ def topk_increment(
     exact and contributes no uncertainty).
 
     One shuffle on the grouped column; the top-``capacity`` cut is a
-    window over the already-aggregated (distinct-values-sized) counts.
+    distributed ``TakeOrderedAndProject`` (each map task keeps its local
+    top ``capacity + 1``), never a partition-less ranking window — at
+    100 TB the distinct-value table (URLs, tokens) is itself huge, and a
+    global ``row_number`` window would drag every distinct value through
+    one reducer. The largest pruned count is exactly the
+    ``capacity + 1``-th ordered count, so the threshold needs only the
+    top ``capacity + 1`` rows.
     """
     counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("value"))
-    ranked = counts.withColumn("__rn", F.row_number().over(w))
-    thr = (
-        ranked.filter(F.col("__rn") > capacity)
-        .agg(F.coalesce(F.max("n"), F.lit(0)).alias("slice_threshold"))
+    top = counts.orderBy(F.desc("n"), F.asc("value")).limit(capacity + 1)
+    # (capacity+1)-th count == min(n) over the top set, present only when
+    # something was actually pruned (i.e. the set is full)
+    thr = top.agg(
+        F.when(F.count(F.lit(1)) > capacity, F.min("n"))
+        .otherwise(F.lit(0))
+        .alias("slice_threshold")
     )
     return (
-        ranked.filter(F.col("__rn") <= capacity)
-        .drop("__rn")
+        top.orderBy(F.desc("n"), F.asc("value"))
+        .limit(capacity)
         .crossJoin(F.broadcast(thr))
         .select(F.lit(slice_id).alias("slice_id"), "value", "n", "slice_threshold")
     )
@@ -82,7 +90,10 @@ def merge_topk(summaries: DataFrame, k: int) -> DataFrame:
     ``n_lower`` ≤ true count ≤ ``n_upper`` always (the pruned-counter
     bound); ``guaranteed`` marks items whose lower bound meets or beats
     the (k+1)-th largest upper bound — those are PROVABLY in the true
-    top-k regardless of how the pruned mass is distributed.
+    top-k regardless of how the pruned mass is distributed. With ≤ k
+    candidates total, the cutoff is the sum of all slice thresholds (the
+    max possible count of an item pruned from every slice), keeping the
+    certificate sound even when every slice kept the same values.
     """
     slice_thr = summaries.select("slice_id", "slice_threshold").distinct()
     total_thr = slice_thr.agg(
@@ -107,13 +118,22 @@ def merge_topk(summaries: DataFrame, k: int) -> DataFrame:
     cutoff = (
         per_item.withColumn("__ub_rank", F.row_number().over(w_ub))
         .filter(F.col("__ub_rank") == k + 1)
-        # no (k+1)-th candidate ⇒ nothing can displace the top-k (agg on
-        # the empty set yields one row with 0, deterministically)
-        .agg(F.coalesce(F.max("n_upper"), F.lit(0)).alias("__kplus1_ub"))
+        # no (k+1)-th candidate ⇒ the only possible displacers are items
+        # pruned from EVERY slice, whose true count can reach the total
+        # threshold sum — so the cutoff falls back to Σ slice_thresholds,
+        # never 0 (every candidate's n_upper ≥ total_thr already, so when
+        # a (k+1)-th candidate exists its bound dominates the fallback)
+        .agg(F.max("n_upper").alias("__kplus1_ub"))
+        .crossJoin(F.broadcast(total_thr))
+        .select(
+            F.coalesce(F.col("__kplus1_ub"), F.col("__total_thr")).alias(
+                "__cutoff"
+            )
+        )
     )
     return (
         per_item.crossJoin(F.broadcast(cutoff))
-        .withColumn("guaranteed", F.col("n_lower") >= F.col("__kplus1_ub"))
+        .withColumn("guaranteed", F.col("n_lower") >= F.col("__cutoff"))
         .orderBy(F.desc("n_lower"), F.asc("value"))
         .limit(k)
         .select("value", "n_lower", "n_upper", "guaranteed")

@@ -55,7 +55,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | Callable[[], str] | None = None):
+    """``oracle`` may be a SQL string or a zero-arg builder; builders are
+    resolved lazily at ``oracle_sql()`` time (gate time), so oracle
+    construction that reads testdata doesn't run on mere import."""
+
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
         if oracle is not None:
@@ -70,7 +74,12 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = {}
+    for k, v in _ORACLES.items():
+        if callable(v):
+            v = _ORACLES[k] = v()  # build once, memoize
+        out[k] = v
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -469,9 +478,13 @@ def w2_priciest_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (ORDER BY n_upper DESC, value ASC) AS ub_rank
         FROM merged
     ), topk AS (
+        -- cutoff fallback when no (k+1)-th candidate exists: an item pruned
+        -- from EVERY slice can have true count up to sum(slice_threshold),
+        -- so the sound fallback is the total threshold sum, not 0
         SELECT value, n_lower, n_upper,
                n_lower >= coalesce(
-                   (SELECT n_upper FROM cut WHERE ub_rank = 4), 0
+                   (SELECT n_upper FROM cut WHERE ub_rank = 4),
+                   (SELECT CAST(sum(slice_threshold) AS BIGINT) FROM thr)
                ) AS guaranteed
         FROM cut ORDER BY n_lower DESC, value ASC LIMIT 3
     )
@@ -912,12 +925,12 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _f89_oracle() -> str:
     from .functions.phonetics import nysiis
 
+    import glob
+
+    import duckdb
+
     words: set[str] = set()
     try:
-        import glob
-
-        import duckdb
-
         con = duckdb.connect()
         for path in glob.glob("/root/testdata/sf*/part.parquet"):
             for (w,) in con.execute(
@@ -926,7 +939,8 @@ def _f89_oracle() -> str:
             ).fetchall():
                 if w:
                     words.add(w)
-    except Exception:
+    except (ImportError, OSError, duckdb.Error):
+        # unreadable testdata → fixed fallback below; anything else raises
         pass
     if not words:  # fallback: the fixed TPC-H adjective list
         words = {"BLUE", "COLD", "HOT", "LARGE", "NEW", "OLD", "RED", "SMALL"}
@@ -948,7 +962,7 @@ def _f89_oracle() -> str:
     """
 
 
-@query("f89_phonetic_part_names", oracle=_f89_oracle())
+@query("f89_phonetic_part_names", oracle=_f89_oracle)  # lazy: built at gate time
 def f89_phonetic_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.phonetics import nysiis_udf, reverse_soundex, soundex
 

@@ -260,3 +260,41 @@ def test_increment_is_single_scan(spark):
     )
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_merged_quantiles_with_null_bearing_slices(spark):
+    """Grid weights must be the non-null count (`count` IS F.count(col),
+    nulls already excluded) — the old `count - nulls` double-subtraction
+    gave a 50%-null slice weight 0 (grid silently dropped) and a >50%-null
+    slice NEGATIVE weight (non-monotone CDF → garbage interp). Two slices
+    with identical value distributions but very different null rates must
+    merge to the distribution's quantiles regardless."""
+    from person_linkage_case_study_spark.operators.profile import (
+        merge_increments,
+        profile_increment,
+    )
+
+    # slice A: values 1..1000, no nulls; slice B: values 1..1000 plus
+    # 3000 nulls (75% null — old weighting: -2000, i.e. garbage)
+    a = spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS x")
+    b = spark.range(1, 4001).selectExpr(
+        "CASE WHEN id <= 1000 THEN CAST(id AS DOUBLE) END AS x"
+    )
+    u = profile_increment(a, ["x"]).unionByName(profile_increment(b, ["x"]))
+    got = merge_increments(u).collect()[0]
+    assert got["count"] == 2000 and got["nulls"] == 3000
+    # both slices carry the SAME distribution; merged quantiles must sit
+    # near 250/500/750 (grid rank error ~1/128 → ±~2%)
+    assert abs(got["q25"] - 250) <= 25
+    assert abs(got["q50"] - 500) <= 25
+    assert abs(got["q75"] - 750) <= 25
+    # a 50%-null slice must still contribute its grid (old code: weight 0)
+    half = spark.range(1, 2001).selectExpr(
+        "CASE WHEN id <= 1000 THEN CAST(id AS DOUBLE) + 10000 END AS x"
+    )
+    got2 = merge_increments(
+        profile_increment(a, ["x"]).unionByName(profile_increment(half, ["x"]))
+    ).collect()[0]
+    # equal non-null mass from [1,1000] and [10001,11000] → median splits
+    # the two blocks: far above 1000
+    assert got2["q50"] > 900

@@ -246,3 +246,100 @@ def test_plan_is_equi_join_not_nested_loop(spark, frames):
         .toString()
     )
     assert "NestedLoop" not in overlap_plan and "Cartesian" not in overlap_plan
+
+
+def test_mixed_unit_classes_raise(spark, frames):
+    """A numeric point against timestamp intervals would bin in mismatched
+    units (raw values vs epoch micros) and silently mismatch — must raise."""
+    points, _ = frames
+    tsi = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["A"],
+                "lo": pd.to_datetime(["2030-01-01"]),
+                "hi": pd.to_datetime(["2030-02-01"]),
+                "iid": [1],
+            }
+        )
+    )
+    with pytest.raises(TypeError, match="temporal or all numeric"):
+        range_join(
+            points, tsi, on=["k"], point="ts", start="lo", end="hi", bin_width=4.0
+        )
+    with pytest.raises(TypeError, match="temporal or all numeric"):
+        interval_join(
+            points.withColumn("te", F.col("ts") + 1),
+            tsi,
+            on=["k"],
+            left_start="ts",
+            left_end="te",
+            right_start="lo",
+            right_end="hi",
+            bin_width=4.0,
+        )
+
+
+def _overlap_frames(spark, seed=20260814, nl=90, nr=70):
+    rng = random.Random(seed)
+    lrows, rrows = [], []
+    for i in range(nl):
+        lo = round(rng.uniform(0, 50), 2)
+        # sprinkle NULL / empty intervals: must count as unmatched
+        if i % 11 == 0:
+            lrows.append((rng.choice("ab"), None, lo + 5, i))
+        elif i % 13 == 0:
+            lrows.append((rng.choice("ab"), lo, lo, i))  # empty
+        else:
+            lrows.append((rng.choice("ab"), lo, round(lo + rng.uniform(0.1, 12), 2), i))
+    for j in range(nr):
+        lo = round(rng.uniform(0, 50), 2)
+        rrows.append((rng.choice("ab"), lo, round(lo + rng.uniform(0.1, 12), 2), j))
+    left = spark.createDataFrame(lrows, "k string, ls double, le double, lid long")
+    right = spark.createDataFrame(rrows, "k string, rs double, re double, rid long")
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    matched = {
+        lid
+        for (lid,) in con.execute(
+            """SELECT DISTINCT l.lid FROM l JOIN r ON l.k = r.k
+               AND l.ls < l.le AND r.rs < r.re  -- empty intervals overlap nothing
+               AND l.ls < r.re AND r.rs < l.le"""
+        ).fetchall()
+    }
+    return left, right, matched
+
+
+@pytest.mark.parametrize("width", [0.5, 5.0, 100.0])
+def test_interval_join_outer_variants(spark, width):
+    """left/semi/anti interval-overlap joins decide at the ORIGINAL row
+    granularity: each left row appears exactly once in semi+anti, and
+    'left' emits every pair once plus unmatched rows once with null
+    payload — across narrow/typical/one-giant-bin widths."""
+    left, right, matched = _overlap_frames(spark)
+    kw = dict(
+        on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bin_width=width,
+    )
+    all_lids = {r.lid for r in left.collect()}
+    semi = [r.lid for r in interval_join(left, right, how="left_semi", **kw).collect()]
+    anti = [r.lid for r in interval_join(left, right, how="left_anti", **kw).collect()]
+    assert sorted(semi) == sorted(matched)
+    assert sorted(anti) == sorted(all_lids - matched)
+    assert len(semi) == len(set(semi)) and len(anti) == len(set(anti))
+    # semi/anti emit only left columns
+    assert set(interval_join(left, right, how="left_semi", **kw).columns) == {
+        "k", "ls", "le", "lid"
+    }
+
+    out = interval_join(left, right, how="left", **kw).collect()
+    null_rows = [r for r in out if r.rid is None]
+    pair_rows = [(r.lid, r.rid) for r in out if r.rid is not None]
+    assert {r.lid for r in null_rows} == all_lids - matched
+    assert len(null_rows) == len(all_lids - matched)  # exactly once each
+    assert len(pair_rows) == len(set(pair_rows))  # no dup pairs
+    inner = {
+        (r.lid, r.rid)
+        for r in interval_join(left, right, how="inner", **kw).collect()
+    }
+    assert set(pair_rows) == inner

@@ -101,3 +101,47 @@ def test_thresholds_zero_when_nothing_pruned(spark):
         spark.read.parquet(f"{SF}/orders.parquet"), "o_orderpriority", 100, "a"
     ).collect()
     assert all(r["slice_threshold"] == 0 for r in s)
+
+
+def test_increment_plan_has_no_ranking_window(spark):
+    """Scale pin: the slice summarizer must take its top-(capacity+1) via
+    distributed TakeOrderedAndProject, never a partition-less row_number
+    window (which would drag every distinct value through one reducer —
+    fatal for exactly the high-cardinality inputs heavy-hitters target)."""
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (
+        topk_increment(df, "o_orderpriority", 3, "s0")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_certificate_sound_with_fewer_candidates_than_k(spark):
+    """When the merged candidate set has <= k values, the cutoff must fall
+    back to the TOTAL threshold sum (an item pruned from every slice can
+    have true count up to that), never 0. Construction: c is pruned from
+    BOTH slices with total possible count 7, which EXCEEDS partially-present
+    candidates b and d (n_lower 4) — so only `a` may be guaranteed."""
+    s1 = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 4 + [("c",)] * 4, "v string"
+    )
+    s2 = spark.createDataFrame(
+        [("a",)] * 5 + [("d",)] * 4 + [("c",)] * 3, "v string"
+    )
+    u = topk_increment(s1, "v", 2, "s1").unionByName(
+        topk_increment(s2, "v", 2, "s2")
+    )
+    got = {r["value"]: r for r in merge_topk(u, k=3).collect()}
+    assert set(got) == {"a", "b", "d"}
+    # slice thresholds: s1 pruned c@4, s2 pruned c@3 → total 7
+    assert got["a"]["n_lower"] == 10 and got["a"]["guaranteed"]
+    for v in ("b", "d"):
+        assert got[v]["n_lower"] == 4
+        # c's true count is 7 > 4: these must NOT be certified
+        assert not got[v]["guaranteed"], v
+    # bounds stay sound: true counts a=10, b=4, d=4 inside [lower, upper]
+    for v, true_n in (("a", 10), ("b", 4), ("d", 4)):
+        assert got[v]["n_lower"] <= true_n <= got[v]["n_upper"]

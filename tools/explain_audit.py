@@ -149,6 +149,16 @@ def main() -> None:
     check("pii_rep", "Exchange" not in p and "BatchEvalPython" not in p,
           "pure narrow projection: no shuffle, no Python")
 
+    print("== topk_increment (via a8_order_priority_counts) ==")
+    from person_linkage_case_study_spark.operators.topk import topk_increment
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = executed_plan_of(topk_increment(orders, "o_orderpriority", 16, "audit"))
+    check("topk", "Window" not in p,
+          "no partition-less ranking window in the slice summarizer")
+    check("topk", "TakeOrderedAndProject" in p,
+          "top-(capacity+1) cut is distributed TakeOrderedAndProject")
+
     print("== j5_accumulating_merge ==")
     p = executed_plan_of(qs["j5_accumulating_merge"](spark, sf_dir))
     check("j5", "BroadcastHashJoin" in p,
