@@ -21,6 +21,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from person_linkage_case_study_spark import queries as catalog
 from person_linkage_case_study_spark.session import get_spark
 
+
+def emit(payload: dict) -> None:
+    """Print the ONE machine-readable JSON line AND mirror it to
+    BENCH_summary.json next to this script — the driver's tail capture
+    truncated the r4 stdout line mid-object (BENCH_r04 `"parsed": null`),
+    so the file copy is the durable record."""
+    line = json.dumps(payload)
+    print(line)
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_summary.json"
+        )
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # stdout line already emitted; the mirror is best-effort
+
+
 HEADLINE = [
     "s1_pricing_summary",
     "j1_top_revenue_orders",
@@ -73,7 +91,7 @@ def run_cascade_ri_scale(sf_dir: str) -> None:
         raise SystemExit(proc.returncode or 1)
     payload = json.loads(line)
     payload["metric"] = "cascade_1p2m_wall"
-    print(json.dumps(payload))
+    emit(payload)
 
 
 def main() -> None:
@@ -146,22 +164,20 @@ def main() -> None:
     calib = sorted(calib_runs)[len(calib_runs) // 2]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calibration_sec": calib,
-                "calibration_runs": calib_runs,
-                "queries_per_calib": {
-                    n: round(t / calib, 2) for n, t in timings.items()
-                },
-                "raw_runs": raw_runs,
-            }
-        )
+    emit(
+        {
+            "metric": "headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "calibration_sec": calib,
+            "calibration_runs": calib_runs,
+            "queries_per_calib": {
+                n: round(t / calib, 2) for n, t in timings.items()
+            },
+            "raw_runs": raw_runs,
+        }
     )
 
 

@@ -15,19 +15,19 @@ Two physical strategies, picked by measured vocabulary size:
   (vocab ≈ 31, 3.3M blocked pairs at sf0.1) this is ~6× faster than
   ``array_intersect`` on string arrays.
 * **hashed-id array** (large vocab): each document's token set is carried
-  as ``array<long>`` of ``xxhash64(token)`` and pairs intersect the id
+  as ``array<int>`` of 32-bit token hashes and pairs intersect the id
   arrays. No dictionary build (dense ids would need a data-sized global
   ranking — the exact single-reducer anti-pattern), no extra shuffle, and
-  the pair payload through the candidate-scoring join is ~10× narrower
-  than raw token strings (8-byte packed longs vs UTF8String arrays) —
-  that payload width was the measured one-box ceiling at rehearsal
-  mult 8 (SCALING.md, DEDUP_BENCH_r04.json: ~43M pairs × two raw token
-  arrays overflowed the shuffle scratch). Jaccard over the hashed sets
-  equals true token-set Jaccard unless two distinct tokens collide in a
-  64-bit hash — expected colliding vocab pairs ≈ V²/2⁶⁵, i.e. ~3·10⁻⁸
-  for a million-token vocabulary. The union size is derived as
-  ``|A|+|B|-|A∩B|`` instead of materializing ``array_union`` (arrays are
-  already distinct), halving the per-pair array work.
+  the pair payload through the candidate-scoring join is ~4× narrower
+  than raw token strings AFTER shuffle compression (4-byte packed ints vs
+  LZ4-compressed UTF8String arrays) — that payload width was the measured
+  one-box ceiling at rehearsal mult 8 (SCALING.md, DEDUP_BENCH_r04.json:
+  ~43M pairs × two raw token arrays overflowed the shuffle scratch; see
+  ``_hashed_ids`` for the collision analysis and why 32 bits, and the
+  scoring join for why it must be a shuffled-hash join, not sort-merge).
+  The union size is derived as ``|A|+|B|-|A∩B|`` instead of materializing
+  ``array_union`` (arrays are already distinct), halving the per-pair
+  array work.
 
 Both paths share a size prefilter — ``J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)``,
 so pairs whose sizes differ by more than the threshold ratio are dropped
@@ -110,9 +110,21 @@ def _bitmap_intersection(left: str, right: str):
 
 
 def _hashed_ids(tok_col) -> F.Column:
-    """Token set → ``array<long>`` of xxhash64 ids (distinct-preserving up
-    to 64-bit collisions). Pure codegen, no dictionary, no shuffle."""
-    return F.array_distinct(F.transform(tok_col, lambda t: F.xxhash64(t)))
+    """Token set → ``array<int>`` of 32-bit token-hash ids. Pure codegen,
+    no dictionary, no shuffle.
+
+    32-bit (not 64) because hash values are incompressible: the shuffle
+    files LZ4-compress string tokens ~1.5:1 but random hashes not at all,
+    so 8-byte ids only matched compressed strings byte-for-byte (measured:
+    the mult-8 rehearsal still overflowed scratch on long ids). 4-byte ids
+    genuinely halve the pair payload. Collision cost at 32 bits: a
+    1M-token vocabulary expects ~V²/2³³ ≈ 120 colliding token PAIRS
+    globally, and a single cross-pair collision inflates a 130-token
+    pair's Jaccard by ≤ 1/|A∪B| with probability ≈ |A|·|B|/2³² ≈ 4·10⁻⁶ —
+    noise far below any dedup threshold's decision boundary."""
+    # F.hash is Spark's native 32-bit Murmur3 — already INT, so no
+    # ANSI-mode overflow from narrowing a 64-bit hash
+    return F.array_distinct(F.transform(tok_col, lambda t: F.hash(t)))
 
 
 def ngram_jaccard_pairs(
@@ -203,7 +215,16 @@ def ngram_jaccard_pairs(
         r = t.select(
             F.col("id").alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in payload]
         )
-        pairs = cand.join(l, on="id_l").join(r, on="id_r")
+        # SHUFFLE_HASH, not sort-merge: SMJ would SORT the pair stream —
+        # spilling the wide (pair × id-array) rows through
+        # UnsafeExternalSorter a second time, the very bytes the id
+        # encoding just shrank (measured: the mult-8 rehearsal's sorter
+        # spill overflowed scratch even with compact ids). The build side
+        # is the doc-payload table (corpus-sized, partition slices of it
+        # are executor-memory-sized); the pair stream is only streamed.
+        pairs = cand.join(l.hint("shuffle_hash"), on="id_l").join(
+            r.hint("shuffle_hash"), on="id_r"
+        )
     else:
         t = _token_sets(df, block_col, text_col, id_col)
         n_rows = df.count()

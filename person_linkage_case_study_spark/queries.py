@@ -1812,19 +1812,127 @@ def streaming_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame
 # (uniquely vs the reference's numpy RNG) replayable verbatim in DuckDB,
 # so the full generated table is value-hash checked. Uses the reference's
 # "very noisy" config (01 cells 14-17).
+#
+# r5: the entry additionally surfaces the last three pytest-only
+# operators through value-hashed INVARIANT columns (the ops themselves
+# are partitioning-dependent — reference notebook-02 semantics — so the
+# hashed values are properties the ops must preserve, each a constant
+# TRUE/equal-to-clean value exactly when the operator is correct):
+# - X3 custom noise (sources/noise.py, reference 02:268-386): the
+#   split+shuffle name noise preserves each row's name TOKEN MULTISET,
+#   so the sorted-token fingerprint of the noised columns must equal the
+#   clean fingerprint; truncate_column output must be a prefix of the
+#   clean value at the configured length.
+# - X4 partition-id minting (sources/io.py:add_record_id, reference
+#   distributed_compute.py:396-422): minted ids must be globally unique
+#   and match the `{dataset}_{partition}_{rownum}` format.
+# - S3 CSV scan (sources/io.py:read_csv, reference 03:460-464): a
+#   (record_id, zipcode) projection is round-tripped through a headerless
+#   CSV file and joined back — the re-read value must equal the original.
+_S7_NAME_COLS = ["first_name", "middle_initial", "last_name"]
+
+
 def _s7_oracle() -> str:
     from .sources.generator import generate_decennial_census_sql, very_noisy_config
 
-    return generate_decennial_census_sql(15_000, year=2030, seed=0,
+    base = generate_decennial_census_sql(15_000, year=2030, seed=0,
                                          config=very_noisy_config())
+    return f"""
+    SELECT *,
+           TRUE AS x3_name_multiset_preserved,
+           TRUE AS x3_truncate_prefix_ok,
+           TRUE AS x4_minted_id_ok,
+           TRUE AS s3_csv_roundtrip_ok
+    FROM ({base})
+    """
 
 
-@query("s7_generated_census", oracle=_s7_oracle())
+def _token_fp(cols) -> F.Column:
+    """Order-insensitive token-multiset fingerprint of the name columns:
+    split on space/hyphen (the split-noise separator set), drop empties,
+    sort, rejoin."""
+    toks = F.split(F.concat_ws(" ", *cols), "[ -]")
+    return F.array_join(F.sort_array(F.filter(toks, lambda x: x != "")), "|")
+
+
+@query("s7_generated_census", oracle=_s7_oracle)
 def s7_generated_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.generator import generate_decennial_census, very_noisy_config
+    import tempfile
 
-    return generate_decennial_census(spark, 15_000, year=2030, seed=0,
-                                     config=very_noisy_config())
+    from .sources.generator import generate_decennial_census, very_noisy_config
+    from .sources.io import add_record_id, read_csv
+    from .sources.noise import (
+        shuffle_columns,
+        split_columns_incorrectly,
+        truncate_column,
+    )
+
+    census = generate_decennial_census(spark, 15_000, year=2030, seed=0,
+                                       config=very_noisy_config())
+    clean_cols = census.columns
+    rewritten = _S7_NAME_COLS + ["street_name"]
+
+    # X3: stash clean copies (noise rewrites columns in place; record_id
+    # is NOT unique — duplicate_row noise — so a join-back would multiply
+    # rows), then apply the reference's three custom-noise transforms
+    pre = census.withColumn("__fp_clean", _token_fp(_S7_NAME_COLS))
+    for c in rewritten:
+        pre = pre.withColumn(f"__clean_{c}", F.col(c))
+    noised = split_columns_incorrectly(pre, _S7_NAME_COLS, 0.2, seed=1234)
+    noised = shuffle_columns(noised, _S7_NAME_COLS, 0.2, seed=1234)
+    noised = truncate_column(noised, "street_name", 0.3, 4, seed=1234)
+
+    # X4: mint partition-based record ids on the noised frame
+    minted = add_record_id(noised, "census_gen", col_name="__minted")
+    w_id = Window.partitionBy("__minted")
+    sc, nc = F.col("__clean_street_name"), F.col("street_name")
+    checked = minted.select(
+        # the value-hashed payload is the CLEAN generated table: restore
+        # the noised-in-place columns from their stashed copies
+        *[
+            F.col(f"__clean_{c}").alias(c) if c in rewritten else F.col(c)
+            for c in clean_cols
+        ],
+        (_token_fp(_S7_NAME_COLS) == F.col("__fp_clean")).alias(
+            "x3_name_multiset_preserved"
+        ),
+        (
+            (sc.isNull() & nc.isNull())
+            | nc.eqNullSafe(sc)
+            | nc.eqNullSafe(F.substring(sc, 1, 4))
+        ).alias("x3_truncate_prefix_ok"),
+        (
+            (F.count(F.lit(1)).over(w_id) == 1)
+            & F.col("__minted").rlike(r"^census_gen_\d+_\d+$")
+        ).alias("x4_minted_id_ok"),
+    )
+
+    # S3: round-trip (record_id, zipcode) through a headerless CSV;
+    # distinct() because duplicate_row copies are byte-identical, so the
+    # read-back side maps 1:1 onto record_id
+    tmp = tempfile.mkdtemp(prefix="s7csv_")
+    census.select("record_id", "zipcode").distinct().write.mode(
+        "overwrite"
+    ).csv(tmp)
+    csv_back = read_csv(
+        spark, tmp, header=False, schema="__rid string, zip_csv string"
+    )
+
+    out = checked.join(
+        csv_back, checked.record_id == csv_back.__rid, "left"
+    ).withColumn(
+        # NULL zipcodes (leave_blank noise) write as empty and read back
+        # NULL — eqNullSafe treats that round-trip as equal
+        "s3_csv_roundtrip_ok",
+        F.col("zip_csv").eqNullSafe(F.col("zipcode")),
+    )
+    return out.select(
+        *clean_cols,
+        "x3_name_multiset_preserved",
+        "x3_truncate_prefix_ok",
+        "x4_minted_id_ok",
+        "s3_csv_roundtrip_ok",
+    )
 
 
 # Training-data rebalancing: per-language quotas, content-hash decided —
@@ -2079,39 +2187,6 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-# K9+A9 — describe()/summary-style statistics, computed as raw SQL over a
-# registered temp view (Splink's query_sql path: the engine accepts SQL
-# strings against registered intermediates). Explicit aggregate form so
-# the oracle is exact; stddev is the n-1 sample form in both engines.
-# (A6/A7 — boolean any() per group + whole-column mean — moved into
-# j8_customer_order_summary's aggregate.)
-@query(
-    "a9_k9_summary_stats_sql",
-    oracle="""
-    SELECT l_returnflag,
-           count(*) AS n,
-           round(avg(l_extendedprice), 4) AS mean_price,
-           round(stddev_samp(l_extendedprice), 4) AS std_price,
-           round(min(l_extendedprice), 2) AS min_price,
-           round(max(l_extendedprice), 2) AS max_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def a9_k9_summary_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_tmp_k9")
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               count(*) AS n,
-               round(avg(l_extendedprice), 4) AS mean_price,
-               round(stddev_samp(l_extendedprice), 4) AS std_price,
-               round(min(l_extendedprice), 2) AS min_price,
-               round(max(l_extendedprice), 2) AS max_price
-        FROM lineitem_tmp_k9 GROUP BY l_returnflag
-        """
-    )
-
-
 def _profile_oracle() -> str:
     numeric = ["o_orderkey", "o_custkey", "o_totalprice"]
     strings = ["o_orderpriority", "o_orderstatus"]
@@ -2143,7 +2218,13 @@ def _profile_oracle() -> str:
 # tests/test_profile.py). The deterministic stats are value-hash checked
 # against per-column DuckDB aggregates; the approximate tier (HLL NDV,
 # GK quantiles) is bound-tested in pytest where exactness is the wrong
-# contract.
+# contract. The final projection runs as raw SQL over a registered temp
+# view — K9, Splink's query_sql path (the engine accepts SQL strings
+# against registered intermediates; formerly the separate
+# a9_k9_summary_stats_sql entry, folded here to keep the catalog inside
+# the driver's 50-entry verification window). A temp view over a
+# DataFrame shares its logical plan, so the one-scan/one-exchange pin in
+# tools/explain_audit.py still holds through the SQL layer.
 @query("profile_orders_table", oracle=_profile_oracle())
 def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import profile_table
@@ -2159,7 +2240,95 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
         ],
     )
-    return prof.select("column", "count", "nulls", "min", "max", "mean", "std")
+    prof.createOrReplaceTempView("orders_profile_k9")
+    return spark.sql(
+        "SELECT `column`, `count`, `nulls`, `min`, `max`, `mean`, `std` "
+        "FROM orders_profile_k9"
+    )
+
+
+# Mergeable-slice CAPSTONE: the day→month→total contract end-to-end, in
+# ONE value-hashed entry rather than per-operator tests. The orders table
+# arrives as 4 "daily" slices; each slice is summarized ONCE
+# (profile_increment for stats, topk_increment for heavy hitters), the
+# profile states are folded HIERARCHICALLY (slices 0+1 and 2+3 each fold
+# with keep_state=True — the "monthly" rows — then the two monthly rows
+# fold to the total), and the topk summaries fold via merge_topk. The
+# deterministic fields of the folded state (count/nulls/min/max/mean and
+# the exact heavy-hitter counts — capacity ≥ domain so every slice is
+# exact) must equal a direct one-shot DuckDB aggregation of the full
+# table: the proof that the fold-of-summaries IS the answer, no data
+# rescan. Approximate fields (HLL NDV, quantile grids) are bound-tested
+# in tests/test_profile.py where exactness is the wrong contract.
+@query(
+    "mergeable_rollup_capstone",
+    oracle="""
+    SELECT 'profile' AS kind, 'o_custkey' AS item,
+           count(o_custkey) AS n,
+           count(*) - count(o_custkey) AS nulls,
+           CAST(min(o_custkey) AS DOUBLE) AS "min",
+           CAST(max(o_custkey) AS DOUBLE) AS "max",
+           round(avg(CAST(o_custkey AS DOUBLE)), 6) AS mean
+    FROM orders
+    UNION ALL
+    SELECT 'profile', 'o_totalprice',
+           count(o_totalprice), count(*) - count(o_totalprice),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+           round(avg(o_totalprice), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'profile', 'o_orderpriority',
+           count(o_orderpriority), count(*) - count(o_orderpriority),
+           NULL, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'topk', o_orderpriority, count(*), NULL, NULL, NULL, NULL
+    FROM orders WHERE o_orderpriority IS NOT NULL
+    GROUP BY o_orderpriority
+    ORDER BY kind, item
+    """,
+)
+def mergeable_rollup_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import merge_increments, profile_increment
+    from .operators.topk import merge_topk, topk_increment
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderpriority"]
+    slices = [
+        orders.filter(F.pmod("o_orderkey", F.lit(4)) == s) for s in range(4)
+    ]
+    profs = [profile_increment(s, cols) for s in slices]
+    # hierarchical fold: (day0+day1) and (day2+day3) → two "monthly"
+    # mergeable rows each, then the final fold over the monthly states
+    month_a = merge_increments(profs[0].unionByName(profs[1]), keep_state=True)
+    month_b = merge_increments(profs[2].unionByName(profs[3]), keep_state=True)
+    total = merge_increments(month_a.unionByName(month_b))
+    profile_rows = total.select(
+        F.lit("profile").alias("kind"),
+        F.col("column").alias("item"),
+        F.col("count").alias("n"),
+        "nulls",
+        "min",
+        "max",
+        F.round("mean", 6).alias("mean"),
+    )
+
+    tops = None
+    for s in range(4):
+        inc = topk_increment(slices[s], "o_orderpriority", capacity=8,
+                             slice_id=f"day{s}")
+        tops = inc if tops is None else tops.unionByName(inc)
+    folded = merge_topk(tops, k=5)
+    topk_rows = folded.select(
+        F.lit("topk").alias("kind"),
+        F.col("value").alias("item"),
+        F.col("n_lower").alias("n"),
+        F.lit(None).cast("long").alias("nulls"),
+        F.lit(None).cast("double").alias("min"),
+        F.lit(None).cast("double").alias("max"),
+        F.lit(None).cast("double").alias("mean"),
+    )
+    return profile_rows.unionByName(topk_rows).orderBy("kind", "item")
 
 
 # Window running total (cumulative agg over an ordered frame) + D3/D4

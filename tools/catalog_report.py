@@ -60,8 +60,8 @@ OPERATORS: dict[str, str] = {
     "pack_documents_into_sequences": "sequence-packing",
     "shuffle_documents_for_training": "global-shuffle",
     "mm_media_features": "multimodal-schema mapInPandas-features",
-    "a9_k9_summary_stats_sql": "A9 K9",
-    "profile_orders_table": "A9 table-profiler",
+    "profile_orders_table": "A9 K9 table-profiler sql-over-temp-view",
+    "mergeable_rollup_capstone": "A8 A9 topk-mergeable profile-mergeable hierarchical-fold",
     "w_d3_order_row_ops": "W-running-total D1 D2 D3 D4 F12",
     "p9_f4_customer_cleanup": "P8 P9 P10 F4",
     "j5_accumulating_merge": "J5 U1 U2",
