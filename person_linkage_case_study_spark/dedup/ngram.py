@@ -192,8 +192,9 @@ def ngram_jaccard_pairs(
             payload = ["sz", "bm"]
         else:
             # large vocab: hashed-id arrays — the pair payload through the
-            # scoring join is packed longs, never raw token strings (the
-            # measured mult-8 shuffle-scratch ceiling; module docstring)
+            # scoring join is packed 32-bit ints, never raw token strings
+            # (the measured mult-8 shuffle-scratch ceiling; 64-bit ids
+            # were tried and still overflowed — see _hashed_ids)
             t = t.select(
                 "id", _hashed_ids("toks").alias("hids")
             ).withColumn("sz", F.size("hids"))
@@ -215,16 +216,19 @@ def ngram_jaccard_pairs(
         r = t.select(
             F.col("id").alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in payload]
         )
-        # SHUFFLE_HASH, not sort-merge: SMJ would SORT the pair stream —
-        # spilling the wide (pair × id-array) rows through
-        # UnsafeExternalSorter a second time, the very bytes the id
-        # encoding just shrank (measured: the mult-8 rehearsal's sorter
-        # spill overflowed scratch even with compact ids). The build side
-        # is the doc-payload table (corpus-sized, partition slices of it
-        # are executor-memory-sized); the pair stream is only streamed.
-        pairs = cand.join(l.hint("shuffle_hash"), on="id_l").join(
-            r.hint("shuffle_hash"), on="id_r"
-        )
+        # Large-vocab path: SHUFFLE_HASH, not sort-merge — SMJ would SORT
+        # the pair stream, spilling the wide (pair × id-array) rows
+        # through UnsafeExternalSorter a second time, the very bytes the
+        # id encoding just shrank (measured: the mult-8 rehearsal's
+        # sorter spill overflowed scratch even with compact ids). The
+        # build side is the doc-payload table (corpus-sized, partition
+        # slices of it are executor-memory-sized); the pair stream is
+        # only streamed. The bitmap path (small vocab ⇒ small corpus
+        # payload table) is left unhinted so Catalyst can auto-broadcast
+        # it — forcing SHJ there would add a needless doc-table shuffle.
+        if not use_bitmap:
+            l, r = l.hint("shuffle_hash"), r.hint("shuffle_hash")
+        pairs = cand.join(l, on="id_l").join(r, on="id_r")
     else:
         t = _token_sets(df, block_col, text_col, id_col)
         n_rows = df.count()

@@ -47,12 +47,16 @@ from pyspark.sql import functions as F
 
 _JOIN_TYPES = ("inner", "left", "left_semi", "left_anti")
 
+# caches from the previous interval_join outer-variant call, released on
+# the next call (same handoff pattern as dedup/ngram.py: the returned
+# DataFrame is lazy, so a call can never release its own)
+_last_outer_caches: list = []
+
 
 def _numeric(df: DataFrame, col: str) -> Column:
     """Exact numeric image of a timestamp/date/numeric column (epoch
     micros for temporal types), for bin arithmetic."""
-    dt = dict(df.dtypes)[col]
-    if dt.startswith("timestamp") or dt == "date":
+    if _is_temporal(df, col):
         return F.unix_micros(F.col(col).cast("timestamp"))
     return F.col(col)
 
@@ -206,16 +210,32 @@ def interval_join(
     width = _width_micros(left, left_start, bin_width)
 
     if how != "inner":
+        from pyspark import StorageLevel
+
         # The exploded left side is the wrong granularity for per-ROW
         # match decisions (an interval spanning b bins would surface b
         # unmatched copies under 'left'), so outer variants decide at the
         # original-row granularity: run the inner machinery with a minted
         # row id, then semi/anti/left-join the ORIGINAL left against the
-        # matched-id set. The id is mono-id based (the repo's established
-        # X4 pattern, `sources/io.py:add_record_id`): deterministic for a
-        # deterministic input partitioning (parquet scans are), used only
-        # within this one plan.
-        lid = left.withColumn("__lid", F.monotonically_increasing_id())
+        # matched-id set. The minted id is mono-id based and the id'd
+        # frame is PERSISTED before fan-out: the plan references `lid`
+        # from two independent subtrees, and an un-persisted
+        # monotonically_increasing_id over a shuffle-derived input (row
+        # order within a shuffle partition depends on block-fetch arrival
+        # order) could assign DIFFERENT ids on re-evaluation — a row then
+        # shows up both matched and unmatched. Persisting pins one
+        # materialization of the ids for every consumer.
+        global _last_outer_caches
+        for old in _last_outer_caches:
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # the old cache's session may already be gone
+        _last_outer_caches = []
+        lid = left.withColumn("__lid", F.monotonically_increasing_id()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _last_outer_caches.append(lid)
         inner = interval_join(
             lid,
             right,
@@ -228,7 +248,18 @@ def interval_join(
             how="inner",
             suffix=suffix,
         )
+        if how == "left":
+            # 'left' consumes the pair rows AND the matched-id set —
+            # persist the (pair-sized) inner result so its binned join
+            # executes once, not once per consumer
+            inner = inner.persist(StorageLevel.MEMORY_AND_DISK)
+            _last_outer_caches.append(inner)
         matched = inner.select("__lid").distinct()
+        if how in ("left_semi", "left_anti"):
+            # semi/anti need only the (narrow) matched-id set; persisting
+            # it lets the expensive inner subtree run exactly once
+            matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+            _last_outer_caches.append(matched)
         if how == "left_semi":
             return lid.join(matched, "__lid", "left_semi").drop("__lid")
         if how == "left_anti":

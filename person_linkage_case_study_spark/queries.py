@@ -927,21 +927,25 @@ def _f89_oracle() -> str:
 
     import glob
 
-    import duckdb
+    try:
+        import duckdb
+    except ImportError:  # no duckdb → fixed fallback below
+        duckdb = None
 
     words: set[str] = set()
-    try:
-        con = duckdb.connect()
-        for path in glob.glob("/root/testdata/sf*/part.parquet"):
-            for (w,) in con.execute(
-                "SELECT DISTINCT upper(split_part(p_name, ' ', 1)) "
-                f"FROM read_parquet('{path}')"
-            ).fetchall():
-                if w:
-                    words.add(w)
-    except (ImportError, OSError, duckdb.Error):
-        # unreadable testdata → fixed fallback below; anything else raises
-        pass
+    if duckdb is not None:
+        try:
+            con = duckdb.connect()
+            for path in glob.glob("/root/testdata/sf*/part.parquet"):
+                for (w,) in con.execute(
+                    "SELECT DISTINCT upper(split_part(p_name, ' ', 1)) "
+                    f"FROM read_parquet('{path}')"
+                ).fetchall():
+                    if w:
+                        words.add(w)
+        except (OSError, duckdb.Error):
+            # unreadable testdata → fixed fallback; anything else raises
+            words = set()
     if not words:  # fallback: the fixed TPC-H adjective list
         words = {"BLUE", "COLD", "HOT", "LARGE", "NEW", "OLD", "RED", "SMALL"}
     vals = ", ".join(f"('{w}','{nysiis(w)}')" for w in sorted(words))
@@ -1857,6 +1861,7 @@ def _token_fp(cols) -> F.Column:
 
 @query("s7_generated_census", oracle=_s7_oracle)
 def s7_generated_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from .sources.generator import generate_decennial_census, very_noisy_config
@@ -1872,9 +1877,11 @@ def s7_generated_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean_cols = census.columns
     rewritten = _S7_NAME_COLS + ["street_name"]
 
-    # X3: stash clean copies (noise rewrites columns in place; record_id
-    # is NOT unique — duplicate_row noise — so a join-back would multiply
-    # rows), then apply the reference's three custom-noise transforms
+    # X3: stash clean copies (noise rewrites columns in place; carrying
+    # the originals through the mapInPandas chain is cheaper than a
+    # join-back), then apply the reference's three custom-noise
+    # transforms. record_id IS unique (duplicate_row copies get a '_dup'
+    # suffix), which is what makes the CSV join below a safe 1:1.
     pre = census.withColumn("__fp_clean", _token_fp(_S7_NAME_COLS))
     for c in rewritten:
         pre = pre.withColumn(f"__clean_{c}", F.col(c))
@@ -1907,13 +1914,15 @@ def s7_generated_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x4_minted_id_ok"),
     )
 
-    # S3: round-trip (record_id, zipcode) through a headerless CSV;
-    # distinct() because duplicate_row copies are byte-identical, so the
-    # read-back side maps 1:1 onto record_id
-    tmp = tempfile.mkdtemp(prefix="s7csv_")
-    census.select("record_id", "zipcode").distinct().write.mode(
-        "overwrite"
-    ).csv(tmp)
+    # S3: round-trip (record_id, zipcode) through a headerless CSV. The
+    # write is an eager one-time job per process (cached deterministic
+    # temp path — re-invocations reuse it instead of leaking a dir per
+    # call); driver-local paths are fine here because this entry is a
+    # correctness-gate surface that runs in local mode, not a cluster
+    # operator (the operator itself, read_csv, is path-agnostic).
+    tmp = os.path.join(tempfile.gettempdir(), "s7csv_roundtrip_v1")
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        census.select("record_id", "zipcode").write.mode("overwrite").csv(tmp)
     csv_back = read_csv(
         spark, tmp, header=False, schema="__rid string, zip_csv string"
     )

@@ -266,3 +266,24 @@ def test_candidates_path_equals_quadratic_at_high_threshold(spark):
     }
     assert via_lsh == quad
     assert len(quad) > 0  # the injection produced true near-dups
+
+
+def test_candidates_scoring_plan_is_shuffled_hash_for_large_vocab(spark):
+    """Scale pin for the r5 mult-8 fix: on the hashed-id (large-vocab)
+    path the candidate-scoring joins must be ShuffledHashJoin — a
+    sort-merge join would sort (and sorter-spill) the wide pair stream, the
+    measured one-box scratch ceiling. The bitmap path stays unhinted so
+    small payload tables can broadcast."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} shared") for i in range(50)],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 48, 2)], "doc_id_l long, doc_id_r long"
+    )
+    out = ngram_jaccard_pairs(
+        docs, candidates=cands, threshold=0.1, max_bitmap_vocab=0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -25,8 +25,12 @@ Corpus is synthesized in-plan from ``spark.range`` — pure xxhash64
 projections, zero shuffle, deterministic across partitionings/retries, so
 the rehearsal scales to any ``mult`` without input files.
 
-Usage: python tools/bench_dedup.py [mult] [threshold]
+Usage: python tools/bench_dedup.py [mult] [threshold] [chunks]
   mult: corpus = 100k docs × mult (+5% planted near-dups)
+  chunks: >1 scores the candidate set in that many bounded sequential
+          passes (SCALING.md dedup mitigation 3) — live shuffle scratch
+          ~1/chunks of the one-shot footprint, at the cost of re-running
+          the tokenize/encode prologue per pass
 Prints ONE JSON line:
 {"metric": "dedup_rehearsal_wall", "value": sec, "docs": N,
  "candidates": C, "pairs": P, "planted": K, "recall": r, "mult": m}
@@ -100,6 +104,7 @@ def synthesize(spark: SparkSession, n_base: int) -> DataFrame:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
+    chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_base = BASE_DOCS * mult
     spark = get_spark(f"dedup-rehearsal-{mult}x")
 
@@ -117,9 +122,32 @@ def main() -> None:
     ).persist()
     n_cands = cands.count()
     t_cand = time.time()
-    pairs = ngram_jaccard_pairs(docs, candidates=cands, threshold=threshold)
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
+    if chunks <= 1:
+        pairs = ngram_jaccard_pairs(docs, candidates=cands, threshold=threshold)
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+    else:
+        # SCALING.md dedup mitigation (3): score the candidate set in
+        # `chunks` bounded SEQUENTIAL passes so live shuffle scratch is
+        # ~1/chunks of the one-shot footprint — the one-box fallback when
+        # "more executors" (the cluster answer: aggregate scratch scales
+        # linearly with the fleet) isn't available. Each pass writes its
+        # narrow surviving pairs to parquet; shuffle files of finished
+        # passes are released between jobs (System.gc() nudges the
+        # ContextCleaner, whose file cleanup is GC-triggered).
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="dedup_chunks_")
+        for k in range(chunks):
+            sub = cands.filter(
+                F.pmod(F.xxhash64("doc_id_l", "doc_id_r"), F.lit(chunks)) == k
+            )
+            ngram_jaccard_pairs(
+                docs, candidates=sub, threshold=threshold
+            ).write.mode("append").parquet(f"{tmp}/pairs")
+            spark.sparkContext._jvm.System.gc()
+        pairs = spark.read.parquet(f"{tmp}/pairs").persist()
+        n_pairs = pairs.count()
     t_score = time.time()
     cands.unpersist()
 
@@ -152,6 +180,7 @@ def main() -> None:
                 },
                 "mult": mult,
                 "threshold": threshold,
+                "score_chunks": chunks,
             }
         )
     )
