@@ -106,7 +106,25 @@ def main() -> None:
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
     chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_base = BASE_DOCS * mult
-    spark = get_spark(f"dedup-rehearsal-{mult}x")
+    # size the session with the data, the way a cluster submit would
+    # (same pattern as tools/bench_linkage.py): at mult 16 an
+    # AQE-converted broadcast build overflowed the standard 8g driver
+    # ("Not enough memory to build and broadcast"), and more reducers
+    # keep per-task scoring state shrinking as the corpus grows
+    heap_g = min(64, max(8, mult))
+    shuffle_parts = max(32, 2 * mult)
+    extra = {
+        "spark.driver.memory": f"{heap_g}g",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+    }
+    if mult >= 16:
+        # past ~1.7M docs the banding self-join's size estimate tempts the
+        # planner into broadcasting a signatures-sized table that no longer
+        # fits any driver ("Not enough memory to build and broadcast",
+        # measured at mult 16 even with a 16g heap) — there are no small
+        # dims in this rehearsal, so auto-broadcast buys nothing here
+        extra["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    spark = get_spark(f"dedup-rehearsal-{mult}x", extra_conf=extra)
 
     t0 = time.time()
     docs = synthesize(spark, n_base)
