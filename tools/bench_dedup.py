@@ -25,12 +25,18 @@ Corpus is synthesized in-plan from ``spark.range`` — pure xxhash64
 projections, zero shuffle, deterministic across partitionings/retries, so
 the rehearsal scales to any ``mult`` without input files.
 
-Usage: python tools/bench_dedup.py [mult] [threshold] [chunks]
+Usage: python tools/bench_dedup.py [mult] [threshold] [chunks] [bands]
   mult: corpus = 100k docs × mult (+5% planted near-dups)
   chunks: >1 scores the candidate set in that many bounded sequential
           passes (SCALING.md dedup mitigation 3) — live shuffle scratch
           ~1/chunks of the one-shot footprint, at the cost of re-running
           the tokenize/encode prologue per pass
+  bands: LSH bands over the 128 minhashes (default 32 → r=4). The r
+         knob is the PRIMARY floor control: the random-pair (J≈0.06)
+         collision floor is ~n² per band space and doubles the per-doc
+         candidate rate each corpus doubling at r=4 (measured
+         51/103/204 at mults 4/8/16); bands=16 → r=8 pushes the floor
+         to ~1e-9 of pairs while keeping P(miss at J≈0.94) ≈ 3e-7
 Prints ONE JSON line:
 {"metric": "dedup_rehearsal_wall", "value": sec, "docs": N,
  "candidates": C, "pairs": P, "planted": K, "recall": r, "mult": m}
@@ -105,6 +111,7 @@ def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
     chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    bands = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     n_base = BASE_DOCS * mult
     # size the session with the data, the way a cluster submit would
     # (same pattern as tools/bench_linkage.py): at mult 16 an
@@ -136,7 +143,7 @@ def main() -> None:
     # dropDuplicates would re-execute inside ngram_jaccard_pairs and the
     # exact_scoring stage wall would include candidate recomputation
     cands = minhash_candidate_pairs(
-        sigs, bands=32, est_jaccard_threshold=None
+        sigs, bands=bands, est_jaccard_threshold=None
     ).persist()
     n_cands = cands.count()
     t_cand = time.time()
@@ -199,6 +206,7 @@ def main() -> None:
                 "mult": mult,
                 "threshold": threshold,
                 "score_chunks": chunks,
+                "bands": bands,
             }
         )
     )
