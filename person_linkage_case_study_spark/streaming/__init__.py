@@ -1,3 +1,4 @@
+from .incremental_profile import profile_of_stream, run_incremental_profile
 from .stream import (
     hourly_rollup_stream,
     read_events_stream,
@@ -7,6 +8,8 @@ from .stream import (
 
 __all__ = [
     "hourly_rollup_stream",
+    "profile_of_stream",
+    "run_incremental_profile",
     "read_events_stream",
     "run_stream_to_memory",
     "sessionize_stream",

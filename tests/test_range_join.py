@@ -343,3 +343,30 @@ def test_interval_join_outer_variants(spark, width):
         for r in interval_join(left, right, how="inner", **kw).collect()
     }
     assert set(pair_rows) == inner
+
+
+def test_interval_outer_executes_inner_once(spark):
+    """Efficiency + id-stability pin: the outer variants persist the
+    minted-id frame and the matched-id set, so the physical plan reads the
+    expensive binned-join subtree from cache (InMemoryTableScan) instead
+    of re-evaluating it — which is also what makes the mono-id stable
+    across the plan's two references to it."""
+    left, right, _ = _overlap_frames(spark, nl=40, nr=30)
+    kw = dict(
+        on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bin_width=5.0,
+    )
+    semi_plan = (
+        interval_join(left, right, how="left_semi", **kw)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in semi_plan
+    left_plan = (
+        interval_join(left, right, how="left", **kw)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in left_plan
