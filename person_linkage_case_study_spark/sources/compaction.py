@@ -172,7 +172,6 @@ def compact_parquet(
             continue
 
         leaf = HPath(plan.path)
-        tmp = HPath(plan.path + ".compact-tmp")
         tmp_hidden = HPath(
             leaf.getParent(), "." + leaf.getName() + ".compact-tmp"
         )
