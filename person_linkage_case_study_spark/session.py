@@ -39,6 +39,30 @@ _DEFAULT_CONF = {
 }
 
 
+def _resolve_master(explicit: str | None, submit_conf=None) -> str | None:
+    """Master-URL resolution, cluster-submit aware.
+
+    Priority: explicit argument > ``SPARK_GRAFT_MASTER`` env > whatever
+    ``spark-submit --master`` already put in the JVM system properties
+    (returned as None — the builder must NOT override it, or every
+    cluster submit would silently collapse back to one local box) >
+    ``local[$SPARK_GRAFT_CPUS]`` for plain-python runs (tests, bench,
+    the driver harness)."""
+    if explicit is not None:
+        return explicit
+    env = os.environ.get("SPARK_GRAFT_MASTER")
+    if env:
+        return env
+    if submit_conf is None:
+        from pyspark import SparkConf
+
+        submit_conf = SparkConf()  # loads spark.* system properties
+    if submit_conf.contains("spark.master"):
+        return None  # under spark-submit: its --master wins
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"local[{cpus}]"
+
+
 def get_spark(
     app_name: str = "spark-linkage",
     master: str | None = None,
@@ -47,12 +71,15 @@ def get_spark(
     """Build (or reuse) a SparkSession with the engine's standard confs.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
-    the same code runs under the driver harness, pytest, and bench.
+    the same code runs under the driver harness, pytest, and bench —
+    except under ``spark-submit``, whose ``--master`` is honored (see
+    ``_resolve_master``), so the identical entry points run on a real
+    cluster with no code changes.
     """
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+    master = _resolve_master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)
     # ship the JVM UDF jar (native Jaro-Winkler — zero Arrow transfer on
     # the scoring hot path) when it has been built
@@ -61,6 +88,17 @@ def get_spark(
         conf.setdefault("spark.jars", jar)
     if extra_conf:
         conf.update(extra_conf)
+    # builder confs outrank spark-submit --conf, so the engine DEFAULTS
+    # must yield to anything the submit command set explicitly (a cluster
+    # submit tuning spark.sql.shuffle.partitions=4000 must not be
+    # clobbered back to the local default of 32); confs the CALLER passed
+    # via extra_conf are deliberate and keep builder precedence
+    from pyspark import SparkConf
+
+    submit = SparkConf()
     for k, v in conf.items():
-        builder = builder.config(k, v)
+        if extra_conf and k in extra_conf:
+            builder = builder.config(k, v)
+        elif not submit.contains(k):
+            builder = builder.config(k, v)
     return builder.getOrCreate()
