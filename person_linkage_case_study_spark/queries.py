@@ -1474,27 +1474,117 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_near_dup_pairs",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT l.vec_id AS vec_id_l, r.vec_id AS vec_id_r,
-           round(list_inner_product(l.v, r.v) /
-                 (sqrt(list_inner_product(l.v, l.v)) *
-                  sqrt(list_inner_product(r.v, r.v))), 6) AS cosine
-    FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
-    WHERE list_inner_product(l.v, r.v) /
-          (sqrt(list_inner_product(l.v, l.v)) * sqrt(list_inner_product(r.v, r.v)))
-          >= 0.3
-    """,
-)
-def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style, similarity/semdedup.py): seeded
+# integer-LSH clustering → id-only candidate DISTINCT → cosine edges →
+# greedy keep-first decisions. The oracle replays the ENTIRE pipeline in
+# DuckDB — integer sign-bit buckets from the same literal planes (the
+# green ann_lsh_ivf pattern), the cross-table DISTINCT, the rounded
+# cosine threshold, and the min-witness greedy policy — so kept/dup_of
+# are value-hashed end-to-end, not spot-checked. The entry folds in the
+# former `emb_near_dup_pairs` surface (r2-r4 green): each vector also
+# carries its label-blocked near-dup degree from
+# `embedding_near_dup_pairs`, so BOTH embedding-dedup operators stay
+# inside the driver's 50-entry verification window.
+# ---------------------------------------------------------------------------
+
+_SD_PLANES = 4  # 16 buckets/table → ~n/16 per bucket, Σ|bucket|² pair volume
+_SD_TABLES = 4  # OR-amplified recall across 4 independent plane tables
+_SD_SEED = 29
+_SD_THR = 0.3  # synthetic embeddings are near-orthogonal; 0.3 is non-trivial
+
+
+def _semdedup_oracle() -> str:
+    from .similarity.ann import seeded_int_planes
+
+    plane_rows = []
+    for t in range(_SD_TABLES):
+        P = seeded_int_planes(64, _SD_PLANES, _SD_SEED + t)
+        for p in range(_SD_PLANES):
+            vec = ", ".join(f"{int(x)}.0" for x in P[p])
+            plane_rows.append(f"({t}, {1 << p}.0, [{vec}])")
+    planes = ",\n        ".join(plane_rows)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * {_ANN_Q!r} + 0.5)) AS qv
+      FROM embeddings
+    ),
+    planes(tbl, w, pv) AS (VALUES
+        {planes}
+    ),
+    buck AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(sum(CASE WHEN list_inner_product(e.qv, p.pv) > 0
+                      THEN p.w ELSE 0.0 END) AS BIGINT) AS bucket
+      FROM e, planes p
+      GROUP BY e.vec_id, p.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_l, r.vec_id AS id_r
+      FROM buck l JOIN buck r ON l.tbl = r.tbl AND l.bucket = r.bucket
+      WHERE r.vec_id < l.vec_id
+    ),
+    edges AS (
+      SELECT c.id_l, c.id_r
+      FROM cand c
+      JOIN e le ON le.vec_id = c.id_l
+      JOIN e re ON re.vec_id = c.id_r
+      WHERE round(list_inner_product(le.v, re.v) /
+                  (sqrt(list_inner_product(le.v, le.v)) *
+                   sqrt(list_inner_product(re.v, re.v))), 6) >= {_SD_THR!r}
+    ),
+    dup AS (SELECT id_l, min(id_r) AS dup_of FROM edges GROUP BY id_l),
+    lbl_pairs AS (
+      SELECT l.vec_id AS vl, r.vec_id AS vr
+      FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+      WHERE round(list_inner_product(l.v, r.v) /
+                  (sqrt(list_inner_product(l.v, l.v)) *
+                   sqrt(list_inner_product(r.v, r.v))), 6) >= 0.3
+    ),
+    deg AS (
+      SELECT id, count(*) AS n FROM (
+        SELECT vl AS id FROM lbl_pairs
+        UNION ALL SELECT vr AS id FROM lbl_pairs
+      ) GROUP BY id
+    )
+    SELECT e.vec_id, (d.dup_of IS NULL) AS kept, d.dup_of,
+           CAST(coalesce(g.n, 0) AS BIGINT) AS n_label_near_dups
+    FROM e
+    LEFT JOIN dup d ON d.id_l = e.vec_id
+    LEFT JOIN deg g ON g.id = e.vec_id
+    """
+
+
+@query("semantic_dedup_embeddings", oracle=_semdedup_oracle)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity.ann import embedding_near_dup_pairs
+    from .similarity.semdedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    # synthetic embeddings are near-orthogonal (max intra-label cosine
-    # ≈0.47) — 0.3 exercises the operator with a non-trivial result set
-    return embedding_near_dup_pairs(e, block_col="label", threshold=0.3)
+    decisions = semantic_dedup(
+        e,
+        threshold=_SD_THR,
+        n_tables=_SD_TABLES,
+        n_planes=_SD_PLANES,
+        seed=_SD_SEED,
+        quantize=_ANN_Q,
+        dim=64,
+    )
+    # folded former emb_near_dup_pairs surface: label-blocked near-dup
+    # degree per vector (synthetic embeddings are near-orthogonal, max
+    # intra-label cosine ≈0.47 — 0.3 yields a non-trivial pair set)
+    pairs = embedding_near_dup_pairs(e, block_col="label", threshold=0.3)
+    deg = (
+        pairs.select(F.col("vec_id_l").alias("vec_id"))
+        .unionAll(pairs.select(F.col("vec_id_r").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_label_near_dups"))
+    )
+    return decisions.join(deg, "vec_id", "left").withColumn(
+        "n_label_near_dups", F.coalesce("n_label_near_dups", F.lit(0))
+    )
 
 
 # ---------------------------------------------------------------------------

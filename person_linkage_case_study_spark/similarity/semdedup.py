@@ -1,0 +1,191 @@
+"""Semantic deduplication over an embedding column (SemDeDup-style).
+
+Reference parity note: the reference case study has no embedding-space
+dedup; this is part of the beyond-reference training-data tier (SURVEY
+§2's LLM-pipeline extensions), alongside MinHash/SimHash near-dedup
+(dedup/) and the ANN tiers (similarity/ann.py).
+
+The algorithm is the one from Abbas et al., "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication" (arXiv:2303.09540),
+re-expressed Spark-first:
+
+1. **Cluster** the corpus so that pair volume is Σ|cluster|², never
+   |corpus|². SemDeDup uses k-means; here the default clusterer is the
+   repo's seeded *integer*-hyperplane LSH (``seeded_int_planes`` +
+   quantized sign-bit buckets, similarity/ann.py) because its assignment
+   is bit-exact in any engine — a DuckDB oracle can replay the full
+   pipeline verbatim, which driver-gates the operator end-to-end. Multi
+   table OR-amplification (``n_tables``) recovers the pairs a single
+   random cut splits; ``n_planes`` scales with log2(corpus) to hold
+   per-bucket occupancy (and so candidate volume) linear. Pass
+   ``block_col`` (e.g. an IVF cell from ``ivf_assign``) to bring your
+   own clustering.
+2. **Pair ids, then pay for vectors.** Candidate pairs are generated and
+   de-duplicated as *(id_l, id_r) longs only* — the wide vector payload
+   joins back in only after the cross-table DISTINCT. This is the same
+   narrow-shuffle-then-rehydrate discipline the mult-8 dedup rehearsal
+   forced on ngram scoring (SCALING.md "payload width, not pair count").
+3. **Greedy keep-first within eps.** A row is dropped iff some
+   *earlier* (smaller-id) same-cluster row has cosine ≥ ``threshold``;
+   ``dup_of`` records the smallest such witness. Like SemDeDup's
+   keep-one-per-eps-ball this is greedy, not transitive-closure: in a
+   chain a~b, b~c (a≁c) both b and c drop. For canonical-representative
+   semantics feed ``eps_similarity_edges`` to
+   ``dedup.cluster.connected_components`` instead.
+
+Scale posture: bucket sizes are controlled by ``n_planes`` (2^planes
+buckets per table); candidate volume is Σ over tables of Σ|bucket|².
+The id-pair DISTINCT is the only wide shuffle and it carries two longs
+per row. Vector rehydration is two hash joins against the (persisted)
+corpus projection. No crossJoin, no partition-less window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ann import _buckets_udf, _pair_cosine_udf, seeded_int_planes
+
+
+def _project(corpus, id_col, vec_col, block_col):
+    return corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+
+
+def semdedup_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 4,
+    seed: int = 101,
+    quantize: float = 1000.0,
+    dim: int | None = None,
+    block_col: str | None = None,
+) -> DataFrame:
+    """DISTINCT candidate id pairs ``(id_l, id_r)`` with ``id_r < id_l``
+    — rows sharing a sign-bit bucket in ANY of ``n_tables`` seeded
+    integer-LSH tables (or sharing ``block_col`` when given). Two longs
+    per row; no vector payload ever enters this shuffle."""
+    c = _project(corpus, id_col, vec_col, block_col)
+    if block_col is None:
+        if dim is None:
+            row = c.select(F.size("__vec").alias("d")).limit(1).collect()
+            if not row:
+                return corpus.sparkSession.createDataFrame(
+                    [], "id_l long, id_r long"
+                )
+            dim = row[0]["d"]
+        planes = [
+            seeded_int_planes(dim, n_planes, seed + t) for t in range(n_tables)
+        ]
+        buckets = _buckets_udf(planes, quantize=quantize)
+        keyed = c.select(
+            "__id", F.posexplode(buckets(F.col("__vec"))).alias("__tbl", "__bucket")
+        )
+        join_keys = ["__tbl", "__bucket"]
+    else:
+        keyed = c.select("__id", F.col("__blk").alias("__bucket"))
+        join_keys = ["__bucket"]
+
+    l = keyed.select(F.col("__id").alias("id_l"), *join_keys)
+    r = keyed.select(F.col("__id").alias("id_r"), *join_keys)
+    # id-only candidate pairs: the multi-table OR means the same pair can
+    # collide in several tables — DISTINCT over two longs BEFORE the
+    # vector payload exists anywhere in the shuffle
+    return (
+        l.join(r, on=join_keys)
+        .filter(F.col("id_r") < F.col("id_l"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+
+def eps_similarity_edges(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    seed: int = 101,
+    quantize: float = 1000.0,
+    dim: int | None = None,
+    block_col: str | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate-generated eps-similarity edge set: one row per unordered
+    pair with shared cluster and cosine ≥ threshold, as
+    ``(id_l, id_r, cosine)`` with ``id_r < id_l``.
+
+    Identical vectors share every bucket, so exact duplicates are
+    candidates with recall 1. Pass ``candidates`` (e.g. a persisted
+    ``semdedup_candidates`` result, or pairs from MinHash banding) to
+    skip the LSH phase — the ``candidates=`` contract the ngram scoring
+    kernel established (dedup/ngram.py).
+    """
+    if candidates is None:
+        candidates = semdedup_candidates(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_tables=n_tables,
+            n_planes=n_planes,
+            seed=seed,
+            quantize=quantize,
+            dim=dim,
+            block_col=block_col,
+        )
+    # both rehydration joins re-read the projection; persist so the scan
+    # and the array<double> cast run once
+    vecs = _project(corpus, id_col, vec_col, None).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cos = _pair_cosine_udf()
+    return (
+        candidates.join(
+            vecs.select(F.col("__id").alias("id_l"), F.col("__vec").alias("__vl")),
+            "id_l",
+        )
+        .join(
+            vecs.select(F.col("__id").alias("id_r"), F.col("__vec").alias("__vr")),
+            "id_r",
+        )
+        .withColumn("cosine", F.round(cos(F.col("__vl"), F.col("__vr")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_l", "id_r", "cosine")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """One row per corpus row: ``(id_col, kept, dup_of)``.
+
+    ``kept`` is False iff an earlier (smaller-``id_col``) row in a shared
+    cluster has cosine ≥ ``threshold``; ``dup_of`` is the smallest such
+    witness id (NULL when kept). Survivor set = ``filter(kept)``.
+    Clustering knobs pass through to ``eps_similarity_edges``.
+    """
+    edges = eps_similarity_edges(
+        corpus, id_col=id_col, vec_col=vec_col, threshold=threshold, **kwargs
+    )
+    dup = edges.groupBy("id_l").agg(F.min("id_r").alias("dup_of"))
+    ids = corpus.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(dup, ids["__id"] == dup["id_l"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

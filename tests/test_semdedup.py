@@ -1,0 +1,131 @@
+"""Semantic dedup (similarity/semdedup.py): planted exact/near duplicates
+are dropped with the smallest-id witness recorded, survivors are kept,
+the greedy chain semantics hold, block_col clustering works, the result
+is layout-invariant, and the plan never falls back to a cross product."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.similarity.semdedup import (
+    eps_similarity_edges,
+    semantic_dedup,
+)
+
+DIM = 16
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """20 well-separated base vectors + exact copies of 3 of them + one
+    near-copy (cosine ≈ 0.999) + one chain pair."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i]) for i in range(20)]
+    # exact duplicates of 2, 5, 11 (ids 100..102)
+    rows += [(100, base[2]), (101, base[5]), (102, base[11])]
+    # near-duplicate of 7 (id 103): tiny perturbation
+    near = base[7] + 0.01 * rng.standard_normal(DIM)
+    rows.append((103, near / np.linalg.norm(near)))
+    return _corpus(spark, rows)
+
+
+def _decisions(df):
+    return {
+        r["vec_id"]: (r["kept"], r["dup_of"]) for r in df.collect()
+    }
+
+
+def test_exact_and_near_dups_dropped(spark, planted):
+    out = semantic_dedup(planted, threshold=0.95, n_tables=4, n_planes=3, seed=11)
+    d = _decisions(out)
+    assert len(d) == 24
+    # exact copies always share every bucket -> guaranteed caught
+    assert d[100] == (False, 2)
+    assert d[101] == (False, 5)
+    assert d[102] == (False, 11)
+    # near-copy: cosine ~0.9999 >= 0.95; identical sign pattern is not
+    # guaranteed but at 0.01 perturbation over 4 tables it is found
+    assert d[103] == (False, 7)
+    # all 20 originals are mutually separated -> kept
+    for i in range(20):
+        assert d[i] == (True, None), i
+
+
+def test_greedy_chain_drops_both(spark):
+    """a~b and b~c but a !~ c: greedy keep-first drops BOTH b and c."""
+    a = np.zeros(DIM); a[0] = 1.0
+    # rotate in the (0,1) plane: b at 18deg of a, c at 36deg
+    def rot(theta):
+        v = np.zeros(DIM); v[0] = np.cos(theta); v[1] = np.sin(theta)
+        return v
+    th = np.deg2rad(18)
+    corpus = _corpus(spark, [(1, a), (2, rot(th)), (3, rot(2 * th))])
+    # cos(18deg)=0.951 >= 0.95 ; cos(36deg)=0.809 < 0.95
+    out = semantic_dedup(
+        corpus, threshold=0.95, n_tables=6, n_planes=2, seed=3
+    )
+    d = _decisions(out)
+    assert d[1] == (True, None)
+    assert d[2] == (False, 1)
+    assert d[3] == (False, 2)  # dropped via b even though b itself dropped
+
+
+def test_block_col_clustering(spark):
+    a = np.zeros(DIM); a[0] = 1.0
+    corpus = spark.createDataFrame(
+        [
+            (1, [float(x) for x in a], "x"),
+            (2, [float(x) for x in a], "x"),   # same block: caught
+            (3, [float(x) for x in a], "y"),   # other block: missed by design
+        ],
+        "vec_id long, embedding array<double>, grp string",
+    )
+    d = _decisions(semantic_dedup(corpus, threshold=0.99, block_col="grp"))
+    assert d[1] == (True, None)
+    assert d[2] == (False, 1)
+    assert d[3] == (True, None)
+
+
+def test_edges_are_unordered_and_thresholded(spark, planted):
+    e = eps_similarity_edges(
+        planted, threshold=0.95, n_tables=4, n_planes=3, seed=11
+    )
+    rows = e.collect()
+    assert all(r["id_r"] < r["id_l"] for r in rows)
+    assert all(r["cosine"] >= 0.95 for r in rows)
+    pairs = {(r["id_l"], r["id_r"]) for r in rows}
+    assert len(pairs) == len(rows)  # DISTINCT held across tables
+    assert {(100, 2), (101, 5), (102, 11), (103, 7)} <= pairs
+
+
+def test_layout_invariance(spark, planted):
+    base = semantic_dedup(planted, threshold=0.95, n_tables=4, n_planes=3, seed=11)
+    shuffled = semantic_dedup(
+        planted.repartition(7), threshold=0.95, n_tables=4, n_planes=3, seed=11
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
+def test_no_cross_product_in_plan(spark, planted):
+    out = semantic_dedup(planted, threshold=0.95, n_tables=4, n_planes=3, seed=11)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty, threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "kept", "dup_of"]

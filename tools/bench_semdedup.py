@@ -1,0 +1,171 @@
+"""Semantic-dedup-at-scale rehearsal: seeded-LSH SemDeDup over a
+synthesized embedding corpus with planted near-duplicates.
+
+What it proves, with numbers:
+
+* candidate volume stays ~LINEAR in corpus size when ``n_planes`` scales
+  with log2(n) (buckets/table ~= n / target_bucket, so Σ|bucket|² ≈
+  n × target_bucket per table) — the knob a 100 TB corpus turns, exactly
+  like bands/rows for MinHash (SCALING.md dedup section);
+* recall of planted near-dups (cosine ≈ 0.999) across ``n_tables``
+  OR-amplified tables: per-plane flip prob at angle θ is θ/π ≈ 0.008, so
+  a 14-plane table matches with p ≈ 0.89 and missing all 4 tables is
+  ~1.4e-4 — the printed recall measures this directly;
+* false drops of the mutually near-orthogonal base vectors are ~0 at
+  threshold 0.9 (dim-64 random cosine std ≈ 0.125).
+
+The corpus is synthesized in-plan from ``spark.range`` — per-dimension
+values are pure xxhash64 projections (uniform in [-1, 1]), planted dups
+re-derive their base vector by expression and add a 0.02-amplitude hash
+noise — zero shuffle, no input files, deterministic across
+partitionings/retries, any ``mult``.
+
+Usage: python tools/bench_semdedup.py [mult] [threshold] [target_bucket]
+  mult: corpus = 100k vectors × mult (+5% planted near-dups)
+Prints ONE JSON line:
+{"metric": "semdedup_rehearsal_wall", "value": sec, "vectors": N,
+ "candidates": C, "planted": K, "dropped_planted": D, "recall": r,
+ "false_drops": F, "n_planes": p, "mult": m}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from person_linkage_case_study_spark.session import get_spark
+from person_linkage_case_study_spark.similarity.semdedup import (
+    eps_similarity_edges,
+    semdedup_candidates,
+)
+
+DIM = 64
+SEED = 1234
+
+
+def _unit_hash(col_expr, tag: str):
+    """Deterministic uniform in [-1, 1] from (expr, dim-index, tag)."""
+    return (
+        F.pmod(
+            F.xxhash64(col_expr, F.lit(tag), F.lit(SEED)), F.lit(2_000_001)
+        ).cast("double")
+        / 1_000_000.0
+        - 1.0
+    )
+
+
+def _vec(id_expr, tag: str):
+    """array<double> of DIM deterministic uniforms for a (possibly
+    derived) id expression — pure projection, zero shuffle."""
+    return F.array(
+        *[
+            _unit_hash(F.concat(id_expr.cast("string"), F.lit(f"|{d}")), tag)
+            for d in range(DIM)
+        ]
+    )
+
+
+def synthesize(spark: SparkSession, n_base: int) -> DataFrame:
+    """n_base random vectors (ids 0..n_base-1) + 5% planted near-dups
+    (ids n_base..: vec = base_vec(id - n_base) + 0.02 × noise)."""
+    n_planted = n_base // 20
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"), _vec(F.col("id"), "v").alias("embedding")
+    )
+    src = F.col("id") - F.lit(n_base)  # planted i duplicates base row i
+    planted = spark.range(n_base, n_base + n_planted).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(
+            _vec(src, "v"),
+            _vec(F.col("id"), "noise"),
+            lambda v, n: v + 0.02 * n,
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
+    target_bucket = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+
+    n_base = 100_000 * mult
+    n_planted = n_base // 20
+    n = n_base + n_planted
+    n_planes = max(4, round(math.log2(n / target_bucket)))
+
+    spark = get_spark(
+        "bench-semdedup",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(
+                32 * max(1, mult // 4)
+            )
+        },
+    )
+
+    corpus = synthesize(spark, n_base)
+
+    from pyspark import StorageLevel
+
+    t0 = time.time()
+    cand = semdedup_candidates(
+        corpus, n_tables=4, n_planes=n_planes, seed=SEED, quantize=1000.0,
+        dim=DIM,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_candidates = cand.count()
+    t1 = time.time()
+
+    edges = eps_similarity_edges(corpus, threshold=threshold, candidates=cand)
+    # greedy decisions + recall accounting in ONE aggregate pass
+    dup = edges.groupBy("id_l").agg(F.min("id_r").alias("dup_of"))
+    stats = (
+        corpus.select("vec_id")
+        .join(dup, corpus["vec_id"] == dup["id_l"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                ((F.col("vec_id") >= n_base) & F.col("dup_of").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("dropped_planted"),
+            F.sum(
+                ((F.col("vec_id") < n_base) & F.col("dup_of").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("false_drops"),
+        )
+        .collect()[0]
+    )
+    t2 = time.time()
+
+    payload = {
+        "metric": "semdedup_rehearsal_wall",
+        "value": round(t2 - t0, 1),
+        "unit": "sec",
+        "vectors": int(stats["n"]),
+        "candidates": n_candidates,
+        "planted": n_planted,
+        "dropped_planted": int(stats["dropped_planted"]),
+        "recall": round(int(stats["dropped_planted"]) / n_planted, 6),
+        "false_drops": int(stats["false_drops"]),
+        "stage_walls": {
+            "candidates": round(t1 - t0, 1),
+            "scoring": round(t2 - t1, 1),
+        },
+        "n_planes": n_planes,
+        "n_tables": 4,
+        "threshold": threshold,
+        "mult": mult,
+    }
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

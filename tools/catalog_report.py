@@ -47,7 +47,7 @@ OPERATORS: dict[str, str] = {
     "dedup_near_exact_pipeline": "ngram-jaccard candidates=lsh",
     "ann_brute_force_topk": "ann-exact",
     "ann_lsh_ivf_topk": "ann-lsh ann-ivf",
-    "emb_near_dup_pairs": "embedding-near-dup",
+    "semantic_dedup_embeddings": "semantic-dedup embedding-near-dup",
     "events_sessionized": "sessionization lag-window",
     "asof_prior_error_state": "asof-join range-join temporal-state",
     "streaming_dedup_first_seen": "streaming-stateful-dedup",
