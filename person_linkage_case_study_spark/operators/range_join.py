@@ -47,11 +47,6 @@ from pyspark.sql import functions as F
 
 _JOIN_TYPES = ("inner", "left", "left_semi", "left_anti")
 
-# caches from the previous interval_join outer-variant call, released on
-# the next call (same handoff pattern as dedup/ngram.py: the returned
-# DataFrame is lazy, so a call can never release its own)
-_last_outer_caches: list = []
-
 
 def _numeric(df: DataFrame, col: str) -> Column:
     """Exact numeric image of a timestamp/date/numeric column (epoch
@@ -172,6 +167,33 @@ def range_join(
     return out.drop("__bin", "__rbin", *[f"__rk_{k}" for k in keys])
 
 
+def _pin_row_ids(df: DataFrame) -> DataFrame:
+    """Make a frame carrying ``monotonically_increasing_id`` minted ids
+    safe to reference from two plan subtrees on a fault-prone cluster.
+
+    A bare mono-id over a shuffle-derived input is only deterministic per
+    *materialization* (row order within a shuffle partition depends on
+    block-fetch arrival order), and ``persist`` pins one materialization
+    only while every cached block lives — MEMORY_AND_DISK blocks die with
+    their executor, after which Spark silently recomputes the partition
+    from lineage and may assign DIFFERENT ids. So:
+
+    - checkpoint dir configured → **reliable** ``checkpoint()``: the id'd
+      rows live in fault-tolerant storage; executor loss re-reads them,
+      never re-mints. This is the 1000-core-fleet mode (the submit
+      template enables ``spark.decommission.enabled``).
+    - otherwise → eager ``localCheckpoint()``: lineage is CUT, so a
+      re-mint is impossible by construction; losing an executor's blocks
+      fails the job loudly instead of corrupting the answer. Right
+      trade-off for local/single-JVM runs where executor loss == JVM
+      death anyway.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -183,6 +205,7 @@ def interval_join(
     bin_width: float,
     how: str = "inner",
     suffix: str = "_r",
+    row_id: str | None = None,
 ) -> DataFrame:
     """Join overlapping half-open intervals per key:
     ``[l_start, l_end) ∩ [r_start, r_end) ≠ ∅``.
@@ -200,6 +223,17 @@ def interval_join(
     null right payload exactly once, 'left_anti' answers "which records
     have NO covering epoch". Under 'left'/'left_anti', left rows with
     NULL or empty intervals count as unmatched (they overlap nothing).
+
+    ``row_id``: name of a column on ``left`` that uniquely identifies
+    each row (the same contract ``asof_join`` and the dedup pipeline
+    impose). Outer variants decide matched/unmatched at original-row
+    granularity, which references the left input from two plan subtrees;
+    with a caller-supplied key that is safe under ANY recomputation —
+    zero caches, zero checkpoints, fully fault-deterministic. Without
+    one, a row id is minted and pinned via ``_pin_row_ids`` (reliable
+    ``checkpoint()`` when a checkpoint dir is configured, else eager
+    ``localCheckpoint()`` — note the latter runs a job at call time).
+    Prefer passing ``row_id`` whenever a natural key exists.
     """
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {_JOIN_TYPES}")
@@ -210,74 +244,56 @@ def interval_join(
     width = _width_micros(left, left_start, bin_width)
 
     if how != "inner":
-        from pyspark import StorageLevel
-
         # The exploded left side is the wrong granularity for per-ROW
         # match decisions (an interval spanning b bins would surface b
         # unmatched copies under 'left'), so outer variants decide at the
-        # original-row granularity: run the inner machinery with a minted
-        # row id, then semi/anti/left-join the ORIGINAL left against the
-        # matched-id set. The minted id is mono-id based and the id'd
-        # frame is PERSISTED before fan-out: the plan references `lid`
-        # from two independent subtrees, and an un-persisted
-        # monotonically_increasing_id over a shuffle-derived input (row
-        # order within a shuffle partition depends on block-fetch arrival
-        # order) could assign DIFFERENT ids on re-evaluation — a row then
-        # shows up both matched and unmatched. Persisting pins one
-        # materialization of the ids for every consumer.
-        global _last_outer_caches
-        for old in _last_outer_caches:
-            try:
-                old.unpersist()
-            except Exception:
-                pass  # the old cache's session may already be gone
-        _last_outer_caches = []
-        lid = left.withColumn("__lid", F.monotonically_increasing_id()).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # original-row granularity: compute the qualifying (row id, right
+        # payload) pair stream with the inner machinery over a NARROW
+        # projection of left, then join the ORIGINAL left against it on
+        # the row id — left join for 'left' (matched rows pick up
+        # payload, unmatched rows type-correct nulls, each exactly once),
+        # semi/anti for the membership variants. The pair subtree is
+        # referenced exactly once, so nothing pair-sized is ever cached.
+        if row_id is not None:
+            if row_id not in left.columns:
+                raise ValueError(f"row_id column {row_id!r} not in left")
+            lid, idc = left, row_id
+        else:
+            lid = _pin_row_ids(
+                left.withColumn("__lid", F.monotonically_increasing_id())
+            )
+            idc = "__lid"
+        # pre-rename right payload to its final (collision-suffixed)
+        # names so the narrow inner call below can't rename differently
+        payload = [c for c in right.columns if c not in keys]
+        renames = {c: (c + suffix if c in left.columns else c) for c in payload}
+        r_named = right.select(
+            *keys, *[F.col(c).alias(renames[c]) for c in payload]
         )
-        _last_outer_caches.append(lid)
-        inner = interval_join(
-            lid,
-            right,
+        narrow = list(dict.fromkeys([idc, *keys, left_start, left_end]))
+        pairs = interval_join(
+            lid.select(*narrow),
+            r_named,
             on=keys,
             left_start=left_start,
             left_end=left_end,
-            right_start=right_start,
-            right_end=right_end,
+            right_start=renames[right_start],
+            right_end=renames[right_end],
             bin_width=bin_width,
             how="inner",
             suffix=suffix,
-        )
-        if how == "left":
-            # 'left' consumes the pair rows AND the matched-id set —
-            # persist the (pair-sized) inner result so its binned join
-            # executes once, not once per consumer
-            inner = inner.persist(StorageLevel.MEMORY_AND_DISK)
-            _last_outer_caches.append(inner)
-        matched = inner.select("__lid").distinct()
-        if how in ("left_semi", "left_anti"):
-            # semi/anti need only the (narrow) matched-id set; persisting
-            # it lets the expensive inner subtree run exactly once
-            matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
-            _last_outer_caches.append(matched)
+        ).select(idc, *[renames[c] for c in payload])
         if how == "left_semi":
-            return lid.join(matched, "__lid", "left_semi").drop("__lid")
+            return lid.join(pairs.select(idc).distinct(), idc, "left_semi").select(
+                *left.columns
+            )
         if how == "left_anti":
-            return lid.join(matched, "__lid", "left_anti").drop("__lid")
-        # how == "left": matched pairs with payload + unmatched left rows
-        # (incl. NULL/empty-interval rows — they overlap nothing) padded
-        # with a typed null right payload, each original row exactly once
-        payload = [c for c in right.columns if c not in keys]
-        renames = {c: (c + suffix if c in left.columns else c) for c in payload}
-        rtypes = dict(right.dtypes)
-        unmatched = lid.join(matched, "__lid", "left_anti").select(
-            "*",
-            *[
-                F.lit(None).cast(rtypes[c]).alias(renames[c])
-                for c in payload
-            ],
+            return lid.join(pairs.select(idc).distinct(), idc, "left_anti").select(
+                *left.columns
+            )
+        return lid.join(pairs, idc, "left").select(
+            *left.columns, *[renames[c] for c in payload]
         )
-        return inner.unionByName(unmatched).drop("__lid")
 
     def prep(df: DataFrame, s: str, e: str, key_prefix: str) -> DataFrame:
         lo, hi = _numeric(df, s), _numeric(df, e)

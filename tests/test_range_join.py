@@ -345,28 +345,108 @@ def test_interval_join_outer_variants(spark, width):
     assert set(pair_rows) == inner
 
 
-def test_interval_outer_executes_inner_once(spark):
-    """Efficiency + id-stability pin: the outer variants persist the
-    minted-id frame and the matched-id set, so the physical plan reads the
-    expensive binned-join subtree from cache (InMemoryTableScan) instead
-    of re-evaluating it — which is also what makes the mono-id stable
-    across the plan's two references to it."""
+def test_interval_outer_pair_subtree_once(spark):
+    """Efficiency pin: the outer variants reference the expensive binned
+    pair subtree exactly ONCE (the 'left' variant is a plain left join of
+    the original rows against the pair stream), so nothing pair-sized is
+    ever cached. The `greatest(...)` one-bin-dedup residual is the pair
+    subtree's fingerprint — it must appear exactly once in the plan."""
     left, right, _ = _overlap_frames(spark, nl=40, nr=30)
+    kw = dict(
+        on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bin_width=5.0, row_id="lid",
+    )
+    for how in ("left_semi", "left_anti", "left"):
+        plan = (
+            interval_join(left, right, how=how, **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("greatest") == 1, (how, plan)
+        # row_id path: zero caches, zero checkpoints
+        assert "InMemoryTableScan" not in plan, how
+
+
+def test_interval_outer_row_id_no_caches(spark):
+    """Scoping pin (r5 item 3): with a caller-supplied row_id the outer
+    variants create NO persistent RDDs — a second call cannot be holding
+    the first call's storage because there is none."""
+    jsc_sc = spark.sparkContext._jsc.sc()
+    before = jsc_sc.getPersistentRDDs().size()
+    left, right, matched = _overlap_frames(spark, nl=40, nr=30)
+    kw = dict(
+        on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bin_width=5.0, row_id="lid",
+    )
+    out = interval_join(left, right, how="left", **kw)
+    got = {r.lid for r in out.collect() if r.rid is not None}
+    assert got == matched
+    # may legitimately DECREASE (ContextCleaner GC of earlier tests'
+    # localCheckpoint RDDs); the pin is that THIS call added nothing
+    assert jsc_sc.getPersistentRDDs().size() <= before
+
+
+def test_interval_outer_row_id_fault_deterministic(spark):
+    """Fault-determinism pin (r5 item 1): with row_id the matched /
+    unmatched decision is pinned to caller data, so evicting EVERY cache
+    between plan construction and each execution — the local stand-in for
+    losing an executor's blocks and recomputing from lineage — cannot
+    flip a row between matched and unmatched."""
+    left, right, matched = _overlap_frames(spark)
+    all_lids = {r.lid for r in left.collect()}
+    kw = dict(
+        on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bin_width=2.0, row_id="lid",
+    )
+    out = interval_join(left, right, how="left", **kw)
+    runs = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        rows = out.collect()
+        null_ids = sorted(r.lid for r in rows if r.rid is None)
+        pair_ids = sorted((r.lid, r.rid) for r in rows if r.rid is not None)
+        runs.append((null_ids, pair_ids))
+    assert runs[0] == runs[1]
+    assert set(runs[0][0]) == all_lids - matched
+    anti = interval_join(left, right, how="left_anti", **kw)
+    spark.catalog.clearCache()
+    assert {r.lid for r in anti.collect()} == all_lids - matched
+
+
+def test_interval_outer_minted_id_reliable_checkpoint(spark, tmp_path):
+    """Without row_id and WITH a checkpoint dir configured, the minted-id
+    frame is reliably checkpointed (survives executor loss: re-read, not
+    re-minted) — the plan reads an ExistingRDD and checkpoint files are
+    on disk. Without a dir, eager localCheckpoint cuts lineage so a
+    re-mint is impossible (loss fails loudly instead of corrupting)."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    left, right, matched = _overlap_frames(spark, nl=40, nr=30)
+    all_lids = {r.lid for r in left.collect()}
     kw = dict(
         on=["k"], left_start="ls", left_end="le",
         right_start="rs", right_end="re", bin_width=5.0,
     )
-    semi_plan = (
+    # no-dir path: localCheckpoint → lineage cut (scan of an existing RDD)
+    local_plan = (
         interval_join(left, right, how="left_semi", **kw)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "InMemoryTableScan" in semi_plan
-    left_plan = (
-        interval_join(left, right, how="left", **kw)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "InMemoryTableScan" in left_plan
+    assert "ExistingRDD" in local_plan
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        semi = interval_join(left, right, how="left_semi", **kw)
+        assert {r.lid for r in semi.collect()} == matched
+        anti = interval_join(left, right, how="left_anti", **kw)
+        assert {r.lid for r in anti.collect()} == all_lids - matched
+        ckpt_files = [
+            p for p in (tmp_path / "ckpt").rglob("*") if p.is_file()
+        ]
+        assert ckpt_files, "reliable checkpoint wrote no files"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
