@@ -16,33 +16,41 @@ re-expressed Spark-first:
    is bit-exact in any engine — a DuckDB oracle can replay the full
    pipeline verbatim, which driver-gates the operator end-to-end. Multi
    table OR-amplification (``n_tables``) recovers the pairs a single
-   random cut splits; ``n_planes`` scales with log2(corpus) to hold
-   per-bucket occupancy (and so candidate volume) linear. Pass
-   ``block_col`` (e.g. an IVF cell from ``ivf_assign``) to bring your
-   own clustering.
+   random cut splits; ``n_planes`` defaults to auto-scaling with
+   log2(corpus/target_occupancy) so per-bucket occupancy (and so
+   candidate volume) stays corpus-LINEAR with default knobs — a naive
+   caller can no longer go quadratic silently. Pass ``block_col``
+   (e.g. an IVF cell from ``ivf_assign``) to bring your own clustering.
 2. **Pair ids, then pay for vectors.** Candidate pairs are generated and
    de-duplicated as *(id_l, id_r) longs only* — the wide vector payload
    joins back in only after the cross-table DISTINCT. This is the same
    narrow-shuffle-then-rehydrate discipline the mult-8 dedup rehearsal
    forced on ngram scoring (SCALING.md "payload width, not pair count").
-3. **Greedy keep-first within eps.** A row is dropped iff some
+3. **Min-witness drop within eps.** A row is dropped iff ANY
    *earlier* (smaller-id) same-cluster row has cosine ≥ ``threshold``;
-   ``dup_of`` records the smallest such witness. Like SemDeDup's
-   keep-one-per-eps-ball this is greedy, not transitive-closure: in a
-   chain a~b, b~c (a≁c) both b and c drop. For canonical-representative
-   semantics feed ``eps_similarity_edges`` to
-   ``dedup.cluster.connected_components`` instead.
+   ``dup_of`` records the smallest such witness. (NOT sequential
+   keep-first greedy, which compares only against *surviving* rows: in
+   a chain a~b, b~c (a≁c) keep-first would keep c, while min-witness
+   drops both b and c — one fully parallel pass, no sequential scan.)
+   For canonical-representative semantics feed ``eps_similarity_edges``
+   to ``dedup.cluster.connected_components`` instead.
 
 Scale posture: bucket sizes are controlled by ``n_planes`` (2^planes
 buckets per table); candidate volume is Σ over tables of Σ|bucket|².
 The id-pair DISTINCT is the only wide shuffle and it carries two longs
-per row. Vector rehydration is two hash joins against the (persisted)
-corpus projection. No crossJoin, no partition-less window anywhere.
+per row. Vector rehydration is two hash joins against the corpus
+projection — deliberately NOT persisted inside the operator (a lazy
+return value can never release its own cache, and a leaked
+corpus-sized cache in a long-lived session is worse than re-running a
+column-pruned scan per join branch); callers wanting a single scan
+persist the corpus themselves, the same caller-owns-the-cache contract
+as ``candidates=``. No crossJoin, no partition-less window anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,29 +65,60 @@ def _project(corpus, id_col, vec_col, block_col):
     )
 
 
+def auto_planes(n: int, target_occupancy: int = 64) -> int:
+    """Hyperplane count holding expected bucket occupancy ≈
+    ``target_occupancy``: ``ceil(log2(n / target_occupancy))``, clamped
+    to [1, 24]. Candidate volume Σ|bucket|² ≈ n × target_occupancy —
+    corpus-LINEAR — instead of n²/2^planes for any fixed plane count."""
+    return max(1, min(24, math.ceil(math.log2(max(n / target_occupancy, 2.0)))))
+
+
 def semdedup_candidates(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 4,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     seed: int = 101,
     quantize: float = 1000.0,
     dim: int | None = None,
     block_col: str | None = None,
+    target_occupancy: int = 64,
 ) -> DataFrame:
     """DISTINCT candidate id pairs ``(id_l, id_r)`` with ``id_r < id_l``
     — rows sharing a sign-bit bucket in ANY of ``n_tables`` seeded
     integer-LSH tables (or sharing ``block_col`` when given). Two longs
-    per row; no vector payload ever enters this shuffle."""
+    per row; no vector payload ever enters this shuffle.
+
+    ``n_planes=None`` (the default) derives
+    ``ceil(log2(n / target_occupancy))`` from a cheap count, so expected
+    bucket occupancy — and with it candidate volume, Σ|bucket|² — stays
+    corpus-linear no matter the corpus size. Pass an explicit
+    ``n_planes`` for oracle-replayable determinism independent of n
+    (the driver entry does), or to trade recall vs volume by hand.
+    """
     c = _project(corpus, id_col, vec_col, block_col)
+    # typed empty result: derived from the projected __id column so the
+    # empty path's schema matches the non-empty path's for ANY id type
+    empty = c.limit(0).select(
+        F.col("__id").alias("id_l"), F.col("__id").alias("id_r")
+    )
     if block_col is None:
+        if n_planes is None:
+            # one cheap narrow pass gets n (for the plane count) and the
+            # dimensionality probe together
+            probe = c.agg(
+                F.count(F.lit(1)).alias("n"), F.first(F.size("__vec")).alias("d")
+            ).collect()[0]
+            if probe["n"] == 0:
+                return empty
+            n_planes = auto_planes(probe["n"], target_occupancy)
+            if dim is None:
+                dim = probe["d"]
         if dim is None:
             row = c.select(F.size("__vec").alias("d")).limit(1).collect()
             if not row:
-                return corpus.sparkSession.createDataFrame(
-                    [], "id_l long, id_r long"
-                )
+                return empty
             dim = row[0]["d"]
         planes = [
             seeded_int_planes(dim, n_planes, seed + t) for t in range(n_tables)
@@ -112,12 +151,13 @@ def eps_similarity_edges(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_tables: int = 4,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     seed: int = 101,
     quantize: float = 1000.0,
     dim: int | None = None,
     block_col: str | None = None,
     candidates: DataFrame | None = None,
+    target_occupancy: int = 64,
 ) -> DataFrame:
     """Candidate-generated eps-similarity edge set: one row per unordered
     pair with shared cluster and cosine ≥ threshold, as
@@ -128,6 +168,11 @@ def eps_similarity_edges(
     ``semdedup_candidates`` result, or pairs from MinHash banding) to
     skip the LSH phase — the ``candidates=`` contract the ngram scoring
     kernel established (dedup/ngram.py).
+
+    The corpus projection is rehydrated by two hash joins and is NOT
+    persisted here — the caller owns the cache lifetime (persist the
+    corpus before calling to make the two join branches read one
+    materialization instead of two column-pruned scans).
     """
     if candidates is None:
         candidates = semdedup_candidates(
@@ -140,12 +185,9 @@ def eps_similarity_edges(
             quantize=quantize,
             dim=dim,
             block_col=block_col,
+            target_occupancy=target_occupancy,
         )
-    # both rehydration joins re-read the projection; persist so the scan
-    # and the array<double> cast run once
-    vecs = _project(corpus, id_col, vec_col, None).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    vecs = _project(corpus, id_col, vec_col, None)
     cos = _pair_cosine_udf()
     return (
         candidates.join(

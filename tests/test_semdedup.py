@@ -8,8 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from person_linkage_case_study_spark.similarity.semdedup import (
+    auto_planes,
     eps_similarity_edges,
     semantic_dedup,
+    semdedup_candidates,
 )
 
 DIM = 16
@@ -60,8 +62,11 @@ def test_exact_and_near_dups_dropped(spark, planted):
         assert d[i] == (True, None), i
 
 
-def test_greedy_chain_drops_both(spark):
-    """a~b and b~c but a !~ c: greedy keep-first drops BOTH b and c."""
+def test_min_witness_chain_drops_both(spark):
+    """a~b and b~c but a !~ c: the min-witness policy (drop iff ANY
+    smaller-id neighbor ≥ threshold) drops BOTH b and c — unlike true
+    sequential keep-first greedy, which compares only against survivors
+    and would keep c. This pins the implemented (parallel) semantics."""
     a = np.zeros(DIM); a[0] = 1.0
     # rotate in the (0,1) plane: b at 18deg of a, c at 36deg
     def rot(theta):
@@ -124,8 +129,62 @@ def test_no_cross_product_in_plan(spark, planted):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_auto_planes_scaling():
+    """Zero-knob default holds occupancy ≈ target: planes grow with
+    log2(n), candidate volume Σ|bucket|² ≈ n×occupancy stays linear."""
+    assert auto_planes(64) == 1
+    assert auto_planes(1_000) == 4
+    assert auto_planes(100_000) == 11
+    assert auto_planes(1_000_000) == 14
+    assert auto_planes(10_000_000) == 18
+    assert auto_planes(10**12) == 24  # clamped ceiling
+    for n in (10_000, 100_000, 1_000_000):
+        # expected occupancy within [target/2, 2*target] (power-of-two grid)
+        occ = n / 2 ** auto_planes(n)
+        assert 32 <= occ <= 128, (n, occ)
+
+
+def test_auto_planes_default_end_to_end(spark, planted):
+    """semantic_dedup with NO clustering knobs (n_planes auto-derived)
+    still catches the planted exact duplicates (identical vectors share
+    every bucket regardless of plane count)."""
+    d = _decisions(semantic_dedup(planted, threshold=0.95, seed=11))
+    assert d[100] == (False, 2)
+    assert d[101] == (False, 5)
+    assert d[102] == (False, 11)
+
+
 def test_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = semantic_dedup(empty, threshold=0.9)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "kept", "dup_of"]
+
+
+def test_empty_candidates_schema_follows_id_type(spark):
+    """The empty fallback derives (id_l, id_r) types from the projected
+    id column — string ids give string pair columns, matching what the
+    non-empty path would produce, not a hardcoded long/long."""
+    empty_str = spark.createDataFrame(
+        [], "vec_id string, embedding array<double>"
+    )
+    out = semdedup_candidates(empty_str)
+    assert dict(out.dtypes) == {"id_l": "string", "id_r": "string"}
+    assert out.count() == 0
+    empty_int = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    assert dict(semdedup_candidates(empty_int).dtypes) == {
+        "id_l": "int", "id_r": "int"
+    }
+
+
+def test_edges_create_no_persistent_rdds(spark, planted):
+    """Cache-leak pin (r5 advice): eps_similarity_edges no longer
+    persists the corpus projection internally — repeated calls in a
+    long-lived session accumulate nothing."""
+    jsc_sc = spark.sparkContext._jsc.sc()
+    before = jsc_sc.getPersistentRDDs().size()
+    for _ in range(3):
+        eps_similarity_edges(
+            planted, threshold=0.95, n_tables=4, n_planes=3, seed=11
+        ).count()
+    assert jsc_sc.getPersistentRDDs().size() <= before

@@ -22,6 +22,9 @@ partitionings/retries, any ``mult``.
 
 Usage: python tools/bench_semdedup.py [mult] [threshold] [target_bucket]
   mult: corpus = 100k vectors × mult (+5% planted near-dups)
+  target_bucket: 0 (default) = the operator's own auto-scaled
+  ``n_planes`` (``auto_planes``, occupancy 64) — i.e. what a caller
+  gets with NO knobs; >0 = manual ceil(log2(n/target_bucket)) planes
 Prints ONE JSON line:
 {"metric": "semdedup_rehearsal_wall", "value": sec, "vectors": N,
  "candidates": C, "planted": K, "dropped_planted": D, "recall": r,
@@ -42,6 +45,7 @@ from pyspark.sql import functions as F
 
 from person_linkage_case_study_spark.session import get_spark
 from person_linkage_case_study_spark.similarity.semdedup import (
+    auto_planes,
     eps_similarity_edges,
     semdedup_candidates,
 )
@@ -94,12 +98,17 @@ def synthesize(spark: SparkSession, n_base: int) -> DataFrame:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
-    target_bucket = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    target_bucket = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     n_base = 100_000 * mult
     n_planted = n_base // 20
     n = n_base + n_planted
-    n_planes = max(4, round(math.log2(n / target_bucket)))
+    if target_bucket > 0:
+        n_planes = max(4, round(math.log2(n / target_bucket)))
+    else:
+        # the operator's zero-knob default (computed here only so the
+        # JSON line can report it; semdedup_candidates derives the same)
+        n_planes = auto_planes(n)
 
     spark = get_spark(
         "bench-semdedup",
@@ -110,9 +119,11 @@ def main() -> None:
         },
     )
 
-    corpus = synthesize(spark, n_base)
-
     from pyspark import StorageLevel
+
+    # caller-owned cache contract: eps_similarity_edges rehydrates via
+    # two joins against the corpus and does NOT persist it internally
+    corpus = synthesize(spark, n_base).persist(StorageLevel.MEMORY_AND_DISK)
 
     t0 = time.time()
     cand = semdedup_candidates(
@@ -160,6 +171,7 @@ def main() -> None:
             "scoring": round(t2 - t1, 1),
         },
         "n_planes": n_planes,
+        "auto_planes": target_bucket == 0,
         "n_tables": 4,
         "threshold": threshold,
         "mult": mult,
