@@ -2348,17 +2348,24 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Mergeable-slice CAPSTONE: the day→month→total contract end-to-end, in
 # ONE value-hashed entry rather than per-operator tests. The orders table
-# arrives as 4 "daily" slices; each slice is summarized ONCE
-# (profile_increment for stats, topk_increment for heavy hitters), the
-# profile states are folded HIERARCHICALLY (slices 0+1 and 2+3 each fold
-# with keep_state=True — the "monthly" rows — then the two monthly rows
-# fold to the total), and the topk summaries fold via merge_topk. The
-# deterministic fields of the folded state (count/nulls/min/max/mean and
-# the exact heavy-hitter counts — capacity ≥ domain so every slice is
-# exact) must equal a direct one-shot DuckDB aggregation of the full
-# table: the proof that the fold-of-summaries IS the answer, no data
-# rescan. Approximate fields (HLL NDV, quantile grids) are bound-tested
-# in tests/test_profile.py where exactness is the wrong contract.
+# arrives as 4 "daily" slice FILES streamed one-per-micro-batch through
+# the ACTUAL streaming profiler (streaming/incremental_profile.py
+# run_incremental_profile — foreachBatch summarizing each batch ONCE into
+# a parquet state store partitioned by ingest_batch, the same
+# replay-idempotent dynamic-overwrite contract as incremental_linkage).
+# The persisted state rows are then folded HIERARCHICALLY without ever
+# rescanning the streamed data (batches {0,1} and {2,3} each fold with
+# keep_state=True — the "monthly" rows, partition-pruned reads — then the
+# two monthly rows fold to the total); heavy hitters are summarized
+# per-slice (topk_increment) and fold via merge_topk. The deterministic
+# fields of the folded state (count/nulls/min/max/mean and the exact
+# heavy-hitter counts — capacity ≥ domain so every slice is exact) must
+# equal a direct one-shot DuckDB aggregation of the full table: the
+# proof that the micro-batch → state-store → fold-of-summaries path IS
+# the answer, no data rescan. Approximate fields (HLL NDV, quantile
+# grids) are bound-tested in tests/test_profile.py and
+# tests/test_incremental_profile.py where exactness is the wrong
+# contract.
 @query(
     "mergeable_rollup_capstone",
     oracle="""
@@ -2388,19 +2395,49 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mergeable_rollup_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.profile import merge_increments, profile_increment
+    import tempfile
+
+    from .operators.profile import merge_increments
     from .operators.topk import merge_topk, topk_increment
+    from .streaming.incremental_profile import run_incremental_profile
 
     orders = _t(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_totalprice", "o_orderpriority"]
     slices = [
         orders.filter(F.pmod("o_orderkey", F.lit(4)) == s) for s in range(4)
     ]
-    profs = [profile_increment(s, cols) for s in slices]
-    # hierarchical fold: (day0+day1) and (day2+day3) → two "monthly"
-    # mergeable rows each, then the final fold over the monthly states
-    month_a = merge_increments(profs[0].unionByName(profs[1]), keep_state=True)
-    month_b = merge_increments(profs[2].unionByName(profs[3]), keep_state=True)
+    # the 4 "daily" slices arrive as a STREAM, one file per micro-batch;
+    # run_incremental_profile summarizes each batch into the state store
+    tmp = tempfile.mkdtemp(prefix="mrc_")
+    for s in range(4):
+        slices[s].select(*cols).coalesce(1).write.parquet(
+            f"{tmp}/src/day_{s:03d}.parquet"
+        )
+    stream = (
+        spark.readStream.schema(
+            "o_custkey bigint, o_totalprice double, o_orderpriority string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/*")
+    )
+    run_incremental_profile(
+        spark, stream, cols, state_path=f"{tmp}/state",
+        checkpoint_dir=f"{tmp}/ckpt",
+    ).awaitTermination()
+    # hierarchical fold over the PERSISTED state — batches {0,1} and
+    # {2,3} (partition-pruned) → two "monthly" mergeable rows each, then
+    # the final fold over the monthly states. The streamed data is never
+    # rescanned; merging is commutative so batch→day assignment order
+    # doesn't matter. Explicit read schema: state rows are tiny but typed.
+    state = spark.read.parquet(f"{tmp}/state")
+    month_a = merge_increments(
+        state.filter(F.col("ingest_batch") <= 1).drop("ingest_batch"),
+        keep_state=True,
+    )
+    month_b = merge_increments(
+        state.filter(F.col("ingest_batch") >= 2).drop("ingest_batch"),
+        keep_state=True,
+    )
     total = merge_increments(month_a.unionByName(month_b))
     profile_rows = total.select(
         F.lit("profile").alias("kind"),
