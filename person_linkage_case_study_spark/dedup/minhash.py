@@ -34,6 +34,45 @@ def _permutation_constants(k: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _A_MAX), rng.randrange(0, _A_MAX)) for _ in range(k)]
 
 
+def banding_recall(threshold: float, bands: int, rows: int) -> float:
+    """Probability a pair with TRUE Jaccard ``threshold`` collides in at
+    least one of ``bands`` bands of ``rows`` signature positions each —
+    the classic LSH S-curve ``1 - (1 - t^r)^b`` (Mining of Massive
+    Datasets §3.4). Pairs above the threshold are caught with strictly
+    higher probability, so this is the recall FLOOR over everything a
+    ≥-threshold scorer keeps."""
+    return 1.0 - (1.0 - threshold**rows) ** bands
+
+
+def pick_bands(
+    threshold: float,
+    num_hashes: int = 64,
+    min_recall: float = 0.99,
+) -> int:
+    """Band count for a target Jaccard ``threshold``: the SMALLEST
+    divisor ``b`` of ``num_hashes`` with ``banding_recall(threshold, b,
+    num_hashes//b) ≥ min_recall``.
+
+    Why smallest: candidate volume grows monotonically with ``b`` (more
+    band rows enter the bucket join AND each band gets shorter, so
+    buckets collide more) — r5's DEDUP_BENCH measured banding as THE
+    floor control (r=8 collapsed mult-8 candidates 86.1M → 42,803,
+    506.5s → 103.9s). So the scale-right choice is the most selective
+    banding that still meets the recall contract at the boundary, not a
+    hand-picked constant: callers state the threshold they score at and
+    the recall they need, and the S-curve inversion does the rest.
+    Falls back to ``b = num_hashes`` (r=1 — the maximum-recall banding)
+    when no divisor meets ``min_recall``; raise ``num_hashes`` if that
+    happens at a high threshold."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    for b in divisors:
+        if banding_recall(threshold, b, num_hashes // b) >= min_recall:
+            return b
+    return num_hashes
+
+
 def shingles(text_col, n: int = 3):
     """Word n-gram shingles as array<string> (documents shorter than n
     words yield their full token string as a single shingle).

@@ -1024,12 +1024,21 @@ _CC_ORACLE = f"""
 @query("dedup_cluster_canonical", oracle=_CC_ORACLE)
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.cluster import canonical_documents
-    from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
+    from .dedup.minhash import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        pick_bands,
+    )
     from .dedup.ngram import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = minhash_signatures(d, shingle_n=1)
-    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    # exactness-gated like dedup_near_exact_pipeline: see the recall
+    # discussion there (1-1e-9 floor → b=32/r=2)
+    cands = minhash_candidate_pairs(
+        sigs, bands=pick_bands(0.8, num_hashes=64, min_recall=1 - 1e-9),
+        est_jaccard_threshold=None,
+    )
     pairs = ngram_jaccard_pairs(d, candidates=cands, threshold=0.8)
     return canonical_documents(pairs.select("doc_id_l", "doc_id_r"))
 
@@ -1246,14 +1255,30 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_near_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
+    from .dedup.minhash import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        pick_bands,
+    )
     from .dedup.ngram import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # unigram shingles: the minhash estimates the same token-set Jaccard
-    # the exact kernel computes, so band math gives a recall guarantee
+    # the exact kernel computes, so band math gives a recall guarantee.
+    # The band count comes from the S-curve solver: callers pick the
+    # scoring threshold and the recall they need, pick_bands inverts
+    # 1-(1-t^r)^b for the most selective banding meeting it. THIS entry
+    # is value-hashed against the full quadratic oracle, so its recall
+    # contract is exactness: min_recall 1-1e-9 → b=32/r=2 (recall floor
+    # 1-6e-15 at the 0.8 boundary). A statistical curation pipeline
+    # passes min_recall=0.999 instead and gets b=16/r=4 at half the
+    # banding rows — measured on THIS corpus as 30,327/30,328 pairs
+    # (one boundary pair missed, i.e. the floor is real, not slack).
     sigs = minhash_signatures(d, shingle_n=1)
-    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    cands = minhash_candidate_pairs(
+        sigs, bands=pick_bands(0.8, num_hashes=64, min_recall=1 - 1e-9),
+        est_jaccard_threshold=None,
+    )
     return ngram_jaccard_pairs(d, candidates=cands, threshold=0.8)
 
 

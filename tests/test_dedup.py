@@ -287,3 +287,70 @@ def test_candidates_scoring_plan_is_shuffled_hash_for_large_vocab(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pick_bands_s_curve_solver():
+    """pick_bands inverts the LSH S-curve: smallest divisor band count
+    whose catch probability AT the threshold meets the recall floor —
+    the measured-in-DEDUP_BENCH rule that fewer/longer bands are the
+    candidate-volume control, made a contract instead of a hand pick."""
+    from person_linkage_case_study_spark.dedup.minhash import (
+        banding_recall,
+        pick_bands,
+    )
+
+    # closed-form spot checks of the curve itself
+    assert banding_recall(0.8, 1, 1) == pytest.approx(0.8)
+    assert banding_recall(0.8, 16, 4) == pytest.approx(1 - (1 - 0.8**4) ** 16)
+
+    # the pipeline default: threshold 0.8, 64 hashes, 0.999 floor -> 16
+    # bands of 4 rows (recall 0.99978); the next-coarser banding (8x8)
+    # only reaches 0.77 so it must NOT be picked
+    assert pick_bands(0.8, 64, min_recall=0.999) == 16
+    assert banding_recall(0.8, 16, 4) >= 0.999
+    assert banding_recall(0.8, 8, 8) < 0.999
+
+    # higher thresholds need fewer/longer bands (more selective buckets):
+    # monotone non-increasing band counts as the threshold rises
+    picks = [pick_bands(t, 64, min_recall=0.99) for t in (0.5, 0.7, 0.8, 0.9)]
+    assert picks == sorted(picks, reverse=True)
+    # at 0.9 the 8x8 banding is enough (0.9^8=0.43 -> 1-0.57^8 = 0.989...)
+    assert pick_bands(0.9, 64, min_recall=0.98) == 8
+
+    # returned value always divides the hash budget; impossible floors
+    # fall back to r=1 (max-recall banding)
+    for t in (0.3, 0.6, 0.85):
+        assert 64 % pick_bands(t, 64) == 0
+    # 1-(1-0.01)^64 = 0.474 — no banding of 64 hashes can catch
+    # jaccard-0.01 pairs with 0.999999 probability
+    assert pick_bands(0.01, 64, min_recall=0.999999) == 64
+
+    with pytest.raises(ValueError):
+        pick_bands(1.5)
+
+
+def test_pick_bands_recall_holds_empirically(spark):
+    """End-to-end floor check: planted pairs ABOVE the threshold are all
+    caught by the solver-picked banding (deterministic seed)."""
+    from person_linkage_case_study_spark.dedup.minhash import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        pick_bands,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(30):
+        toks = [f"{w}_{d}" for w in base]
+        rows.append((2 * d, " ".join(toks)))
+        # near-dup: 36/44 overlap -> jaccard ~0.82 > 0.8
+        rows.append((2 * d + 1, " ".join(toks[:36] + [f"x{j}_{d}" for j in range(4)])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, shingle_n=1)
+    cands = minhash_candidate_pairs(
+        sigs, bands=pick_bands(0.8, 64, min_recall=0.999),
+        est_jaccard_threshold=None,
+    )
+    got = {tuple(r) for r in cands.collect()}
+    for d in range(30):
+        assert (2 * d, 2 * d + 1) in got, d
