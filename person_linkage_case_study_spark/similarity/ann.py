@@ -73,6 +73,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int):
     return rng.standard_normal((n_planes, dim))
 
 
+def auto_planes(n: int, target_occupancy: int = 64) -> int:
+    """Hyperplane count holding expected bucket occupancy ≈
+    ``target_occupancy``: ``ceil(log2(n / target_occupancy))``, clamped
+    to [1, 24]. For a fixed plane count, per-bucket occupancy — and with
+    it candidate volume — grows linearly with the corpus (quadratically
+    for self-join dedup); deriving planes from a cheap count keeps it
+    constant per query / linear overall at ANY corpus size."""
+    import math
+
+    return max(1, min(24, math.ceil(math.log2(max(n / target_occupancy, 2.0)))))
+
+
 def seeded_int_planes(dim: int, n_planes: int, seed: int, scale: int = 1000):
     """Integer-valued random hyperplanes in [-scale, scale] from a seeded
     RNG. With vectors quantized to integers (``_quantize_int``), bucket
@@ -130,7 +142,7 @@ def lsh_bucket_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 7,
     dim: int | None = None,
@@ -141,12 +153,21 @@ def lsh_bucket_topk(
     candidate set. Recall grows with n_tables; candidate count shrinks
     with n_planes (expected corpus/2^n_planes per bucket).
 
+    ``n_planes=None`` (default) derives the plane count from a cheap
+    corpus count so expected bucket occupancy stays ≈ ``max(64, 8k)``
+    no matter the corpus size — per-query candidate work is then
+    CONSTANT instead of growing linearly with the corpus, the same
+    zero-knob contract as ``semdedup_candidates``. Pass an explicit
+    value for n-independent determinism (the catalog oracle does).
+
     ``quantize``: when set (e.g. 10000), hyperplanes are integer-valued
     (``seeded_int_planes``) and vectors are snapped to the integer grid
     ``floor(x*quantize + 0.5)`` before the sign test — bucket assignment
     becomes exact integer arithmetic, reproducible bit-for-bit across
     engines (the catalog oracle replays it in SQL). Final ranking still
     uses the full-precision cosine."""
+    if n_planes is None:
+        n_planes = auto_planes(corpus.count(), max(64, 8 * k))
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     if quantize is not None:

@@ -49,12 +49,15 @@ as ``candidates=``. No crossJoin, no partition-less window anywhere.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ann import _buckets_udf, _pair_cosine_udf, seeded_int_planes
+from .ann import (  # noqa: F401  (auto_planes re-exported)
+    _buckets_udf,
+    _pair_cosine_udf,
+    auto_planes,
+    seeded_int_planes,
+)
 
 
 def _project(corpus, id_col, vec_col, block_col):
@@ -65,12 +68,8 @@ def _project(corpus, id_col, vec_col, block_col):
     )
 
 
-def auto_planes(n: int, target_occupancy: int = 64) -> int:
-    """Hyperplane count holding expected bucket occupancy ≈
-    ``target_occupancy``: ``ceil(log2(n / target_occupancy))``, clamped
-    to [1, 24]. Candidate volume Σ|bucket|² ≈ n × target_occupancy —
-    corpus-LINEAR — instead of n²/2^planes for any fixed plane count."""
-    return max(1, min(24, math.ceil(math.log2(max(n / target_occupancy, 2.0)))))
+# auto_planes lives in ann.py (shared by lsh_bucket_topk); re-exported
+# here because the self-join candidate contract documents it
 
 
 def semdedup_candidates(

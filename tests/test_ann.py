@@ -155,3 +155,25 @@ def test_catalog_ann_soundness_and_recall_floor(spark):
         assert tr, tier
         recall = sum(r["in_exact_topk"] for r in tr) / (n_queries * 5)
         assert recall >= floor, (tier, recall)
+
+
+def test_lsh_auto_planes_default(vectors):
+    """Zero-knob lsh_bucket_topk: n_planes derived from the corpus count
+    (occupancy target max(64, 8k)) — near-identical planted neighbors are
+    still found, and the helper is the shared ann.auto_planes."""
+    from person_linkage_case_study_spark.similarity.ann import (
+        auto_planes,
+        lsh_bucket_topk,
+    )
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    top = lsh_bucket_topk(vectors, q, k=1, n_tables=6, dim=16).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in top}
+    hits = sum(1 for i in range(5) if got.get(i) == 100 + i)
+    assert hits >= 4
+    # the semdedup re-export is the same function (one occupancy rule)
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        auto_planes as semdedup_auto_planes,
+    )
+
+    assert semdedup_auto_planes is auto_planes
