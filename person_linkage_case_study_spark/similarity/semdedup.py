@@ -72,6 +72,59 @@ def _project(corpus, id_col, vec_col, block_col):
 # here because the self-join candidate contract documents it
 
 
+def _keyed_buckets(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_planes: int | None,
+    seed: int,
+    quantize: float,
+    dim: int | None,
+    block_col: str | None,
+    target_occupancy: int,
+):
+    """Shared bucket-keying for the candidate generator and the bucketed
+    scorer: ``(keyed, join_keys)`` where ``keyed`` carries ``__id``,
+    ``__vec`` and the bucket key columns. On an EMPTY corpus returns the
+    typed empty ``(id_l, id_r)`` frame with ``join_keys=None`` (the
+    empty schema is derived from the projected id column so it matches
+    the non-empty path for ANY id type)."""
+    c = _project(corpus, id_col, vec_col, block_col)
+    empty = c.limit(0).select(
+        F.col("__id").alias("id_l"), F.col("__id").alias("id_r")
+    )
+    if block_col is not None:
+        keyed = c.select("__id", "__vec", F.col("__blk").alias("__bucket"))
+        return keyed, ["__bucket"]
+    if n_planes is None:
+        # one cheap narrow pass gets n (for the plane count) and the
+        # dimensionality probe together
+        probe = c.agg(
+            F.count(F.lit(1)).alias("n"), F.first(F.size("__vec")).alias("d")
+        ).collect()[0]
+        if probe["n"] == 0:
+            return empty, None
+        n_planes = auto_planes(probe["n"], target_occupancy)
+        if dim is None:
+            dim = probe["d"]
+    if dim is None:
+        row = c.select(F.size("__vec").alias("d")).limit(1).collect()
+        if not row:
+            return empty, None
+        dim = row[0]["d"]
+    planes = [
+        seeded_int_planes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
+    buckets = _buckets_udf(planes, quantize=quantize)
+    keyed = c.select(
+        "__id",
+        "__vec",
+        F.posexplode(buckets(F.col("__vec"))).alias("__tbl", "__bucket"),
+    )
+    return keyed, ["__tbl", "__bucket"]
+
+
 def semdedup_candidates(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -96,41 +149,14 @@ def semdedup_candidates(
     ``n_planes`` for oracle-replayable determinism independent of n
     (the driver entry does), or to trade recall vs volume by hand.
     """
-    c = _project(corpus, id_col, vec_col, block_col)
-    # typed empty result: derived from the projected __id column so the
-    # empty path's schema matches the non-empty path's for ANY id type
-    empty = c.limit(0).select(
-        F.col("__id").alias("id_l"), F.col("__id").alias("id_r")
+    keyed, join_keys = _keyed_buckets(
+        corpus, id_col, vec_col, n_tables, n_planes, seed, quantize, dim,
+        block_col, target_occupancy,
     )
-    if block_col is None:
-        if n_planes is None:
-            # one cheap narrow pass gets n (for the plane count) and the
-            # dimensionality probe together
-            probe = c.agg(
-                F.count(F.lit(1)).alias("n"), F.first(F.size("__vec")).alias("d")
-            ).collect()[0]
-            if probe["n"] == 0:
-                return empty
-            n_planes = auto_planes(probe["n"], target_occupancy)
-            if dim is None:
-                dim = probe["d"]
-        if dim is None:
-            row = c.select(F.size("__vec").alias("d")).limit(1).collect()
-            if not row:
-                return empty
-            dim = row[0]["d"]
-        planes = [
-            seeded_int_planes(dim, n_planes, seed + t) for t in range(n_tables)
-        ]
-        buckets = _buckets_udf(planes, quantize=quantize)
-        keyed = c.select(
-            "__id", F.posexplode(buckets(F.col("__vec"))).alias("__tbl", "__bucket")
-        )
-        join_keys = ["__tbl", "__bucket"]
-    else:
-        keyed = c.select("__id", F.col("__blk").alias("__bucket"))
-        join_keys = ["__bucket"]
+    if join_keys is None:  # empty corpus: typed empty pair frame
+        return keyed
 
+    keyed = keyed.drop("__vec")
     l = keyed.select(F.col("__id").alias("id_l"), *join_keys)
     r = keyed.select(F.col("__id").alias("id_r"), *join_keys)
     # id-only candidate pairs: the multi-table OR means the same pair can
@@ -203,11 +229,114 @@ def eps_similarity_edges(
     )
 
 
+def eps_similarity_edges_bucketed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    n_planes: int | None = None,
+    seed: int = 101,
+    quantize: float = 1000.0,
+    dim: int | None = None,
+    block_col: str | None = None,
+    target_occupancy: int = 64,
+    pair_chunk: int = 1 << 20,
+) -> DataFrame:
+    """Same edge set as :func:`eps_similarity_edges`, different shuffle
+    economics: pairs are scored INSIDE each LSH bucket by one
+    ``applyInPandas`` group instead of rehydrating vectors onto an
+    id-pair stream with two hash joins.
+
+    When to use which (both are correct; the auto-planes default bounds
+    either):
+
+    - **join scorer** (``eps_similarity_edges``): each vector is
+      SHIPPED once per candidate pair it appears in (≈ occupancy
+      copies of every vector cross the wire), but pair scoring is
+      spread evenly across the cluster — a hot bucket costs no one
+      task more than any other. The default.
+    - **bucket scorer** (this): each vector is shipped once per BUCKET
+      membership (exactly ``n_tables`` copies — at the default
+      occupancy 64 that is ~16× less vector traffic), and no candidate
+      id-pair shuffle exists at all; the trade is that a bucket's
+      O(|bucket|²) scoring runs inside ONE task, so a pathologically
+      hot bucket becomes a straggler (the join scorer's AQE-split
+      shuffle does not). Pick this when vectors are wide (embedding
+      dim × 8 bytes dominates the wire) and bucket occupancy is
+      controlled — which the auto-planes default holds at ~
+      ``target_occupancy``.
+
+    Scoring math is the SAME einsum kernel as ``_pair_cosine_udf`` on
+    the same float64 inputs, with Spark's HALF_UP 6-dp rounding
+    emulated (``sign·floor(|x|·1e6 + 0.5)/1e6``), so both scorers emit
+    identical edges away from 1-ulp rounding boundaries (the accepted
+    class the oracle discussion in queries.py documents).
+    ``pair_chunk`` bounds the in-task pair expansion (memory ≈
+    ``pair_chunk × dim × 16`` bytes) for buckets past the expected
+    occupancy."""
+    import numpy as np
+    import pandas as pd
+
+    keyed, join_keys = _keyed_buckets(
+        corpus, id_col, vec_col, n_tables, n_planes, seed, quantize, dim,
+        block_col, target_occupancy,
+    )
+    if join_keys is None:
+        return keyed.withColumn("cosine", F.lit(None).cast("double"))
+
+    id_type = dict(keyed.dtypes)["__id"]
+    out_schema = f"id_l {id_type}, id_r {id_type}, cosine double"
+    thr = float(threshold)
+    chunk = int(pair_chunk)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_l": [], "id_r": [], "cosine": []})
+        # order by id so emitted pairs are (larger, smaller) = (id_l, id_r)
+        pdf = pdf.sort_values("__id", kind="stable")
+        ids = pdf["__id"].to_numpy()
+        V = np.stack(pdf["__vec"].to_numpy()).astype("float64", copy=False)
+        ii, jj = np.triu_indices(m, k=1)
+        outs = []
+        for s in range(0, len(ii), chunk):
+            i, j = ii[s : s + chunk], jj[s : s + chunk]
+            L, R = V[i], V[j]
+            num = np.einsum("ij,ij->i", L, R)
+            dn = np.sqrt(np.einsum("ij,ij->i", L, L)) * np.sqrt(
+                np.einsum("ij,ij->i", R, R)
+            )
+            c = np.where(dn == 0, 0.0, num / np.where(dn == 0, 1.0, dn))
+            # Spark F.round(x, 6) is BigDecimal HALF_UP
+            c = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+            keep = c >= thr
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_l": ids[j[keep]],
+                            "id_r": ids[i[keep]],
+                            "cosine": c[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"id_l": [], "id_r": [], "cosine": []})
+        return pd.concat(outs, ignore_index=True)
+
+    edges = keyed.groupBy(*join_keys).applyInPandas(score_bucket, out_schema)
+    # multi-table OR: the same pair may be scored in several tables with
+    # the identical cosine (same kernel, same inputs) — dedup on the ids
+    return edges.dropDuplicates(["id_l", "id_r"])
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    scorer: str = "join",
     **kwargs,
 ) -> DataFrame:
     """One row per corpus row: ``(id_col, kept, dup_of)``.
@@ -215,9 +344,16 @@ def semantic_dedup(
     ``kept`` is False iff an earlier (smaller-``id_col``) row in a shared
     cluster has cosine ≥ ``threshold``; ``dup_of`` is the smallest such
     witness id (NULL when kept). Survivor set = ``filter(kept)``.
-    Clustering knobs pass through to ``eps_similarity_edges``.
+    Clustering knobs pass through to the edge generator; ``scorer``
+    picks it — ``"join"`` (:func:`eps_similarity_edges`, default) or
+    ``"bucket"`` (:func:`eps_similarity_edges_bucketed`; see its
+    docstring for the shuffle-economics trade).
     """
-    edges = eps_similarity_edges(
+    edge_fn = {
+        "join": eps_similarity_edges,
+        "bucket": eps_similarity_edges_bucketed,
+    }[scorer]
+    edges = edge_fn(
         corpus, id_col=id_col, vec_col=vec_col, threshold=threshold, **kwargs
     )
     dup = edges.groupBy("id_l").agg(F.min("id_r").alias("dup_of"))

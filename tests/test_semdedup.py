@@ -188,3 +188,50 @@ def test_edges_create_no_persistent_rdds(spark, planted):
             planted, threshold=0.95, n_tables=4, n_planes=3, seed=11
         ).count()
     assert jsc_sc.getPersistentRDDs().size() <= before
+
+
+def test_bucket_scorer_matches_join_scorer(spark, planted):
+    """Both scorers emit the same edge set on the same clustering knobs
+    (same einsum kernel, same inputs; only the shuffle shape differs)."""
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        eps_similarity_edges_bucketed,
+    )
+
+    kw = dict(threshold=0.95, n_tables=4, n_planes=3, seed=11)
+    join_edges = {
+        (r["id_l"], r["id_r"], r["cosine"])
+        for r in eps_similarity_edges(planted, **kw).collect()
+    }
+    bucket_edges = {
+        (r["id_l"], r["id_r"], r["cosine"])
+        for r in eps_similarity_edges_bucketed(planted, **kw).collect()
+    }
+    assert join_edges == bucket_edges
+    assert join_edges  # non-vacuous: the planted dups produce edges
+
+
+def test_bucket_scorer_end_to_end_decisions(spark, planted):
+    """semantic_dedup(scorer='bucket') reproduces the join scorer's
+    keep/drop decisions on the planted corpus."""
+    a = _decisions(semantic_dedup(planted, threshold=0.95, seed=11))
+    b = _decisions(
+        semantic_dedup(planted, threshold=0.95, seed=11, scorer="bucket")
+    )
+    assert a == b
+
+
+def test_bucket_scorer_empty_and_chunked(spark, planted):
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        eps_similarity_edges_bucketed,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = eps_similarity_edges_bucketed(empty, threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_l", "id_r", "cosine"]
+
+    # a tiny pair_chunk forces the in-task chunking path; result unchanged
+    kw = dict(threshold=0.95, n_tables=4, n_planes=3, seed=11)
+    full = eps_similarity_edges_bucketed(planted, **kw).count()
+    chunked = eps_similarity_edges_bucketed(planted, pair_chunk=7, **kw).count()
+    assert full == chunked > 0
