@@ -50,10 +50,16 @@ DEFAULT_MAX_BITMAP_VOCAB = 64 * 64
 # between sf0.01's 33k pairs and sf0.1's 3.3M)
 DEFAULT_MIN_BITMAP_PAIRS = 250_000
 
-# previous candidates-path caches (token sets + payload), released on the
-# next call (the returned DataFrame is lazy, so a call can never release
-# its own)
+# Previous candidates-path PAYLOAD cache (one narrow id+ids/bitmap frame),
+# released on the next call — the returned DataFrame is lazy, so a call
+# can never release its own. The corpus-sized token-set cache never
+# reaches this handoff: it is unpersisted INSIDE the call, right after
+# the payload cache is eagerly populated (the r6 tightening of the r3
+# one-call-lag contract; range_join dropped its module caches entirely
+# the same round). Lock: calls from concurrent jobs must not unpersist
+# each other's in-flight caches.
 _last_candidates_caches: list = []
+_caches_lock = __import__("threading").Lock()
 
 
 def _token_sets(df: DataFrame, block_col: str, text_col: str, id_col: str) -> DataFrame:
@@ -162,26 +168,27 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         from pyspark import StorageLevel
 
-        # release the PREVIOUS call's caches (the returned DataFrame is
-        # lazy, so a call can never release its own — the handoff bounds
-        # the leak to one call's caches per session; r3 review)
+        # release the PREVIOUS call's payload cache (the returned
+        # DataFrame is lazy, so a call can never release its own — the
+        # handoff bounds the leak to ONE narrow frame per session)
         global _last_candidates_caches
-        for old in _last_candidates_caches:
+        with _caches_lock:
+            olds, _last_candidates_caches = _last_candidates_caches, []
+        for old in olds:
             try:
                 old.unpersist()
             except Exception:
                 pass  # session of the old cache may already be gone
-        _last_candidates_caches = []
 
         # token sets are cached FIRST: the vocab count, the dictionary
         # build, and the bitmap encode each consume them — uncached, the
         # corpus would be re-tokenized (regex split over full text, the
         # expensive part at scale) three times
-        t = df.select(
+        raw = df.select(
             F.col(id_col).alias("id"),
             F.array_distinct(tokens(F.col(text_col))).alias("toks"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _last_candidates_caches.append(t)
+        t = raw
         # bitmap decision on vocab alone: counting the candidates would
         # execute the (expensive) candidate pipeline a second time, while
         # the vocab count is one cheap pass over the cached token sets
@@ -204,9 +211,16 @@ def ngram_jaccard_pairs(
         # carries its own dictionary window) — without the persist the
         # encode pipeline genuinely executes twice (same trap as the
         # minhash signature self-join; measured 9.4s -> 6.0s at sf0.1 /
-        # 12.3M candidates)
+        # 12.3M candidates). Populate it EAGERLY so the corpus-sized
+        # token-set cache can be dropped before this call returns —
+        # only the narrow (id, sz, ids/bitmap) frame survives the call,
+        # and lineage recompute after eviction re-derives it from the
+        # (uncached) token projection, correctness unaffected.
         t = t.persist(StorageLevel.MEMORY_AND_DISK)
-        _last_candidates_caches.append(t)
+        t.count()
+        raw.unpersist()
+        with _caches_lock:
+            _last_candidates_caches.append(t)
         cand = candidates.select(
             F.col(f"{id_col}_l").alias("id_l"), F.col(f"{id_col}_r").alias("id_r")
         )

@@ -354,3 +354,25 @@ def test_pick_bands_recall_holds_empirically(spark):
     got = {tuple(r) for r in cands.collect()}
     for d in range(30):
         assert (2 * d, 2 * d + 1) in got, d
+
+
+def test_ngram_candidates_cache_bounded_to_one_narrow_frame(spark):
+    """The candidates path may carry AT MOST one persisted frame across
+    calls (the narrow payload handoff) — the corpus-sized token-set
+    cache must be released before the call returns, and repeated calls
+    must not accumulate (r6 tightening; r5 range_join precedent)."""
+    jsc_sc = spark.sparkContext._jsc.sc()
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} shared common words") for i in range(60)],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 58, 2)], "doc_id_l long, doc_id_r long"
+    )
+    before = jsc_sc.getPersistentRDDs().size()
+    for _ in range(3):
+        ngram_jaccard_pairs(
+            docs, candidates=cands, threshold=0.1, max_bitmap_vocab=0
+        ).count()
+    # one in-flight payload frame is allowed; 3 calls must not stack 3+
+    assert jsc_sc.getPersistentRDDs().size() <= before + 1
