@@ -336,7 +336,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    scorer: str = "join",
+    scorer: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """One row per corpus row: ``(id_col, kept, dup_of)``.
@@ -345,10 +345,26 @@ def semantic_dedup(
     cluster has cosine ≥ ``threshold``; ``dup_of`` is the smallest such
     witness id (NULL when kept). Survivor set = ``filter(kept)``.
     Clustering knobs pass through to the edge generator; ``scorer``
-    picks it — ``"join"`` (:func:`eps_similarity_edges`, default) or
-    ``"bucket"`` (:func:`eps_similarity_edges_bucketed`; see its
-    docstring for the shuffle-economics trade).
+    picks it — ``"join"`` (:func:`eps_similarity_edges`) or ``"bucket"``
+    (:func:`eps_similarity_edges_bucketed`; see its docstring for the
+    shuffle-economics trade). Default (None) auto-selects: **bucket**
+    when the clustering is this module's own LSH (auto-planes bound
+    expected occupancy, so the in-bucket O(|b|²) is controlled —
+    measured 756.4s → 36.5s at 1.05M×64d vectors, identical edges;
+    SEMDEDUP_BENCH_r06), **join** when the caller brings ``block_col``
+    (cluster sizes unknown — the join scorer's pair shuffle spreads a
+    hot cluster's scoring where the bucket scorer would straggle on
+    one task).
     """
+    if scorer is None:
+        # candidates= implies the join path (the bucketed scorer has no
+        # candidate stream to score); caller block_col implies unknown
+        # cluster-size skew, where the join scorer's spread is safer
+        external_pairs = (
+            kwargs.get("block_col") is not None
+            or kwargs.get("candidates") is not None
+        )
+        scorer = "join" if external_pairs else "bucket"
     edge_fn = {
         "join": eps_similarity_edges,
         "bucket": eps_similarity_edges_bucketed,

@@ -20,11 +20,15 @@ re-derive their base vector by expression and add a 0.02-amplitude hash
 noise — zero shuffle, no input files, deterministic across
 partitionings/retries, any ``mult``.
 
-Usage: python tools/bench_semdedup.py [mult] [threshold] [target_bucket]
+Usage: python tools/bench_semdedup.py [mult] [threshold] [target_bucket] [scorer]
   mult: corpus = 100k vectors × mult (+5% planted near-dups)
   target_bucket: 0 (default) = the operator's own auto-scaled
   ``n_planes`` (``auto_planes``, occupancy 64) — i.e. what a caller
   gets with NO knobs; >0 = manual ceil(log2(n/target_bucket)) planes
+  scorer: "join" (default; candidate DISTINCT + vector rehydration) or
+  "bucket" (applyInPandas per LSH bucket — vectors ship n_tables copies
+  instead of once per pair; no candidate shuffle at all, so the
+  "candidates" stage wall is folded into scoring)
 Prints ONE JSON line:
 {"metric": "semdedup_rehearsal_wall", "value": sec, "vectors": N,
  "candidates": C, "planted": K, "dropped_planted": D, "recall": r,
@@ -47,6 +51,7 @@ from person_linkage_case_study_spark.session import get_spark
 from person_linkage_case_study_spark.similarity.semdedup import (
     auto_planes,
     eps_similarity_edges,
+    eps_similarity_edges_bucketed,
     semdedup_candidates,
 )
 
@@ -99,6 +104,7 @@ def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
     target_bucket = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    scorer = sys.argv[4] if len(sys.argv) > 4 else "join"
 
     n_base = 100_000 * mult
     n_planted = n_base // 20
@@ -126,14 +132,25 @@ def main() -> None:
     corpus = synthesize(spark, n_base).persist(StorageLevel.MEMORY_AND_DISK)
 
     t0 = time.time()
-    cand = semdedup_candidates(
-        corpus, n_tables=4, n_planes=n_planes, seed=SEED, quantize=1000.0,
-        dim=DIM,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    n_candidates = cand.count()
-    t1 = time.time()
-
-    edges = eps_similarity_edges(corpus, threshold=threshold, candidates=cand)
+    if scorer == "bucket":
+        # one fused stage: buckets are scored in-place, no candidate
+        # id-pair shuffle exists to count separately
+        n_candidates = None
+        t1 = t0
+        edges = eps_similarity_edges_bucketed(
+            corpus, threshold=threshold, n_tables=4, n_planes=n_planes,
+            seed=SEED, quantize=1000.0, dim=DIM,
+        )
+    else:
+        cand = semdedup_candidates(
+            corpus, n_tables=4, n_planes=n_planes, seed=SEED, quantize=1000.0,
+            dim=DIM,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_candidates = cand.count()
+        t1 = time.time()
+        edges = eps_similarity_edges(
+            corpus, threshold=threshold, candidates=cand
+        )
     # greedy decisions + recall accounting in ONE aggregate pass
     dup = edges.groupBy("id_l").agg(F.min("id_r").alias("dup_of"))
     stats = (
@@ -174,6 +191,7 @@ def main() -> None:
         "auto_planes": target_bucket == 0,
         "n_tables": 4,
         "threshold": threshold,
+        "scorer": scorer,
         "mult": mult,
     }
     print(json.dumps(payload))
