@@ -60,6 +60,10 @@ HEADLINE = [
     # the calibration probe + raw_runs in the payload)
     "asof_prior_error_state",
     "profile_orders_table",
+    # r6: semantic dedup rides the auto-selected bucket scorer — benched
+    # so scorer regressions show up per-round (cross-round subtotals
+    # compare the common query subset, so adding an entry is safe)
+    "semantic_dedup_embeddings",
 ]
 
 
