@@ -116,12 +116,19 @@ def main() -> None:
         # JSON line can report it; semdedup_candidates derives the same)
         n_planes = auto_planes(n)
 
+    # size the single-JVM heap with the data, the bench_linkage ladder
+    # lesson (SCALING.md 128× rung): mult 64 on the stock 8 g heap dies
+    # in a map-side OOM while the box sits near-idle — a CONFIG ceiling.
+    # ~mult/4 GiB (floor 8, cap 64) is the local analog of adding
+    # executors; a cluster submit sizes executors instead.
+    heap_g = min(64, max(8, mult // 4))
     spark = get_spark(
         "bench-semdedup",
         extra_conf={
+            "spark.driver.memory": f"{heap_g}g",
             "spark.sql.shuffle.partitions": str(
                 32 * max(1, mult // 4)
-            )
+            ),
         },
     )
 
