@@ -95,7 +95,14 @@ def _keyed_buckets(
         F.col("__id").alias("id_l"), F.col("__id").alias("id_r")
     )
     if block_col is not None:
-        keyed = c.select("__id", "__vec", F.col("__blk").alias("__bucket"))
+        # NULL block keys cluster with NOTHING — matching the join
+        # scorer's equi-join, which drops NULL keys (r6 advice: without
+        # this filter the bucket scorer's groupBy would lump every
+        # NULL-block row into one group and score pairs among them,
+        # silently diverging from the candidate generator's edge set)
+        keyed = c.filter(F.col("__blk").isNotNull()).select(
+            "__id", "__vec", F.col("__blk").alias("__bucket")
+        )
         return keyed, ["__bucket"]
     if n_planes is None:
         # one cheap narrow pass gets n (for the plane count) and the
@@ -242,6 +249,7 @@ def eps_similarity_edges_bucketed(
     block_col: str | None = None,
     target_occupancy: int = 64,
     pair_chunk: int = 1 << 20,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Same edge set as :func:`eps_similarity_edges`, different shuffle
     economics: pairs are scored INSIDE each LSH bucket by one
@@ -259,24 +267,43 @@ def eps_similarity_edges_bucketed(
     - **bucket scorer** (this): each vector is shipped once per BUCKET
       membership (exactly ``n_tables`` copies — at the default
       occupancy 64 that is ~16× less vector traffic), and no candidate
-      id-pair shuffle exists at all; the trade is that a bucket's
-      O(|bucket|²) scoring runs inside ONE task, so a pathologically
-      hot bucket becomes a straggler (the join scorer's AQE-split
-      shuffle does not). Pick this when vectors are wide (embedding
-      dim × 8 bytes dominates the wire) and bucket occupancy is
-      controlled — which the auto-planes default holds at ~
-      ``target_occupancy``.
+      id-pair shuffle exists at all. In-bucket scoring is O(|bucket|²),
+      so occupancy must stay controlled — which the auto-planes
+      default holds at ~``target_occupancy`` for near-uniform corpora,
+      and ``max_bucket`` enforces for the corpora that violate it.
+
+    **Occupancy ceiling (``max_bucket``, r7 — closes the r6 weak
+    item).** LSH occupancy bounds are EXPECTED-value bounds; the
+    corpora semantic dedup exists for (web crawls with boilerplate
+    mega-clusters of 10⁵+ near-identical embeddings) put an arbitrary
+    number of rows into ONE bucket in EVERY table, and an unguarded
+    per-bucket task would run that bucket's O(|b|²) scoring alone
+    while the rest of the cluster idles. Buckets with more than
+    ``max_bucket`` rows are therefore *grid-split*: rows are dealt
+    round-robin into ``ceil(|b|/max_bucket)`` chunks and every chunk
+    pair (i ≤ j) becomes its own ``applyInPandas`` task — a 100k-row
+    bucket at the default cap turns into 325 tasks of ≤ cap²/2 pairs
+    instead of one 5·10⁹-pair straggler, at the cost of shipping each
+    oversized-bucket row ``n_chunks`` times (25 copies vs the join
+    scorer's ~|b| copies). Pair totals are unchanged: within-chunk
+    pairs score in the diagonal (i=j) task, cross-chunk pairs in
+    exactly one (i<j) task. Bucket sizes come from a window count over
+    the SAME hash partitioning the scorer needs anyway, so the guard
+    adds no extra shuffle of the keyed frame.
 
     Scoring math is the SAME einsum kernel as ``_pair_cosine_udf`` on
     the same float64 inputs, with Spark's HALF_UP 6-dp rounding
     emulated (``sign·floor(|x|·1e6 + 0.5)/1e6``), so both scorers emit
     identical edges away from 1-ulp rounding boundaries (the accepted
     class the oracle discussion in queries.py documents).
-    ``pair_chunk`` bounds the in-task pair expansion (memory ≈
-    ``pair_chunk × dim × 16`` bytes) for buckets past the expected
-    occupancy."""
+    ``pair_chunk`` bounds the in-task pair expansion; pair-index
+    blocks are generated lazily per chunk (never a materialized
+    ``triu_indices`` of the whole bucket — r6 advice: that index pair
+    alone is O(|b|²)·16 bytes), so task memory is
+    ≈ ``pair_chunk × dim × 16`` bytes plus the bucket's own rows."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import Window
 
     keyed, join_keys = _keyed_buckets(
         corpus, id_col, vec_col, n_tables, n_planes, seed, quantize, dim,
@@ -288,21 +315,18 @@ def eps_similarity_edges_bucketed(
     id_type = dict(keyed.dtypes)["__id"]
     out_schema = f"id_l {id_type}, id_r {id_type}, cosine double"
     thr = float(threshold)
-    chunk = int(pair_chunk)
+    chunk = max(1, int(pair_chunk))
+    cap = max(2, int(max_bucket))
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"id_l": [], "id_r": [], "cosine": []})
-        # order by id so emitted pairs are (larger, smaller) = (id_l, id_r)
-        pdf = pdf.sort_values("__id", kind="stable")
-        ids = pdf["__id"].to_numpy()
-        V = np.stack(pdf["__vec"].to_numpy()).astype("float64", copy=False)
-        ii, jj = np.triu_indices(m, k=1)
+    def _empty():
+        return pd.DataFrame({"id_l": [], "id_r": [], "cosine": []})
+
+    def _score_blocks(ids_a, V_a, ids_b, V_b, blocks, cross):
+        """Score (i, j) index blocks of rows gathered from two row sets —
+        exactly the original einsum arithmetic per pair, block by block."""
         outs = []
-        for s in range(0, len(ii), chunk):
-            i, j = ii[s : s + chunk], jj[s : s + chunk]
-            L, R = V[i], V[j]
+        for i, j in blocks:
+            L, R = V_a[i], V_b[j]
             num = np.einsum("ij,ij->i", L, R)
             dn = np.sqrt(np.einsum("ij,ij->i", L, L)) * np.sqrt(
                 np.einsum("ij,ij->i", R, R)
@@ -311,24 +335,118 @@ def eps_similarity_edges_bucketed(
             # Spark F.round(x, 6) is BigDecimal HALF_UP
             c = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
             keep = c >= thr
-            if keep.any():
+            if not keep.any():
+                continue
+            ia, jb = ids_a[i[keep]], ids_b[j[keep]]
+            if cross:  # arbitrary id order across chunks: orient per pair
+                big = ia > jb
                 outs.append(
                     pd.DataFrame(
                         {
-                            "id_l": ids[j[keep]],
-                            "id_r": ids[i[keep]],
+                            "id_l": np.where(big, ia, jb),
+                            "id_r": np.where(big, jb, ia),
                             "cosine": c[keep],
                         }
                     )
                 )
-        if not outs:
-            return pd.DataFrame({"id_l": [], "id_r": [], "cosine": []})
-        return pd.concat(outs, ignore_index=True)
+            else:  # triangle over id-sorted rows: j > i ⇒ ids[j] > ids[i]
+                outs.append(
+                    pd.DataFrame({"id_l": jb, "id_r": ia, "cosine": c[keep]})
+                )
+        return pd.concat(outs, ignore_index=True) if outs else _empty()
 
-    edges = keyed.groupBy(*join_keys).applyInPandas(score_bucket, out_schema)
+    def _triangle_blocks(m: int):
+        """Lazy triu(m, 1) index blocks of ≤ pair_chunk pairs: identical
+        pairs in identical row-major order to ``np.triu_indices``, but
+        only one block's indices ever exist at a time."""
+        i = 0
+        while i < m - 1:
+            run = m - 1 - i  # partners of anchor row i
+            if run > chunk:  # one anchor exceeds the budget: split its js
+                for s in range(i + 1, m, chunk):
+                    e = min(s + chunk, m)
+                    yield (
+                        np.full(e - s, i, dtype=np.int64),
+                        np.arange(s, e, dtype=np.int64),
+                    )
+                i += 1
+                continue
+            take, total = 1, run
+            while i + take < m - 1 and total + (m - 1 - (i + take)) <= chunk:
+                total += m - 1 - (i + take)
+                take += 1
+            anchors = np.arange(i, i + take, dtype=np.int64)
+            counts = m - 1 - anchors
+            ii = np.repeat(anchors, counts)
+            offs = np.concatenate(([0], np.cumsum(counts[:-1])))
+            jj = ii + 1 + (np.arange(total, dtype=np.int64) - np.repeat(offs, counts))
+            yield ii, jj
+            i += take
+
+    def _cross_blocks(ma: int, mb: int):
+        """Full bipartite ma × mb index grid in ≤ pair_chunk-pair blocks."""
+        rows_per = max(1, chunk // mb)
+        for a0 in range(0, ma, rows_per):
+            a1 = min(a0 + rows_per, ma)
+            yield (
+                np.repeat(np.arange(a0, a1, dtype=np.int64), mb),
+                np.tile(np.arange(mb, dtype=np.int64), a1 - a0),
+            )
+
+    def _sorted_arrays(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("__id", kind="stable")
+        ids = pdf["__id"].to_numpy()
+        V = np.stack(pdf["__vec"].to_numpy()).astype("float64", copy=False)
+        return ids, V
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return _empty()
+        # order by id so emitted pairs are (larger, smaller) = (id_l, id_r)
+        ids, V = _sorted_arrays(pdf)
+        return _score_blocks(ids, V, ids, V, _triangle_blocks(m), cross=False)
+
+    def score_grid(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one chunk pair of one oversized bucket: diagonal task = triangle
+        # over that chunk's rows; off-diagonal = full cross of two chunks
+        if pdf["__gc_i"].iat[0] == pdf["__gc_j"].iat[0]:
+            return score_bucket(pdf)
+        a = pdf[pdf["__c"] == pdf["__gc_i"].iat[0]]
+        b = pdf[pdf["__c"] == pdf["__gc_j"].iat[0]]
+        if not len(a) or not len(b):
+            return _empty()
+        ids_a, V_a = _sorted_arrays(a)
+        ids_b, V_b = _sorted_arrays(b)
+        return _score_blocks(
+            ids_a, V_a, ids_b, V_b, _cross_blocks(len(a), len(b)), cross=True
+        )
+
+    # bucket sizes via window count over the scorer's own hash
+    # partitioning (the exchange is shared with both applyInPandas
+    # branches — sizing adds no second shuffle of the keyed frame)
+    w = Window.partitionBy(*join_keys)
+    sized = keyed.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    small = sized.filter(F.col("__bsz") <= cap).drop("__bsz")
+    edges = small.groupBy(*join_keys).applyInPandas(score_bucket, out_schema)
+
+    big = sized.filter(F.col("__bsz") > cap)
+    n_chunks = F.ceil(F.col("__bsz") / F.lit(cap)).cast("int")
+    rn = F.row_number().over(Window.partitionBy(*join_keys).orderBy("__id"))
+    big = (
+        big.withColumn("__c", F.pmod(rn - 1, n_chunks).cast("int"))
+        .withColumn("__p", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))))
+        .withColumn("__gc_i", F.least("__c", "__p"))
+        .withColumn("__gc_j", F.greatest("__c", "__p"))
+        .drop("__p", "__bsz")
+    )
+    big_edges = big.groupBy(*join_keys, "__gc_i", "__gc_j").applyInPandas(
+        score_grid, out_schema
+    )
+
     # multi-table OR: the same pair may be scored in several tables with
     # the identical cosine (same kernel, same inputs) — dedup on the ids
-    return edges.dropDuplicates(["id_l", "id_r"])
+    return edges.unionByName(big_edges).dropDuplicates(["id_l", "id_r"])
 
 
 def semantic_dedup(
@@ -337,6 +455,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     scorer: str | None = None,
+    collapse_exact: bool = True,
     **kwargs,
 ) -> DataFrame:
     """One row per corpus row: ``(id_col, kept, dup_of)``.
@@ -349,13 +468,38 @@ def semantic_dedup(
     (:func:`eps_similarity_edges_bucketed`; see its docstring for the
     shuffle-economics trade). Default (None) auto-selects: **bucket**
     when the clustering is this module's own LSH (auto-planes bound
-    expected occupancy, so the in-bucket O(|b|²) is controlled —
-    measured 756.4s → 36.5s at 1.05M×64d vectors, identical edges;
-    SEMDEDUP_BENCH_r06), **join** when the caller brings ``block_col``
-    (cluster sizes unknown — the join scorer's pair shuffle spreads a
-    hot cluster's scoring where the bucket scorer would straggle on
-    one task).
+    expected occupancy, the ``max_bucket`` grid-split bounds the
+    pathological buckets expectation can't — measured 756.4s → 36.5s at
+    1.05M×64d vectors, identical edges; SEMDEDUP_BENCH_r06), **join**
+    when the caller brings ``block_col`` (cluster sizes unknown — the
+    join scorer's pair shuffle spreads a hot cluster's scoring).
+
+    ``collapse_exact`` (default True, r7): byte-identical vectors are
+    collapsed to one representative per group BEFORE clustering and
+    scoring — the boilerplate mega-cluster a web corpus plants (10⁵+
+    copies of one embedding) costs one group-by instead of O(copies²)
+    pair scores, and every LSH bucket shrinks to distinct vectors.
+    Decisions are IDENTICAL to the uncollapsed run: an exact copy's
+    witnesses are its group representative (cosine exactly 1.0 after
+    rounding) and the representative's own witnesses, so
+    ``dup_of(member) = coalesce(dup_of(rep), rep)``; witnesses of any
+    scored row can always be replaced by the (≤-id) representative of
+    the same vector, so minima are unchanged. Zero-norm groups follow
+    the kernel's cosine-0 convention and collapse only when
+    ``threshold ≤ 0``; with ``block_col``, the group key includes the
+    block (identical vectors in different blocks never witness each
+    other) and NULL-block rows are never collapsed (they cluster with
+    nothing). The collapse costs one corpus-wide window shuffle keyed
+    on a 128-bit vector hash — disable it for corpora known
+    duplicate-free. Ignored when ``candidates=`` is supplied (the
+    caller's pair stream references original ids).
     """
+    if scorer == "bucket" and kwargs.get("candidates") is not None:
+        raise ValueError(
+            "bucket scorer cannot consume a candidate stream — it "
+            "generates and scores pairs inside each LSH bucket; pass "
+            "scorer='join' (or omit scorer) to score external candidates"
+        )
     if scorer is None:
         # candidates= implies the join path (the bucketed scorer has no
         # candidate stream to score); caller block_col implies unknown
@@ -369,16 +513,71 @@ def semantic_dedup(
         "join": eps_similarity_edges,
         "bucket": eps_similarity_edges_bucketed,
     }[scorer]
-    edges = edge_fn(
-        corpus, id_col=id_col, vec_col=vec_col, threshold=threshold, **kwargs
-    )
-    dup = edges.groupBy("id_l").agg(F.min("id_r").alias("dup_of"))
-    ids = corpus.select(F.col(id_col).alias("__id"))
-    return (
-        ids.join(dup, ids["__id"] == dup["id_l"], "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("dup_of").isNull().alias("kept"),
-            "dup_of",
+
+    if kwargs.get("candidates") is not None or not collapse_exact:
+        edges = edge_fn(
+            corpus, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            **kwargs,
         )
+        dup = edges.groupBy("id_l").agg(F.min("id_r").alias("dup_of"))
+        ids = corpus.select(F.col(id_col).alias("__id"))
+        return (
+            ids.join(dup, ids["__id"] == dup["id_l"], "left")
+            .select(
+                F.col("__id").alias(id_col),
+                F.col("dup_of").isNull().alias("kept"),
+                "dup_of",
+            )
+        )
+
+    from pyspark.sql import Window
+
+    blk = kwargs.get("block_col")
+    proj = _project(corpus, id_col, vec_col, blk)
+    # 128-bit vector hash (two independent xxhash64 seeds) as the group
+    # key: hash-aggregable map-side (an array<double> group key is not),
+    # collision odds ~n²/2¹²⁹ — negligible at any corpus size
+    keyed = proj.withColumn("__h1", F.xxhash64("__vec")).withColumn(
+        "__h2", F.xxhash64("__vec", F.lit(1))
+    )
+    grp_keys = (["__blk"] if blk else []) + ["__h1", "__h2"]
+    w = Window.partitionBy(*grp_keys)
+    # identical NONZERO vectors have cosine exactly 1.0 (the kernel's
+    # sqrt(a)·sqrt(a) ulp wobble dies in the 6-dp rounding); identical
+    # zero vectors have cosine 0.0 by the kernel's convention
+    nonzero = F.aggregate("__vec", F.lit(0.0), lambda a, x: a + x * x) > 0
+    group_cos = F.when(nonzero, F.lit(1.0)).otherwise(F.lit(0.0))
+    in_cluster = F.col("__blk").isNotNull() if blk else F.lit(True)
+    g = (
+        keyed.withColumn("__rep", F.min("__id").over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__collapsed",
+            (F.col("__cnt") > 1)
+            & (F.col("__id") != F.col("__rep"))
+            & (group_cos >= F.lit(float(threshold)))
+            & in_cluster,
+        )
+    )
+    scored = g.filter(~F.col("__collapsed")).select(
+        F.col("__id").alias(id_col),
+        F.col("__vec").alias(vec_col),
+        *([F.col("__blk").alias(blk)] if blk else []),
+    )
+    edges = edge_fn(
+        scored, id_col=id_col, vec_col=vec_col, threshold=threshold, **kwargs
+    )
+    dup = edges.groupBy("id_l").agg(F.min("id_r").alias("__w"))
+    rows = g.select("__id", "__rep", "__collapsed").withColumn(
+        "__lk",
+        F.when(F.col("__collapsed"), F.col("__rep")).otherwise(F.col("__id")),
+    )
+    out = rows.join(dup, rows["__lk"] == dup["id_l"], "left")
+    dup_of = F.when(
+        F.col("__collapsed"), F.coalesce(F.col("__w"), F.col("__rep"))
+    ).otherwise(F.col("__w"))
+    return out.select(
+        F.col("__id").alias(id_col),
+        dup_of.isNull().alias("kept"),
+        dup_of.alias("dup_of"),
     )
