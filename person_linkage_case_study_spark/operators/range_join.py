@@ -187,6 +187,19 @@ def _pin_row_ids(df: DataFrame) -> DataFrame:
       fails the job loudly instead of corrupting the answer. Right
       trade-off for local/single-JVM runs where executor loss == JVM
       death anyway.
+
+    **Storage note (r7, advice item).** Reliable checkpoint files are
+    NOT deleted when the returned frame is dropped — by default
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=false``) every
+    minted-id outer join leaves a full copy of its left frame in the
+    checkpoint dir for the application's lifetime. A one-call-lag
+    delete would reintroduce exactly the fault-sensitivity the r6 fix
+    removed (a still-lazy earlier result reading a deleted checkpoint),
+    so the remedies are external: ``conf/spark-cluster.conf`` now sets
+    ``cleanCheckpoints=true`` (the ContextCleaner deletes a checkpoint
+    only once its RDD is garbage-collected — safe by construction), and
+    long-lived sessions should pass ``row_id`` (zero checkpoints, zero
+    storage) — it is the preferred contract anyway.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
@@ -232,8 +245,20 @@ def interval_join(
     zero caches, zero checkpoints, fully fault-deterministic. Without
     one, a row id is minted and pinned via ``_pin_row_ids`` (reliable
     ``checkpoint()`` when a checkpoint dir is configured, else eager
-    ``localCheckpoint()`` — note the latter runs a job at call time).
-    Prefer passing ``row_id`` whenever a natural key exists.
+    ``localCheckpoint()`` — note the latter runs a job at call time,
+    and the former leaves checkpoint files behind unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on — see
+    ``_pin_row_ids``). Prefer passing ``row_id`` whenever a natural key
+    exists.
+
+    **Uniqueness is the caller's contract and is not validated** (a
+    count-distinct pass per call would defeat the zero-extra-jobs point
+    of the fast path): a DUPLICATED ``row_id`` makes 'left' silently
+    fan out matched rows (every duplicate picks up every duplicate's
+    pairs — the final join key is no longer unique) and makes
+    semi/anti treat the duplicates as one row. When unsure, mint:
+    leave ``row_id=None`` and the pinned ``monotonically_increasing_id``
+    path guarantees uniqueness structurally.
     """
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {_JOIN_TYPES}")

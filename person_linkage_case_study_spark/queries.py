@@ -2432,8 +2432,23 @@ def mergeable_rollup_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.pmod("o_orderkey", F.lit(4)) == s) for s in range(4)
     ]
     # the 4 "daily" slices arrive as a STREAM, one file per micro-batch;
-    # run_incremental_profile summarizes each batch into the state store
-    tmp = tempfile.mkdtemp(prefix="mrc_")
+    # run_incremental_profile summarizes each batch into the state store.
+    # The stream source / state store / checkpoint root resolves from
+    # conf so the entry doubles as a copyable cluster example: on a real
+    # fleet set spark.graft.capstone.root to a SHARED filesystem path
+    # (s3a://, hdfs://) — stream sources, state, and checkpoints must be
+    # visible to every executor AND the driver; the driver-local tmpdir
+    # default below is correct only for local[N] (this harness).
+    root = spark.conf.get("spark.graft.capstone.root", None)
+    if root:
+        # fresh per-run subdir: the file-stream source and checkpoint
+        # are append-only, so reusing a populated root would replay old
+        # batches into this run's state
+        import uuid
+
+        tmp = f"{root.rstrip('/')}/mrc_{uuid.uuid4().hex}"
+    else:
+        tmp = tempfile.mkdtemp(prefix="mrc_")
     for s in range(4):
         slices[s].select(*cols).coalesce(1).write.parquet(
             f"{tmp}/src/day_{s:03d}.parquet"
