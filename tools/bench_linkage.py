@@ -130,6 +130,39 @@ def synthesize(spark, sf_dir, scale_mult: int = 1):
     return census, ref
 
 
+def skew_transform(census, ref, hot_census_every=16, hot_ref_every=32,
+                   cold_geo_keys=8000):
+    """Re-key the synthesized corpus into the skew rehearsal's shape
+    (tools/bench_skew.py), but through the CASCADE's blocking columns:
+    1/16 of census and 1/32 of reference land on ONE (zip3, geokey) hot
+    block (~44M pairs at sf0.1 — ~95% of pass-1 pairs), the rest spread
+    over 8000 sparse cold blocks (~2.4M pairs). Hot membership derives
+    from the shared numeric person key, so cold person pairs still block
+    together (link semantics intact) and every ref-hot person is also
+    census-hot. This is the output-explosion shape AQE skew-join cannot
+    see (the hot block's shuffle INPUT is ~1 MB; its pair OUTPUT is not)
+    — the case the reference hardcodes salting_partitions for
+    (03_link_datasets.ipynb:1971-1975) and SKEW_BENCH_r05 measured on
+    the isolated join."""
+    def rekey(df, hot_every):
+        key = F.regexp_replace(F.col("record_id"), "[^0-9]", "").cast("long")
+        hot = F.pmod(key, F.lit(hot_every)) == 0
+        zip3 = F.when(hot, F.lit("H00")).otherwise(
+            F.pmod(key, F.lit(cold_geo_keys // 10)).cast("string")
+        )
+        geo = F.when(hot, F.lit("1 HOT ST")).otherwise(
+            F.concat(F.pmod(key, F.lit(cold_geo_keys)).cast("string"),
+                     F.lit(" MAIN ST"))
+        )
+        return (
+            df.withColumn("zip3", zip3)
+            .withColumn("geokey", geo)
+            .withColumn("geokey_for_blocking", geo)
+        )
+
+    return rekey(census, hot_census_every), rekey(ref, hot_ref_every)
+
+
 def make_model() -> LinkageModel:
     comps = []
     for col in ["first_name_15", "last_name_12"]:
@@ -204,6 +237,16 @@ def main() -> None:
         },
     )
     census, ref = synthesize(spark, sf_dir, scale_mult)
+    salt = None
+    if mode in ("skew", "skew-salted"):
+        # cascade-path skew rehearsal: same hot-block shape as
+        # tools/bench_skew.py, but the mitigation is measured through
+        # blocking→gamma→score→argmax, not the isolated join. The
+        # template's AQE skew-join stays ON in BOTH configs — it keys on
+        # shuffle-input bytes and cannot see this output explosion, so
+        # the delta isolates the per-pass salt_partitions lever.
+        census, ref = skew_transform(census, ref)
+        salt = 32 if mode == "skew-salted" else None
     n_records = census.count()
     ref = ref.persist()
     ref.count()
@@ -223,12 +266,16 @@ def main() -> None:
                 cut_columns=["zip3"],
                 matching_columns=matching,
                 passes=[
-                    PassConfig("geokey", ["geokey_for_blocking"], 0.9),
+                    PassConfig(
+                        "geokey", ["geokey_for_blocking"], 0.9,
+                        salt_partitions=salt,
+                    ),
                     PassConfig(
                         "geokey name switch",
                         ["geokey_for_blocking"],
                         0.9,
                         input_data_transformation=switch_first_and_last_names,
+                        salt_partitions=salt,
                     ),
                 ],
             ),
@@ -254,19 +301,43 @@ def main() -> None:
     confirmed = cascade.run(config)
     n_links = confirmed.count()
     wall = round(time.time() - t0, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "cascade_wall",
-                "value": wall,
-                "unit": "sec",
-                "records": n_records,
-                "links": n_links,
-                "link_rate": round(n_links / n_records, 4),
-                "sf": sf,
-            }
+    payload = {
+        "metric": "cascade_wall" if salt is None and mode == "cascade"
+        else f"cascade_{mode.replace('-', '_')}_wall",
+        "value": wall,
+        "unit": "sec",
+        "records": n_records,
+        "links": n_links,
+        "link_rate": round(n_links / n_records, 4),
+        "sf": sf,
+    }
+    if mode in ("skew", "skew-salted"):
+        hot_c = census.filter(F.col("zip3") == "H00").count()
+        hot_r = ref.filter(F.col("zip3") == "H00").count()
+        cold_pairs = (
+            census.filter(F.col("zip3") != "H00")
+            .groupBy("zip3", "geokey_for_blocking")
+            .count()
+            .withColumnRenamed("count", "nc")
+            .join(
+                ref.filter(F.col("zip3") != "H00")
+                .groupBy("zip3", "geokey_for_blocking")
+                .count()
+                .withColumnRenamed("count", "nr"),
+                ["zip3", "geokey_for_blocking"],
+            )
+            .agg(F.sum(F.col("nc") * F.col("nr")))
+            .first()[0]
         )
-    )
+        hot_pairs = hot_c * hot_r
+        payload.update(
+            salt=salt,
+            hot_census=hot_c,
+            hot_ref=hot_r,
+            hot_pairs_pass1=hot_pairs,
+            hot_share_pass1=round(hot_pairs / (hot_pairs + cold_pairs), 4),
+        )
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,32 @@ Prints ONE JSON line:
 {"metric": "semdedup_rehearsal_wall", "value": sec, "vectors": N,
  "candidates": C, "planted": K, "dropped_planted": D, "recall": r,
  "false_drops": F, "n_planes": p, "mult": m}
+
+MEGA-CLUSTER mode (r7 — the occupancy-guard rehearsal):
+
+  python tools/bench_semdedup.py mega [mult] [groups] [copies] [variant]
+
+plants a boilerplate mega-cluster — ``groups`` mutually NEAR-identical
+group vectors (cosine ≈ 0.9999 across groups), each repeated ``copies``
+times EXACTLY (byte-identical doubles, the same-embedding-from-same-
+boilerplate shape of a web crawl) — into a 100k×mult base corpus, and
+runs ``semantic_dedup`` end-to-end under one ``variant``:
+
+  default            zero-knob path: exact-dup pre-collapse + guarded
+                     bucket scorer (the r7 production default)
+  ceiling-only       collapse OFF, bucket scorer WITH the max_bucket
+                     grid-split (isolates the ceiling's contribution)
+  bucket-unguarded   collapse OFF, max_bucket effectively infinite —
+                     the r6 default, whose mega-bucket O(|b|²) runs in
+                     ONE task per table (the straggler cliff)
+  join               collapse OFF, join scorer — the mega cluster
+                     materializes its full quadratic id-pair stream
+
+Every variant computes the SAME decisions (pre-collapse and grid-split
+are work-shape changes, not answer changes) — the JSON carries an
+order-insensitive xxhash64 checksum over (id, kept, dup_of) to prove
+it across runs. Expected: all mega rows except the globally smallest
+id are dropped; ~zero false drops of base vectors.
 """
 
 from __future__ import annotations
@@ -100,7 +126,103 @@ def synthesize(spark: SparkSession, n_base: int) -> DataFrame:
     return base.unionByName(planted)
 
 
+def synthesize_mega(spark: SparkSession, n_base: int, groups: int, copies: int):
+    """Base corpus + a planted mega-cluster: ``groups`` near-identical
+    group vectors (one anchor + 0.005-amplitude per-group hash noise),
+    each repeated ``copies`` times byte-identically (same deterministic
+    expression ⇒ same doubles). Mega ids start at ``n_base``."""
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"), _vec(F.col("id"), "v").alias("embedding")
+    )
+    grp = F.floor((F.col("id") - F.lit(n_base)) / F.lit(copies))
+    mega = spark.range(n_base, n_base + groups * copies).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(
+            _vec(F.lit(-1), "mega_anchor"),
+            _vec(grp, "mega_noise"),
+            lambda v, n: v + 0.005 * n,
+        ).alias("embedding"),
+    )
+    return base.unionByName(mega)
+
+
+def main_mega() -> None:
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    groups = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    copies = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+    variant = sys.argv[5] if len(sys.argv) > 5 else "default"
+    threshold = 0.9
+
+    n_base = 100_000 * mult
+    mega_n = groups * copies
+    heap_g = min(64, max(12, mult))
+    spark = get_spark(
+        "bench-semdedup-mega",
+        extra_conf={
+            "spark.driver.memory": f"{heap_g}g",
+            "spark.sql.shuffle.partitions": str(32 * max(1, mult // 4)),
+        },
+    )
+    from pyspark import StorageLevel
+
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        semantic_dedup,
+    )
+
+    corpus = synthesize_mega(spark, n_base, groups, copies).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corpus.count()
+
+    kw = dict(threshold=threshold, n_tables=4, seed=SEED, quantize=1000.0,
+              dim=DIM)
+    variants = {
+        "default": dict(),
+        "ceiling-only": dict(scorer="bucket", collapse_exact=False),
+        "bucket-unguarded": dict(
+            scorer="bucket", collapse_exact=False, max_bucket=1 << 30
+        ),
+        "join": dict(scorer="join", collapse_exact=False),
+    }
+    t0 = time.time()
+    out = semantic_dedup(corpus, **kw, **variants[variant])
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("kept") & (F.col("vec_id") >= n_base)).cast("long")).alias(
+            "mega_dropped"
+        ),
+        F.sum((~F.col("kept") & (F.col("vec_id") < n_base)).cast("long")).alias(
+            "false_drops"
+        ),
+        # order-insensitive decision checksum: identical across variants
+        # (bit_xor: overflow-free, rows unique by vec_id so nothing cancels)
+        F.expr("bit_xor(xxhash64(vec_id, kept, dup_of))").alias("checksum"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 1)
+
+    print(json.dumps({
+        "metric": "semdedup_megacluster_wall",
+        "value": wall,
+        "unit": "sec",
+        "variant": variant,
+        "vectors": int(stats["n"]),
+        "mega_rows": mega_n,
+        "mega_groups": groups,
+        "mega_copies": copies,
+        "mega_dropped": int(stats["mega_dropped"]),
+        "mega_recall": round(int(stats["mega_dropped"]) / (mega_n - 1), 6),
+        "false_drops": int(stats["false_drops"]),
+        "decision_checksum": int(stats["checksum"]),
+        "threshold": threshold,
+        "n_tables": 4,
+        "mult": mult,
+    }))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "mega":
+        main_mega()
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
     target_bucket = int(sys.argv[3]) if len(sys.argv) > 3 else 0
