@@ -291,16 +291,18 @@ def eps_similarity_edges_bucketed(
     the SAME hash partitioning the scorer needs anyway, so the guard
     adds no extra shuffle of the keyed frame.
 
-    Scoring math is the SAME einsum kernel as ``_pair_cosine_udf`` on
-    the same float64 inputs, with Spark's HALF_UP 6-dp rounding
-    emulated (``sign·floor(|x|·1e6 + 0.5)/1e6``), so both scorers emit
-    identical edges away from 1-ulp rounding boundaries (the accepted
-    class the oracle discussion in queries.py documents).
-    ``pair_chunk`` bounds the in-task pair expansion; pair-index
-    blocks are generated lazily per chunk (never a materialized
-    ``triu_indices`` of the whole bucket — r6 advice: that index pair
-    alone is O(|b|²)·16 bytes), so task memory is
-    ≈ ``pair_chunk × dim × 16`` bytes plus the bucket's own rows."""
+    Scoring is a blocked BLAS cosine matrix (``V_block @ V.T`` with the
+    norms factored out — r7; the r6 per-pair gather+einsum measured
+    0.4M pairs/s/core, memory-bound on two pair-sized gathered copies)
+    on the same float64 inputs as ``_pair_cosine_udf``, with Spark's
+    HALF_UP 6-dp rounding emulated (``sign·floor(|x|·1e6 + 0.5)/1e6``).
+    Summation order differs from a per-pair dot product by ~1 ulp, so
+    both scorers emit identical edges away from exact 6-dp rounding
+    knife-edges — the same accepted class as einsum-vs-DuckDB in the
+    queries.py oracle discussion. ``pair_chunk`` bounds the in-task
+    allocation: only a ≤ pair_chunk-element block of the cosine matrix
+    ever exists (never O(|b|²) indices or cells — r6 advice closed), so
+    task memory is ≈ ``pair_chunk × 8`` bytes plus the bucket's rows."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -321,77 +323,75 @@ def eps_similarity_edges_bucketed(
     def _empty():
         return pd.DataFrame({"id_l": [], "id_r": [], "cosine": []})
 
-    def _score_blocks(ids_a, V_a, ids_b, V_b, blocks, cross):
-        """Score (i, j) index blocks of rows gathered from two row sets —
-        exactly the original einsum arithmetic per pair, block by block."""
+    def _rounded_cosine_block(Va, Vb, na, nb):
+        """Rounded-cosine matrix for a row block: one BLAS matmul with the
+        norms factored out, then Spark's F.round(x, 6) = BigDecimal
+        HALF_UP emulated as ``sign·floor(|x|·1e6 + 0.5)/1e6``. Matmul
+        sums in a different order than a per-pair dot product, so
+        individual cosines can differ by ~1 ulp pre-rounding — the same
+        accepted summation-order class as einsum-vs-DuckDB that the
+        oracle discussion in queries.py documents; after 6-dp rounding
+        the scorers agree away from exact rounding knife-edges. (The
+        r6 gather+einsum per-pair kernel measured 0.4M pairs/s/core —
+        two pair-sized gathered copies per block made it memory-bound;
+        the matmul form is ~100× that and allocates only the
+        ≤ pair_chunk-element C block, which also closes the r6 advice
+        item about materializing O(|b|²) triu indices.)"""
+        C = Va @ Vb.T
+        dn = np.outer(na, nb)
+        C = np.where(dn == 0, 0.0, C / np.where(dn == 0, 1.0, dn))
+        return np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+
+    def _norms(V):
+        return np.sqrt(np.einsum("ij,ij->i", V, V))
+
+    def _score_tri(ids, V):
+        """All pairs (i < j) of one id-sorted row set, in row blocks of
+        ≤ pair_chunk cosine cells."""
+        m = len(ids)
+        norms = _norms(V)
+        rows_per = max(1, chunk // m)
         outs = []
-        for i, j in blocks:
-            L, R = V_a[i], V_b[j]
-            num = np.einsum("ij,ij->i", L, R)
-            dn = np.sqrt(np.einsum("ij,ij->i", L, L)) * np.sqrt(
-                np.einsum("ij,ij->i", R, R)
-            )
-            c = np.where(dn == 0, 0.0, num / np.where(dn == 0, 1.0, dn))
-            # Spark F.round(x, 6) is BigDecimal HALF_UP
-            c = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
-            keep = c >= thr
+        for a0 in range(0, m - 1, rows_per):
+            a1 = min(a0 + rows_per, m - 1)
+            C = _rounded_cosine_block(V[a0:a1], V, norms[a0:a1], norms)
+            ii, jj = np.nonzero(C >= thr)
+            keep = jj > ii + a0  # strict upper triangle in global indices
             if not keep.any():
                 continue
-            ia, jb = ids_a[i[keep]], ids_b[j[keep]]
-            if cross:  # arbitrary id order across chunks: orient per pair
-                big = ia > jb
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_l": np.where(big, ia, jb),
-                            "id_r": np.where(big, jb, ia),
-                            "cosine": c[keep],
-                        }
-                    )
+            ii, jj = ii[keep], jj[keep]
+            # ids sorted ascending and j > i ⇒ ids[j] > ids[i]
+            outs.append(
+                pd.DataFrame(
+                    {"id_l": ids[jj], "id_r": ids[ii + a0], "cosine": C[ii, jj]}
                 )
-            else:  # triangle over id-sorted rows: j > i ⇒ ids[j] > ids[i]
-                outs.append(
-                    pd.DataFrame({"id_l": jb, "id_r": ia, "cosine": c[keep]})
-                )
+            )
         return pd.concat(outs, ignore_index=True) if outs else _empty()
 
-    def _triangle_blocks(m: int):
-        """Lazy triu(m, 1) index blocks of ≤ pair_chunk pairs: identical
-        pairs in identical row-major order to ``np.triu_indices``, but
-        only one block's indices ever exist at a time."""
-        i = 0
-        while i < m - 1:
-            run = m - 1 - i  # partners of anchor row i
-            if run > chunk:  # one anchor exceeds the budget: split its js
-                for s in range(i + 1, m, chunk):
-                    e = min(s + chunk, m)
-                    yield (
-                        np.full(e - s, i, dtype=np.int64),
-                        np.arange(s, e, dtype=np.int64),
-                    )
-                i += 1
-                continue
-            take, total = 1, run
-            while i + take < m - 1 and total + (m - 1 - (i + take)) <= chunk:
-                total += m - 1 - (i + take)
-                take += 1
-            anchors = np.arange(i, i + take, dtype=np.int64)
-            counts = m - 1 - anchors
-            ii = np.repeat(anchors, counts)
-            offs = np.concatenate(([0], np.cumsum(counts[:-1])))
-            jj = ii + 1 + (np.arange(total, dtype=np.int64) - np.repeat(offs, counts))
-            yield ii, jj
-            i += take
-
-    def _cross_blocks(ma: int, mb: int):
-        """Full bipartite ma × mb index grid in ≤ pair_chunk-pair blocks."""
+    def _score_cross(ids_a, Va, ids_b, Vb):
+        """All (a, b) pairs across two disjoint row sets."""
+        na, nb = _norms(Va), _norms(Vb)
+        mb = len(ids_b)
         rows_per = max(1, chunk // mb)
-        for a0 in range(0, ma, rows_per):
-            a1 = min(a0 + rows_per, ma)
-            yield (
-                np.repeat(np.arange(a0, a1, dtype=np.int64), mb),
-                np.tile(np.arange(mb, dtype=np.int64), a1 - a0),
+        outs = []
+        for a0 in range(0, len(ids_a), rows_per):
+            a1 = min(a0 + rows_per, len(ids_a))
+            C = _rounded_cosine_block(Va[a0:a1], Vb, na[a0:a1], nb)
+            ii, jj = np.nonzero(C >= thr)
+            if not len(ii):
+                continue
+            ia, jb = ids_a[ii + a0], ids_b[jj]
+            big = ia > jb  # arbitrary id order across chunks: orient per pair
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_l": np.where(big, ia, jb),
+                        "id_r": np.where(big, jb, ia),
+                        "cosine": C[ii, jj],
+                    }
+                )
             )
+        return pd.concat(outs, ignore_index=True) if outs else _empty()
 
     def _sorted_arrays(pdf: pd.DataFrame):
         pdf = pdf.sort_values("__id", kind="stable")
@@ -400,12 +400,11 @@ def eps_similarity_edges_bucketed(
         return ids, V
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
+        if len(pdf) < 2:
             return _empty()
         # order by id so emitted pairs are (larger, smaller) = (id_l, id_r)
         ids, V = _sorted_arrays(pdf)
-        return _score_blocks(ids, V, ids, V, _triangle_blocks(m), cross=False)
+        return _score_tri(ids, V)
 
     def score_grid(pdf: pd.DataFrame) -> pd.DataFrame:
         # one chunk pair of one oversized bucket: diagonal task = triangle
@@ -418,9 +417,7 @@ def eps_similarity_edges_bucketed(
             return _empty()
         ids_a, V_a = _sorted_arrays(a)
         ids_b, V_b = _sorted_arrays(b)
-        return _score_blocks(
-            ids_a, V_a, ids_b, V_b, _cross_blocks(len(a), len(b)), cross=True
-        )
+        return _score_cross(ids_a, V_a, ids_b, V_b)
 
     # bucket sizes via window count over the scorer's own hash
     # partitioning (the exchange is shared with both applyInPandas
@@ -440,9 +437,21 @@ def eps_similarity_edges_bucketed(
         .withColumn("__gc_j", F.greatest("__c", "__p"))
         .drop("__p", "__bsz")
     )
-    big_edges = big.groupBy(*join_keys, "__gc_i", "__gc_j").applyInPandas(
-        score_grid, out_schema
+    # pin the grid exchange: AQE coalesces post-shuffle partitions by
+    # INPUT bytes, and a grid group's bytes are ~cap rows while its
+    # compute is ~cap² pair scores — unpinned, a 50k-row bucket's 312
+    # grid tasks coalesced into ~4 partitions and the "split" ran as
+    # serial as the straggler it replaces (measured r7; the same
+    # input-vs-output mismatch blocked_pairs pins with num_partitions,
+    # SCALING.md "Pair explosion ≠ input bytes"). An explicit
+    # repartition(n, keys) is user-specified partitioning, which AQE
+    # honors; applyInPandas then reuses the distribution.
+    grid_keys = [*join_keys, "__gc_i", "__gc_j"]
+    n_shuffle = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    big = big.repartition(n_shuffle, *grid_keys)
+    big_edges = big.groupBy(*grid_keys).applyInPandas(score_grid, out_schema)
 
     # multi-table OR: the same pair may be scored in several tables with
     # the identical cosine (same kernel, same inputs) — dedup on the ids

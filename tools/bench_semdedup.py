@@ -151,7 +151,13 @@ def main_mega() -> None:
     groups = int(sys.argv[3]) if len(sys.argv) > 3 else 200
     copies = int(sys.argv[4]) if len(sys.argv) > 4 else 100
     variant = sys.argv[5] if len(sys.argv) > 5 else "default"
-    threshold = 0.9
+    # threshold picks the regime: 0.9 (default) makes the whole mega
+    # cluster mutual EDGES (quadratic edge set — the exact-dup collapse
+    # is the guard that matters); with copies=1 and threshold 0.99999
+    # the distinct near-identical members (mutual cosine ≈ 0.999975)
+    # still share buckets but are NOT edges — quadratic SCORING with an
+    # empty edge set, the regime that isolates the max_bucket grid-split
+    threshold = float(sys.argv[6]) if len(sys.argv) > 6 else 0.9
 
     n_base = 100_000 * mult
     mega_n = groups * copies

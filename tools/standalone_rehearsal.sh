@@ -22,6 +22,17 @@ SF_DIR="${1:-/root/testdata/sf0.1}"
 MULT="${2:-8}"
 MODE="${3:-cascade}"
 
+# fleet sizing knobs (defaults = the r6 rehearsal shape). Bigger ladder
+# rungs need bigger executors the same way bench_linkage sizes the local
+# heap with the data: e.g. 128x wants WORKER_MEM=40g EXEC_MEM=18g (the
+# in-process rung used 64g for 32 concurrent tasks; 4 x 18g gives the
+# same ~2g/task with headroom for overhead).
+WORKER_CORES="${WORKER_CORES:-16}"
+WORKER_MEM="${WORKER_MEM:-24g}"
+EXEC_CORES="${EXEC_CORES:-8}"
+EXEC_MEM="${EXEC_MEM:-10g}"
+MAX_EXECUTORS="${MAX_EXECUTORS:-4}"
+
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
 REHEARSAL_DIR="${REHEARSAL_DIR:-/tmp/spark-standalone-rehearsal}"
@@ -70,7 +81,7 @@ for i in 1 2; do
   SPARK_WORKER_INSTANCE=$i "$SPARK_HOME/sbin/spark-daemon.sh" start \
     org.apache.spark.deploy.worker.Worker $i \
     --host 127.0.0.1 --port $((7078 + i)) --webui-port $((8081 + i)) \
-    --cores 16 --memory 24g "$MASTER_URL" \
+    --cores "$WORKER_CORES" --memory "$WORKER_MEM" "$MASTER_URL" \
     >"$REHEARSAL_DIR/worker-$i-start.log" 2>&1
 done
 
@@ -94,11 +105,11 @@ JARS_ARG=""
   --deploy-mode client \
   --properties-file "$REPO/conf/spark-cluster.conf" \
   --driver-memory 8g \
-  --conf spark.executor.cores=8 \
-  --conf spark.executor.memory=10g \
+  --conf spark.executor.cores="$EXEC_CORES" \
+  --conf spark.executor.memory="$EXEC_MEM" \
   --conf spark.executor.pyspark.memory=0 \
   --conf spark.dynamicAllocation.minExecutors=2 \
-  --conf spark.dynamicAllocation.maxExecutors=4 \
+  --conf spark.dynamicAllocation.maxExecutors="$MAX_EXECUTORS" \
   --conf spark.sql.shuffle.partitions=64 \
   --conf spark.ui.enabled=false \
   $JARS_ARG \
