@@ -56,9 +56,6 @@ def blocked_pairs(
 
     l = left.select(*keys, *[F.col(c).alias(c + left_suffix) for c in lcols])
     r = right.select(*keys, *[F.col(c).alias(c + right_suffix) for c in rcols])
-    if num_partitions:
-        l = l.repartition(num_partitions, *[F.col(k) for k in keys])
-        r = r.repartition(num_partitions, *[F.col(k) for k in keys])
 
     if salt_partitions and salt_partitions > 1:
         n = salt_partitions
@@ -68,9 +65,21 @@ def blocked_pairs(
         r = r.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
         )
-        joined = l.join(r, on=keys + ["__salt"], how="inner").drop("__salt")
+        join_keys = keys + ["__salt"]
     else:
-        joined = l.join(r, on=keys, how="inner")
+        join_keys = keys
+    if num_partitions:
+        # pin AFTER salting so the pin covers the join's actual keys —
+        # a user-specified repartition is exempt from AQE partition
+        # coalescing, which sizes by shuffle INPUT bytes and so funnels
+        # pair explosions into few tasks (zstd crushes the salted
+        # replicated side, so salting alone doesn't protect a
+        # small-input pass; measured r7, tools/bench_linkage.py skew)
+        l = l.repartition(num_partitions, *[F.col(k) for k in join_keys])
+        r = r.repartition(num_partitions, *[F.col(k) for k in join_keys])
+    joined = l.join(r, on=join_keys, how="inner")
+    if join_keys is not keys:
+        joined = joined.drop("__salt")
     return joined
 
 

@@ -57,6 +57,16 @@ class PassConfig:
     probability_threshold: float = 0.97
     input_data_transformation: Callable[[DataFrame], DataFrame] | None = None
     salt_partitions: int | None = None
+    # pins the block join's shuffle partitioning (blocked_pairs
+    # num_partitions). Set it whenever the pass's INPUT is small but its
+    # pair OUTPUT is not: AQE coalesces post-shuffle partitions by input
+    # bytes — and zstd crushes a salted pass's replicated reference side,
+    # so even salt_partitions can collapse back into ONE reduce task that
+    # then scores every pair serially (measured r7: a 150k-record corpus
+    # with a 176M-pair hot block ran 932s no-pin vs ~the same WITH salt
+    # but no pin; pinning restores the spread). Big inputs don't need it
+    # — their own bytes keep AQE partition counts high (the 512x ladder).
+    num_partitions: int | None = None
 
 
 @dataclass
@@ -229,7 +239,11 @@ class PersonLinkageCascade:
         pass_model.bayes_factor_cut_columns = cfg.bayes_factor_cut_columns
 
         pairs = blocked_pairs(
-            census_side, ref_side, block_on, salt_partitions=pass_cfg.salt_partitions
+            census_side,
+            ref_side,
+            block_on,
+            salt_partitions=pass_cfg.salt_partitions,
+            num_partitions=pass_cfg.num_partitions,
         )
         # a column can be both blocking key and matching column (e.g. the
         # DOB parts in namesearch): blocked keys come out unsuffixed, so

@@ -237,7 +237,7 @@ def main() -> None:
         },
     )
     census, ref = synthesize(spark, sf_dir, scale_mult)
-    salt = None
+    salt = pin = None
     if mode in ("skew", "skew-salted"):
         # cascade-path skew rehearsal: same hot-block shape as
         # tools/bench_skew.py, but the mitigation is measured through
@@ -245,8 +245,24 @@ def main() -> None:
         # template's AQE skew-join stays ON in BOTH configs — it keys on
         # shuffle-input bytes and cannot see this output explosion, so
         # the delta isolates the per-pass salt_partitions lever.
-        census, ref = skew_transform(census, ref)
+        # Optional argv[4]/argv[5] scale the hot block (census/ref
+        # every-Nth): at the 16/32 default the hot block is ~44M pairs
+        # (~94% of pass 1) — enough to dominate the isolated join but
+        # only ~30s of one-core work inside the full cascade; 4/32
+        # makes it ~176M pass-1 pairs (plus the pass-2 residual
+        # re-explosion) so the straggler dominates the cascade wall.
+        hot_c = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+        hot_r = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+        census, ref = skew_transform(
+            census, ref, hot_census_every=hot_c, hot_ref_every=hot_r
+        )
         salt = 32 if mode == "skew-salted" else None
+        # the salted config also PINS the join partitioning: at this
+        # corpus size AQE coalesces the pass's reduce stage to ~1 task
+        # by input bytes (zstd crushes the replicated side), which would
+        # serialize the scoring with or without salt — see
+        # PassConfig.num_partitions
+        pin = 64 if mode == "skew-salted" else None
     n_records = census.count()
     ref = ref.persist()
     ref.count()
@@ -268,14 +284,14 @@ def main() -> None:
                 passes=[
                     PassConfig(
                         "geokey", ["geokey_for_blocking"], 0.9,
-                        salt_partitions=salt,
+                        salt_partitions=salt, num_partitions=pin,
                     ),
                     PassConfig(
                         "geokey name switch",
                         ["geokey_for_blocking"],
                         0.9,
                         input_data_transformation=switch_first_and_last_names,
-                        salt_partitions=salt,
+                        salt_partitions=salt, num_partitions=pin,
                     ),
                 ],
             ),

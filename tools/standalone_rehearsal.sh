@@ -114,5 +114,5 @@ JARS_ARG=""
   --conf spark.ui.enabled=false \
   $JARS_ARG \
   --py-files "$REHEARSAL_DIR/dist/engine.zip" \
-  "$REPO/tools/bench_linkage.py" "$SF_DIR" "$MULT" "$MODE" \
+  "$REPO/tools/bench_linkage.py" "$SF_DIR" "$MULT" "$MODE" "${@:4}" \
   2>"$REHEARSAL_DIR/submit.log"
