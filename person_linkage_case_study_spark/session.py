@@ -39,6 +39,36 @@ _DEFAULT_CONF = {
 }
 
 
+def _under_spark_submit() -> bool:
+    """True when this python process was launched BY ``spark-submit``
+    (its PythonRunner starts the py4j gateway and exports the port to
+    the app before user code runs).
+
+    Detection must NOT rely on ``SparkConf()``: without a live gateway
+    handle, pyspark's SparkConf silently IGNORES ``loadDefaults`` and
+    reports an empty conf — which made every submit run here fall back
+    to ``local[32]`` while the standalone fleet sat idle (found r7 when
+    the rehearsal app's tasks logged ``executor driver``; the r6
+    rehearsal numbers were therefore local-mode too and are re-measured
+    this round). The env marker is unambiguous and costs nothing."""
+    return "PYSPARK_GATEWAY_PORT" in os.environ
+
+
+def _submit_properties():
+    """The submit-time JVM properties (``--master``, ``--conf``,
+    ``--properties-file``) when running under spark-submit, else None.
+    Connects to the EXISTING gateway — cheap, the JVM is already up.
+    Never launches a gateway: a plain-python run must keep its pre-JVM
+    conf window so ``spark.driver.memory`` sizing still lands."""
+    if not _under_spark_submit():
+        return None
+    from pyspark import SparkConf
+    from pyspark.context import SparkContext
+
+    SparkContext._ensure_initialized()  # attach to spark-submit's gateway
+    return SparkConf()  # now JVM-backed: sees the submit-time properties
+
+
 def _resolve_master(explicit: str | None, submit_conf=None) -> str | None:
     """Master-URL resolution, cluster-submit aware.
 
@@ -54,10 +84,8 @@ def _resolve_master(explicit: str | None, submit_conf=None) -> str | None:
     if env:
         return env
     if submit_conf is None:
-        from pyspark import SparkConf
-
-        submit_conf = SparkConf()  # loads spark.* system properties
-    if submit_conf.contains("spark.master"):
+        submit_conf = _submit_properties()
+    if submit_conf is not None and submit_conf.contains("spark.master"):
         return None  # under spark-submit: its --master wins
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     return f"local[{cpus}]"
@@ -92,13 +120,14 @@ def get_spark(
     # must yield to anything the submit command set explicitly (a cluster
     # submit tuning spark.sql.shuffle.partitions=4000 must not be
     # clobbered back to the local default of 32); confs the CALLER passed
-    # via extra_conf are deliberate and keep builder precedence
-    from pyspark import SparkConf
-
-    submit = SparkConf()
+    # via extra_conf are deliberate and keep builder precedence. The
+    # submit-time properties come from the JVM gateway (_submit_properties
+    # — a bare SparkConf() without a gateway is silently EMPTY, r7 fix);
+    # in plain-python runs there is nothing to yield to.
+    submit = _submit_properties()
     for k, v in conf.items():
         if extra_conf and k in extra_conf:
             builder = builder.config(k, v)
-        elif not submit.contains(k):
+        elif submit is None or not submit.contains(k):
             builder = builder.config(k, v)
     return builder.getOrCreate()
