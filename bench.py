@@ -22,19 +22,27 @@ from person_linkage_case_study_spark import queries as catalog
 from person_linkage_case_study_spark.session import get_spark
 
 
+# diagnostic keys kept OUT of the stdout line. The r4-r7 BENCH_r{N}.json
+# artifacts all came back `"parsed": null` because the full payload
+# (raw_runs + per-calib tables) overflows the driver's ~2k-char tail
+# window and the line arrives truncated at the HEAD — so stdout carries
+# the contract fields (brief: metric/value/unit/queries/sf — ~1k chars
+# for 19 queries) and the full diagnostics live in BENCH_summary.json.
+_DIAG_KEYS = ("raw_runs", "queries_per_calib", "calibration_runs")
+
+
 def emit(payload: dict) -> None:
-    """Print the ONE machine-readable JSON line AND mirror it to
-    BENCH_summary.json next to this script — the driver's tail capture
-    truncated the r4 stdout line mid-object (BENCH_r04 `"parsed": null`),
-    so the file copy is the durable record."""
-    line = json.dumps(payload)
-    print(line)
+    """Print ONE compact machine-readable JSON line (diagnostic bulk
+    stripped — it must fit the driver's tail window, see _DIAG_KEYS) and
+    mirror the FULL payload to BENCH_summary.json next to this script."""
+    compact = {k: v for k, v in payload.items() if k not in _DIAG_KEYS}
+    print(json.dumps(compact))
     try:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_summary.json"
         )
         with open(path, "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(payload) + "\n")
     except OSError:
         pass  # stdout line already emitted; the mirror is best-effort
 

@@ -83,6 +83,42 @@ def blocked_pairs(
     return joined
 
 
+def estimate_pair_stats(
+    left: DataFrame, right: DataFrame, block_on: Sequence[str]
+) -> tuple[int, int, int]:
+    """``(pairs, n_left, n_right)`` from one aggregation pass: per-key
+    counts on each side, full-outer joined so ONE tiny job yields both
+    the inner-join pair total (Σ count_l × count_r where both sides
+    present — missing side coalesces to 0, contributing nothing, exactly
+    the inner-join sum) and each side's non-NULL-key row total (rows
+    NULL in any blocking key skip the pass by equi-join semantics, so
+    they are not input to the explosion either). The row totals feed
+    :func:`derive_pair_pin`'s explosion gate; the aggregated per-key
+    frames are tiny, so the extra sums are free."""
+    keys = list(block_on)
+    # rows NULL in any blocking key never join — exclude them up front so
+    # they land in neither the pair total nor the row totals (the NULL
+    # group would otherwise survive the FULL OUTER join as an unmatched
+    # row and inflate n_left/n_right)
+    not_null = F.lit(True)
+    for k in keys:
+        not_null = not_null & F.col(k).isNotNull()
+    lc = left.filter(not_null).groupBy(*keys).agg(F.count(F.lit(1)).alias("__cl"))
+    rc = right.filter(not_null).groupBy(*keys).agg(F.count(F.lit(1)).alias("__cr"))
+    row = (
+        lc.join(rc, on=keys, how="full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("__cl", F.lit(0)) * F.coalesce("__cr", F.lit(0))
+            ).alias("pairs"),
+            F.sum("__cl").alias("nl"),
+            F.sum("__cr").alias("nr"),
+        )
+        .first()
+    )
+    return int(row["pairs"] or 0), int(row["nl"] or 0), int(row["nr"] or 0)
+
+
 def estimate_pair_count(
     left: DataFrame, right: DataFrame, block_on: Sequence[str]
 ) -> int:
@@ -91,12 +127,45 @@ def estimate_pair_count(
     ``count_num_comparisons_from_blocking_rule``). Two partial aggs plus a
     tiny join: never materializes the pairs.
     """
-    keys = list(block_on)
-    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cl"))
-    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cr"))
-    row = (
-        lc.join(rc, on=keys, how="inner")
-        .agg(F.sum(F.col("__cl") * F.col("__cr")).alias("pairs"))
-        .first()
-    )
-    return int(row["pairs"] or 0)
+    return estimate_pair_stats(left, right, block_on)[0]
+
+
+def derive_pair_pin(
+    n_pairs: int,
+    n_left: int,
+    n_right: int,
+    shuffle_partitions: int,
+    *,
+    pair_row_bytes: int = 256,
+    target_partition_bytes: int = 64 << 20,
+    explosion_ratio: float = 8.0,
+    cap: int = 4096,
+) -> int | None:
+    """Auto-derived ``num_partitions`` pin for :func:`blocked_pairs`, or
+    ``None`` when the pass doesn't need one.
+
+    The regime the pin exists for (measured r7, SKEW_BENCH_r07): a pass
+    whose INPUT is small but whose pair OUTPUT explodes. AQE sizes and
+    coalesces reduce stages by shuffle INPUT bytes — zstd crushes a
+    salted pass's replicated reference side to ~1 MB — so a 176M-pair
+    hot block collapsed to ONE reduce task and scored serially (932.0s;
+    salt alone measured useless) until an explicit pin spread it
+    (274.1s local, 185.1s fleet). The pin was a manual knob; a pass
+    whose author forgot it silently re-entered the serial regime — this
+    derives it from the K8 estimate the cascade already computes.
+
+    Gate: pin only when ``pairs > explosion_ratio × (n_left+n_right)``
+    — when output rows are within a small factor of input rows, AQE's
+    byte-based sizing sees the work just fine (the estimate's cost is
+    two small aggs; passes below the gate keep their exact prior plan).
+    Size: one partition per ``target_partition_bytes`` of estimated
+    *output* (``pairs × pair_row_bytes`` — the bytes AQE cannot see),
+    clamped to ``[shuffle_partitions, cap]`` so the pin never REDUCES
+    the session's configured parallelism and never mints absurd task
+    counts (at the cap, per-task pair volume grows with the explosion —
+    the same graceful degradation a fixed conf has).
+    """
+    if n_pairs <= 0 or n_pairs <= explosion_ratio * max(1, n_left + n_right):
+        return None
+    n = -(-(n_pairs * pair_row_bytes) // target_partition_bytes)  # ceil
+    return max(shuffle_partitions, min(int(n), cap))

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..operators.blocking import blocked_pairs, estimate_pair_count
+from ..operators.blocking import (
+    blocked_pairs,
+    derive_pair_pin,
+    estimate_pair_stats,
+)
 from ..operators.dedup import keep_best, max_per_group_with_ties
 from ..operators.joins import anti_join
 from ..operators.scoring import LinkageModel, score_pairs
@@ -58,7 +62,7 @@ class PassConfig:
     input_data_transformation: Callable[[DataFrame], DataFrame] | None = None
     salt_partitions: int | None = None
     # pins the block join's shuffle partitioning (blocked_pairs
-    # num_partitions). Set it whenever the pass's INPUT is small but its
+    # num_partitions). Needed whenever the pass's INPUT is small but its
     # pair OUTPUT is not: AQE coalesces post-shuffle partitions by input
     # bytes — and zstd crushes a salted pass's replicated reference side,
     # so even salt_partitions can collapse back into ONE reduce task that
@@ -66,6 +70,10 @@ class PassConfig:
     # with a 176M-pair hot block ran 932s no-pin vs ~the same WITH salt
     # but no pin; pinning restores the spread). Big inputs don't need it
     # — their own bytes keep AQE partition counts high (the 512x ladder).
+    # None (default) = AUTO-DERIVE from the K8 pair estimate (r8:
+    # derive_pair_pin — the manual knob silently re-entered the serial
+    # regime when forgotten); an explicit int overrides; the cascade's
+    # auto_pin=False disables derivation entirely.
     num_partitions: int | None = None
 
 
@@ -124,6 +132,17 @@ class PersonLinkageCascade:
                      add_gammas). 'auto' uses the native JVM UDF when the
                      sparklinkage jar is shipped, else the Arrow pandas
                      UDF.
+    auto_pin:        derive a ``num_partitions`` pin for passes that
+                     leave it None (default True): the K8 pair estimate
+                     (already computed when ``collect_stats``) feeds
+                     ``derive_pair_pin``, so a pass whose pair output
+                     explodes relative to its input gets its reduce
+                     stage spread even though AQE — which sizes by
+                     shuffle INPUT bytes — cannot see the explosion
+                     (the r7 932s-serial regime, SKEW_BENCH_r07).
+                     Passes below the explosion gate keep their exact
+                     unpinned plan. With ``collect_stats=False`` the
+                     estimate costs two small aggs per pass.
     checkpoint:      'local' (default) truncates lineage with
                      localCheckpoint at every pass boundary; 'reliable'
                      uses the SparkContext checkpoint dir (set it first) —
@@ -150,9 +169,11 @@ class PersonLinkageCascade:
         collect_stats: bool = True,
         jw_strategy: str = "auto",
         checkpoint: str = "local",
+        auto_pin: bool = True,
     ) -> None:
         self.jw_strategy = jw_strategy
         self.checkpoint = checkpoint
+        self.auto_pin = auto_pin
         self.spark = spark
         self.census = census.persist(StorageLevel.MEMORY_AND_DISK)
         self.reference_files = reference_files
@@ -224,11 +245,16 @@ class PersonLinkageCascade:
         )
         return census_side, ref_side, block_on
 
-    def build_pass_links(self, pass_cfg: PassConfig) -> DataFrame:
+    def build_pass_links(
+        self, pass_cfg: PassConfig, num_partitions: int | None = None
+    ) -> DataFrame:
         """The (lazy) new-links pipeline for a pass: block-join → gamma →
         score → threshold → select. Exposed so plan pins can audit a pass
         without executing it — e.g. a bucketed reference file must show no
-        shuffle exchange on its side of the block join."""
+        shuffle exchange on its side of the block join. Stays fully lazy
+        (no auto-pin estimation jobs here — ``run_matching_pass`` resolves
+        the pin and passes it in); ``num_partitions`` overrides the pass
+        config's when given."""
         assert self._module is not None, "start_module first"
         cfg = self._module
         census_side, ref_side, block_on = self._pass_sides(pass_cfg)
@@ -243,7 +269,11 @@ class PersonLinkageCascade:
             ref_side,
             block_on,
             salt_partitions=pass_cfg.salt_partitions,
-            num_partitions=pass_cfg.num_partitions,
+            num_partitions=(
+                num_partitions
+                if num_partitions is not None
+                else pass_cfg.num_partitions
+            ),
         )
         # a column can be both blocking key and matching column (e.g. the
         # DOB parts in namesearch): blocked keys come out unsuffixed, so
@@ -271,16 +301,52 @@ class PersonLinkageCascade:
             F.lit(pass_cfg.name).alias("pass_name"),
         )
 
+    def resolve_pass_pin(self, pass_cfg: PassConfig) -> int | None:
+        """The pass's effective ``blocked_pairs`` partition pin: the
+        explicit config value, else (``auto_pin``) the one
+        :func:`derive_pair_pin` derives from the K8 estimate — so a
+        pair-exploding pass can no longer silently re-enter the
+        one-reduce-task regime because its author forgot the knob
+        (SKEW_BENCH_r07: salt WITHOUT the pin measured useless). Runs
+        the estimate's two small aggs; below the explosion gate returns
+        None and the pass keeps its exact unpinned plan."""
+        if pass_cfg.num_partitions is not None or not self.auto_pin:
+            return pass_cfg.num_partitions
+        census_side, ref_side, block_on = self._pass_sides(pass_cfg)
+        n_pairs, n_l, n_r = estimate_pair_stats(census_side, ref_side, block_on)
+        return derive_pair_pin(
+            n_pairs,
+            n_l,
+            n_r,
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+
     def run_matching_pass(self, pass_cfg: PassConfig) -> None:
         assert self._module is not None, "start_module first"
         cfg = self._module
-        if self.collect_stats:
+        need_estimate = self.collect_stats or (
+            self.auto_pin and pass_cfg.num_partitions is None
+        )
+        n_pairs = -1
+        pin = pass_cfg.num_partitions
+        if need_estimate:
             census_side, ref_side, block_on = self._pass_sides(pass_cfg)
-            n_pairs = estimate_pair_count(census_side, ref_side, block_on)
-        else:
-            n_pairs = -1
+            n_pairs, n_l, n_r = estimate_pair_stats(
+                census_side, ref_side, block_on
+            )
+            if pin is None and self.auto_pin:
+                pin = derive_pair_pin(
+                    n_pairs,
+                    n_l,
+                    n_r,
+                    int(
+                        self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+                    ),
+                )
 
-        new_links = self._truncate(self.build_pass_links(pass_cfg))
+        new_links = self._truncate(
+            self.build_pass_links(pass_cfg, num_partitions=pin)
+        )
         # with the eager checkpoint above the count is free, but under a
         # non-eager checkpoint mode it would be a whole extra job — only
         # pay it when stats were asked for

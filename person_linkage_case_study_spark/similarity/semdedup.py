@@ -421,7 +421,19 @@ def eps_similarity_edges_bucketed(
 
     # bucket sizes via window count over the scorer's own hash
     # partitioning (the exchange is shared with both applyInPandas
-    # branches — sizing adds no second shuffle of the keyed frame)
+    # branches — sizing adds no second shuffle of the keyed frame).
+    # The shared exchange is PINNED (r8, mirrors the grid-path fix
+    # below): many buckets near the cap have the same input-bytes-vs-
+    # compute mismatch the grid branch pins against (~4096 rows in,
+    # ~8M pair scores out), so AQE — which coalesces ENSURE_REQUIREMENTS
+    # exchanges by input bytes — could serialize sub-cap scoring into a
+    # few tasks. A user-specified repartition is AQE-exempt; the window
+    # and the small branch's groupBy().applyInPandas both reuse its
+    # hash distribution, so this is still ONE exchange.
+    n_shuffle = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    keyed = keyed.repartition(n_shuffle, *join_keys)
     w = Window.partitionBy(*join_keys)
     sized = keyed.withColumn("__bsz", F.count(F.lit(1)).over(w))
     small = sized.filter(F.col("__bsz") <= cap).drop("__bsz")
@@ -447,9 +459,6 @@ def eps_similarity_edges_bucketed(
     # repartition(n, keys) is user-specified partitioning, which AQE
     # honors; applyInPandas then reuses the distribution.
     grid_keys = [*join_keys, "__gc_i", "__gc_j"]
-    n_shuffle = int(
-        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
     big = big.repartition(n_shuffle, *grid_keys)
     big_edges = big.groupBy(*grid_keys).applyInPandas(score_grid, out_schema)
 
@@ -476,12 +485,18 @@ def semantic_dedup(
     picks it — ``"join"`` (:func:`eps_similarity_edges`) or ``"bucket"``
     (:func:`eps_similarity_edges_bucketed`; see its docstring for the
     shuffle-economics trade). Default (None) auto-selects: **bucket**
-    when the clustering is this module's own LSH (auto-planes bound
-    expected occupancy, the ``max_bucket`` grid-split bounds the
-    pathological buckets expectation can't — measured 756.4s → 36.5s at
-    1.05M×64d vectors, identical edges; SEMDEDUP_BENCH_r06), **join**
-    when the caller brings ``block_col`` (cluster sizes unknown — the
-    join scorer's pair shuffle spreads a hot cluster's scoring).
+    for both the module's own LSH clustering AND caller ``block_col``
+    (auto-planes bound expected occupancy, the ``max_bucket``
+    grid-split bounds arbitrary block sizes expectation can't —
+    measured 756.4s → 36.5s at 1.05M×64d vectors, identical edges,
+    SEMDEDUP_BENCH_r06; r8 re-routed ``block_col`` here after r7
+    measured the join scorer DNF'ing on a mega-block: its id-pair
+    stream is O(|block|²) rows BEFORE the DISTINCT can shrink it and
+    filled >80 GB of spill, while the grid-split was built precisely
+    for unknown cluster sizes — SEMDEDUP_BENCH_r07 scenario 1,
+    SEMDEDUP_BENCH_r08), **join** only when the caller brings
+    ``candidates=`` (an external pair stream is the one thing the
+    bucket scorer cannot consume).
 
     ``collapse_exact`` (default True, r7): byte-identical vectors are
     collapsed to one representative per group BEFORE clustering and
@@ -490,7 +505,10 @@ def semantic_dedup(
     pair scores, and every LSH bucket shrinks to distinct vectors.
     Decisions are IDENTICAL to the uncollapsed run: an exact copy's
     witnesses are its group representative (cosine exactly 1.0 after
-    rounding) and the representative's own witnesses, so
+    rounding) and the representative's own witnesses (and auto
+    ``n_planes`` is derived from the PRE-collapse count, so the LSH cut
+    itself is collapse-invariant — r8; post-collapse derivation could
+    pick a different plane count near a power-of-two boundary), so
     ``dup_of(member) = coalesce(dup_of(rep), rep)``; witnesses of any
     scored row can always be replaced by the (≤-id) representative of
     the same vector, so minima are unchanged. Zero-norm groups follow
@@ -503,7 +521,11 @@ def semantic_dedup(
     duplicate-free. Ignored when ``candidates=`` is supplied (the
     caller's pair stream references original ids).
     """
-    if scorer == "bucket" and kwargs.get("candidates") is not None:
+    # pop so an EXPLICIT candidates=None behaves like omission for both
+    # scorers (r7 advice: forwarding the key via **kwargs into the
+    # bucket scorer — which has no such parameter — raised TypeError)
+    candidates = kwargs.pop("candidates", None)
+    if scorer == "bucket" and candidates is not None:
         raise ValueError(
             "bucket scorer cannot consume a candidate stream — it "
             "generates and scores pairs inside each LSH bucket; pass "
@@ -511,19 +533,21 @@ def semantic_dedup(
         )
     if scorer is None:
         # candidates= implies the join path (the bucketed scorer has no
-        # candidate stream to score); caller block_col implies unknown
-        # cluster-size skew, where the join scorer's spread is safer
-        external_pairs = (
-            kwargs.get("block_col") is not None
-            or kwargs.get("candidates") is not None
-        )
-        scorer = "join" if external_pairs else "bucket"
+        # candidate stream to score). Everything else — own LSH or
+        # caller block_col — takes the bucket scorer: its max_bucket
+        # grid-split bounds ANY block size, where the join scorer's
+        # O(|block|²)-row id-pair stream DNF'd on a mega-block (r7
+        # measured >80 GB of spill; the r7 routing sent block_col to
+        # exactly that plan — fixed r8, SEMDEDUP_BENCH_r08)
+        scorer = "join" if candidates is not None else "bucket"
     edge_fn = {
         "join": eps_similarity_edges,
         "bucket": eps_similarity_edges_bucketed,
     }[scorer]
+    if candidates is not None:
+        kwargs["candidates"] = candidates  # join scorer only, by the above
 
-    if kwargs.get("candidates") is not None or not collapse_exact:
+    if candidates is not None or not collapse_exact:
         edges = edge_fn(
             corpus, id_col=id_col, vec_col=vec_col, threshold=threshold,
             **kwargs,
@@ -543,6 +567,18 @@ def semantic_dedup(
 
     blk = kwargs.get("block_col")
     proj = _project(corpus, id_col, vec_col, blk)
+    if blk is None and kwargs.get("n_planes") is None:
+        # derive auto-planes from the PRE-collapse count: _keyed_buckets
+        # would otherwise size the LSH from the post-collapse row count,
+        # and near a power-of-two boundary of n/target_occupancy the
+        # collapsed and uncollapsed runs would use different plane
+        # counts — a different approximate edge set, breaking the
+        # decisions-IDENTICAL contract above (r7 advice; the r7 bench
+        # checksums matched only because both sizes landed on the same
+        # ceil(log2(n/64))). One narrow count against the id projection.
+        kwargs["n_planes"] = auto_planes(
+            proj.count(), kwargs.get("target_occupancy", 64)
+        )
     # 128-bit vector hash (two independent xxhash64 seeds) as the group
     # key: hash-aggregable map-side (an array<double> group key is not),
     # collision odds ~n²/2¹²⁹ — negligible at any corpus size

@@ -304,3 +304,59 @@ def test_checkpoint_off_matches_local(spark, fixture, cascade_result):
     _, confirmed_rows = cascade_result
     want = {(r["record_id_raw_input_file"], r["pik"]) for r in confirmed_rows}
     assert got == want
+
+
+def test_auto_pin_resolution(spark):
+    """r8 auto-derived pair-explosion pin: a pass whose pair output
+    explodes relative to its input gets a derived num_partitions even
+    though its author set none (the r7 manual-knob regime: forgetting it
+    silently serialized 176M pairs into one AQE-coalesced reduce task);
+    a normal pass resolves to None (exact prior plan); an explicit value
+    always wins; auto_pin=False restores the manual contract."""
+    # one hot block: 400 x 400 = 160k pairs from 800 input rows
+    hot = [("Z", "B1", f"c{i}", "A", "A", "A", 1, 1, 1980) for i in range(400)]
+    census = spark.createDataFrame(
+        hot,
+        "zip3 string, geokey_for_blocking string, record_id string, "
+        "first_name_15 string, last_name_12 string, middle_initial string, "
+        "day_of_birth int, month_of_birth int, year_of_birth int",
+    ).withColumn("record_id_raw_input_file", F.col("record_id"))
+    ref = spark.createDataFrame(
+        [("Z", "B1", f"r{i}", "A", "A", "A", 1, 1, 1980, f"P{i}") for i in range(400)],
+        "zip3 string, geokey_for_blocking string, record_id string, "
+        "first_name_15 string, last_name_12 string, middle_initial string, "
+        "day_of_birth int, month_of_birth int, year_of_birth int, pik string",
+    )
+    # spread corpus: unique blocks, pairs == rows (below the gate)
+    spread_census = census.withColumn("geokey_for_blocking", F.col("record_id"))
+    spread_ref = ref.withColumn(
+        "geokey_for_blocking", F.regexp_replace("record_id", "r", "c")
+    )
+    matching = ["first_name_15", "last_name_12", "middle_initial",
+                "day_of_birth", "month_of_birth", "year_of_birth"]
+
+    def mk(census_df, ref_df, **cascade_kw):
+        c = PersonLinkageCascade(
+            spark, census_df, {"ref": ref_df}, make_model(), **cascade_kw
+        )
+        c.start_module(
+            ModuleConfig(
+                name="m", reference_file_name="ref", cut_columns=["zip3"],
+                matching_columns=matching,
+                passes=[],
+            )
+        )
+        return c
+
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hot_pass = PassConfig("p", ["geokey_for_blocking"], 0.9)
+    # exploding pass: derived pin (160k pairs >> 8x800 rows; byte sizing
+    # is below shuffle_partitions so the clamp floor applies)
+    assert mk(census, ref).resolve_pass_pin(hot_pass) == shuffle_parts
+    # spread pass: below the gate -> unpinned
+    assert mk(spread_census, spread_ref).resolve_pass_pin(hot_pass) is None
+    # explicit value wins over derivation
+    explicit = PassConfig("p", ["geokey_for_blocking"], 0.9, num_partitions=7)
+    assert mk(census, ref).resolve_pass_pin(explicit) == 7
+    # auto_pin=False: manual contract (None stays None)
+    assert mk(census, ref, auto_pin=False).resolve_pass_pin(hot_pass) is None

@@ -91,6 +91,62 @@ def test_estimate_pair_count(spark):
     assert estimate_pair_count(l, r, ["blk"]) == 4
 
 
+def test_blocked_pairs_pin_preserves_pairs(spark):
+    """num_partitions (alone and composed with salting) changes only the
+    shuffle partitioning, never the pair set."""
+    l = spark.createDataFrame([("k", i) for i in range(20)], ["blk", "lid"])
+    r = spark.createDataFrame([("k", i) for i in range(15)], ["blk", "rid"])
+    key = lambda rows: sorted((r["lid_l"], r["rid_r"]) for r in rows)
+    plain = key(blocked_pairs(l, r, ["blk"]).collect())
+    assert key(blocked_pairs(l, r, ["blk"], num_partitions=5).collect()) == plain
+    assert (
+        key(
+            blocked_pairs(
+                l, r, ["blk"], salt_partitions=7, num_partitions=5
+            ).collect()
+        )
+        == plain
+    )
+
+
+def test_estimate_pair_stats(spark):
+    """(pairs, n_left, n_right) in one pass: the pair total matches the
+    inner-join sum even though the plan is a full-outer join (keys on
+    one side only contribute zero pairs but DO count toward the row
+    totals), and NULL blocking keys count toward neither — they skip
+    the pass by equi-join semantics."""
+    from person_linkage_case_study_spark.operators.blocking import (
+        estimate_pair_stats,
+    )
+
+    l = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], ["blk"])
+    r = spark.createDataFrame([("a",), ("b",), ("b",), ("c",)], ["blk"])
+    assert estimate_pair_stats(l, r, ["blk"]) == (4, 3, 4)
+    empty = spark.createDataFrame([], "blk string")
+    assert estimate_pair_stats(empty, r, ["blk"]) == (0, 0, 4)
+
+
+def test_derive_pair_pin():
+    """The auto pin (r8): None below the explosion gate — passes whose
+    pair output is within a small factor of their input keep the exact
+    unpinned plan AQE already handles; above it, one partition per 64MB
+    of estimated pair bytes, clamped to [shuffle_partitions, cap]."""
+    from person_linkage_case_study_spark.operators.blocking import (
+        derive_pair_pin,
+    )
+
+    # below gate: pairs <= 8x input rows
+    assert derive_pair_pin(1000, 100, 100, 32) is None
+    assert derive_pair_pin(0, 0, 0, 32) is None
+    # the r7 measured regime: 176M pairs from 300k input rows
+    pin = derive_pair_pin(176_000_000, 150_000, 150_000, 32)
+    assert pin == -(-(176_000_000 * 256) // (64 << 20))  # ceil = 672
+    # never below the session's configured parallelism...
+    assert derive_pair_pin(10_000_000, 1000, 1000, 200) == 200
+    # ...never above the cap
+    assert derive_pair_pin(10**12, 10**6, 10**6, 32) == 4096
+
+
 def test_record_id_minting(spark):
     from person_linkage_case_study_spark.sources.io import add_record_id
 

@@ -388,6 +388,68 @@ def test_collapse_exact_zero_vectors_not_collapsed(spark):
                  4: (True, None)}
 
 
+def test_explicit_none_candidates_behaves_like_omission(spark, planted):
+    """candidates=None passed EXPLICITLY must behave like omission for
+    both scorers (r7 advice: the key used to be forwarded via **kwargs
+    into the bucket scorer — which has no such parameter — TypeError)."""
+    kw = dict(threshold=0.95, n_tables=4, n_planes=3, seed=11)
+    base = _decisions(semantic_dedup(planted, **kw))
+    for scorer in (None, "bucket", "join"):
+        d = _decisions(
+            semantic_dedup(planted, scorer=scorer, candidates=None, **kw)
+        )
+        assert d == base, scorer
+
+
+def test_block_col_routes_to_bucket_scorer(spark, planted):
+    """Auto-routing (r8): block_col WITHOUT candidates= takes the guarded
+    bucket scorer — its max_bucket grid-split bounds any block size,
+    where the join scorer's O(|block|²)-row id-pair stream DNF'd on the
+    r7 mega-block. candidates= still takes the join scorer (the only one
+    that can consume an external pair stream). Discriminator: the bucket
+    scorer scores inside applyInPandas groups (FlatMapGroupsInPandas);
+    the join scorer scores a pair stream through the Arrow pandas UDF
+    (ArrowEvalPython)."""
+    blocked = planted.withColumn("grp", (F.col("vec_id") % 3).cast("string"))
+    plan = (
+        semantic_dedup(blocked, threshold=0.95, block_col="grp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "ArrowEvalPython" not in plan
+    cand = semdedup_candidates(planted, n_tables=4, n_planes=3, seed=11)
+    plan_join = (
+        semantic_dedup(planted, threshold=0.95, candidates=cand)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan_join
+    assert "FlatMapGroupsInPandas" not in plan_join
+
+
+def test_collapse_auto_planes_from_precollapse_count(spark):
+    """Auto n_planes must be derived from the PRE-collapse count so the
+    LSH cut — and with it the decisions — is invariant to collapse_exact
+    (r7 advice). This corpus straddles the boundary: 5000 rows before
+    collapse (auto 7 planes), ~101 after (auto 1 plane); with
+    post-collapse derivation 9 of the ~40 cosine≈0.96 planted pairs land
+    on different decisions (verified against the simulated old behavior
+    when this test was written)."""
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((50, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i]) for i in range(50)]
+    for i in range(50):
+        p = base[i] + 0.073 * rng.standard_normal(DIM)
+        rows.append((1000 + i, p / np.linalg.norm(p)))
+    rows += [(2000 + j, base[0]) for j in range(4900)]
+    assert auto_planes(5000) != auto_planes(101)  # the boundary precondition
+    corpus = _corpus(spark, rows)
+    kw = dict(threshold=0.95, seed=11, n_tables=2)
+    a = _decisions(semantic_dedup(corpus, collapse_exact=True, **kw))
+    b = _decisions(semantic_dedup(corpus, collapse_exact=False, **kw))
+    assert a == b
+
+
 def test_collapse_exact_block_scoped(spark):
     """Identical vectors in DIFFERENT blocks never witness each other:
     the collapse group key includes the block."""

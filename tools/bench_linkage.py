@@ -238,7 +238,7 @@ def main() -> None:
     )
     census, ref = synthesize(spark, sf_dir, scale_mult)
     salt = pin = None
-    if mode in ("skew", "skew-salted"):
+    if mode in ("skew", "skew-salted", "skew-auto"):
         # cascade-path skew rehearsal: same hot-block shape as
         # tools/bench_skew.py, but the mitigation is measured through
         # blocking→gamma→score→argmax, not the isolated join. The
@@ -256,12 +256,15 @@ def main() -> None:
         census, ref = skew_transform(
             census, ref, hot_census_every=hot_c, hot_ref_every=hot_r
         )
-        salt = 32 if mode == "skew-salted" else None
+        salt = 32 if mode in ("skew-salted", "skew-auto") else None
         # the salted config also PINS the join partitioning: at this
         # corpus size AQE coalesces the pass's reduce stage to ~1 task
         # by input bytes (zstd crushes the replicated side), which would
         # serialize the scoring with or without salt — see
-        # PassConfig.num_partitions
+        # PassConfig.num_partitions. "skew-salted" pins MANUALLY (the r7
+        # measured config, 64); "skew-auto" leaves num_partitions=None so
+        # the cascade's derive_pair_pin supplies it from the K8 estimate
+        # — the r8 check that the auto pin matches the manual wall.
         pin = 64 if mode == "skew-salted" else None
     n_records = census.count()
     ref = ref.persist()
@@ -311,8 +314,12 @@ def main() -> None:
         ]
     )
     t0 = time.time()
+    # "skew" is the UNMITIGATED baseline: auto_pin off so the measured
+    # serial-reduce-task regime stays reproducible (with r8's default-on
+    # derivation it would otherwise self-mitigate)
     cascade = PersonLinkageCascade(
-        spark, census, {"ref": ref}, make_model(), collect_stats=False
+        spark, census, {"ref": ref}, make_model(), collect_stats=False,
+        auto_pin=(mode != "skew"),
     )
     confirmed = cascade.run(config)
     n_links = confirmed.count()
@@ -327,9 +334,11 @@ def main() -> None:
         "link_rate": round(n_links / n_records, 4),
         "sf": sf,
     }
-    if mode in ("skew", "skew-salted"):
+    if mode in ("skew", "skew-salted", "skew-auto"):
         hot_c = census.filter(F.col("zip3") == "H00").count()
         hot_r = ref.filter(F.col("zip3") == "H00").count()
+        # the SUM aggregate is NULL when no cold block co-occurs on both
+        # sides (fully-hot configuration) — coalesce like estimate_pair_count
         cold_pairs = (
             census.filter(F.col("zip3") != "H00")
             .groupBy("zip3", "geokey_for_blocking")
@@ -344,6 +353,7 @@ def main() -> None:
             )
             .agg(F.sum(F.col("nc") * F.col("nr")))
             .first()[0]
+            or 0
         )
         hot_pairs = hot_c * hot_r
         payload.update(

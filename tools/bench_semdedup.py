@@ -59,6 +59,25 @@ are work-shape changes, not answer changes) — the JSON carries an
 order-insensitive xxhash64 checksum over (id, kept, dup_of) to prove
 it across runs. Expected: all mega rows except the globally smallest
 id are dropped; ~zero false drops of base vectors.
+
+BLOCK_COL mode (r8 — the routing-fix rehearsal):
+
+  python tools/bench_semdedup.py blockcol [mult] [block_rows] [variant]
+
+brings caller-supplied clustering (``block_col``): a 100k×mult base
+corpus in ~64-row hash blocks plus ONE planted ``block_rows``-row block
+of DISTINCT near-identical vectors (0.005-amplitude per-row noise,
+mutual cosine ≈ 0.99997 — collapse_exact cannot help, the sub-threshold-
+mega regime's harder sibling with a full quadratic edge set). Variants:
+
+  default       the r8 routing: block_col → guarded bucket scorer
+                (max_bucket grid-split bounds the planted block)
+  join-routed   the r7 routing: block_col → join scorer, whose id-pair
+                stream is O(|block|²) rows BEFORE the DISTINCT can
+                shrink it (the plan that DNF'd >80 GB of spill on the
+                r7 mega-cluster)
+
+Same decision checksum across variants when both complete.
 """
 
 from __future__ import annotations
@@ -225,9 +244,103 @@ def main_mega() -> None:
     }))
 
 
+def synthesize_blockcol(
+    spark: SparkSession, n_base: int, block_rows: int
+) -> DataFrame:
+    """Base corpus in ~64-row hash blocks (caller-clustering stand-in for
+    an IVF cell / k-means assignment) + one planted ``block_rows``-row
+    block of DISTINCT near-identical vectors (one anchor, 0.005-amplitude
+    per-ROW hash noise — no two rows byte-identical, so collapse_exact
+    leaves all of them for the scorer). Planted ids start at n_base."""
+    n_blocks = max(1, n_base // 64)
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"),
+        _vec(F.col("id"), "v").alias("embedding"),
+        F.pmod(F.xxhash64("id", F.lit("blk"), F.lit(SEED)), F.lit(n_blocks))
+        .cast("string")
+        .alias("blk"),
+    )
+    hot = spark.range(n_base, n_base + block_rows).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(
+            _vec(F.lit(-1), "hot_anchor"),
+            _vec(F.col("id"), "hot_noise"),
+            lambda v, n: v + 0.005 * n,
+        ).alias("embedding"),
+        F.lit("HOT").alias("blk"),
+    )
+    return base.unionByName(hot)
+
+
+def main_blockcol() -> None:
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    block_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
+    variant = sys.argv[4] if len(sys.argv) > 4 else "default"
+    threshold = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
+
+    n_base = 100_000 * mult
+    heap_g = min(64, max(12, mult))
+    spark = get_spark(
+        "bench-semdedup-blockcol",
+        extra_conf={
+            "spark.driver.memory": f"{heap_g}g",
+            "spark.sql.shuffle.partitions": str(32 * max(1, mult // 4)),
+        },
+    )
+    from pyspark import StorageLevel
+
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        semantic_dedup,
+    )
+
+    corpus = synthesize_blockcol(spark, n_base, block_rows).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corpus.count()
+
+    variants = {
+        "default": dict(),                  # r8 routing: bucket + grid split
+        "join-routed": dict(scorer="join"),  # the r7 block_col routing
+    }
+    t0 = time.time()
+    out = semantic_dedup(
+        corpus, threshold=threshold, block_col="blk", dim=DIM,
+        **variants[variant],
+    )
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("kept") & (F.col("vec_id") >= n_base)).cast("long")).alias(
+            "hot_dropped"
+        ),
+        F.sum((~F.col("kept") & (F.col("vec_id") < n_base)).cast("long")).alias(
+            "base_dropped"
+        ),
+        F.expr("bit_xor(xxhash64(vec_id, kept, dup_of))").alias("checksum"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 1)
+
+    print(json.dumps({
+        "metric": "semdedup_blockcol_wall",
+        "value": wall,
+        "unit": "sec",
+        "variant": variant,
+        "vectors": int(stats["n"]),
+        "hot_block_rows": block_rows,
+        "hot_dropped": int(stats["hot_dropped"]),
+        "hot_recall": round(int(stats["hot_dropped"]) / (block_rows - 1), 6),
+        "base_dropped": int(stats["base_dropped"]),
+        "decision_checksum": int(stats["checksum"]),
+        "threshold": threshold,
+        "mult": mult,
+    }))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "mega":
         main_mega()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "blockcol":
+        main_blockcol()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
