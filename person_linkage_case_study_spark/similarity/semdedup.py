@@ -249,7 +249,7 @@ def eps_similarity_edges_bucketed(
     block_col: str | None = None,
     target_occupancy: int = 64,
     pair_chunk: int = 1 << 20,
-    max_bucket: int = 4096,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Same edge set as :func:`eps_similarity_edges`, different shuffle
     economics: pairs are scored INSIDE each LSH bucket by one
@@ -282,14 +282,29 @@ def eps_similarity_edges_bucketed(
     ``max_bucket`` rows are therefore *grid-split*: rows are dealt
     round-robin into ``ceil(|b|/max_bucket)`` chunks and every chunk
     pair (i ≤ j) becomes its own ``applyInPandas`` task — a 100k-row
-    bucket at the default cap turns into 325 tasks of ≤ cap²/2 pairs
+    bucket at the default cap turns into ~4.9k tasks of ≤ cap²/2 pairs
     instead of one 5·10⁹-pair straggler, at the cost of shipping each
-    oversized-bucket row ``n_chunks`` times (25 copies vs the join
+    oversized-bucket row ``n_chunks`` times (~98 copies vs the join
     scorer's ~|b| copies). Pair totals are unchanged: within-chunk
     pairs score in the diagonal (i=j) task, cross-chunk pairs in
     exactly one (i<j) task. Bucket sizes come from a window count over
     the SAME hash partitioning the scorer needs anyway, so the guard
     adds no extra shuffle of the keyed frame.
+
+    **Why the cap is 1024 (r8).** The cap bounds THREE things, and the
+    binding one is the *edge output batch*: pyspark's grouped-map
+    serializer converts each task's returned frame into ONE Arrow
+    record batch (``_create_batch`` per group in
+    ``sql/pandas/serializers.py`` — ``maxRecordsPerBatch`` slices UDF
+    *inputs*, never grouped-map *outputs*), and a fully-duplicate
+    chunk pair emits ~cap² edge rows in that single batch. At the r7
+    cap of 4096 a planted 50k-row all-≥-threshold block produced
+    ~16.8M-row / ~400 MB batches on 32 concurrent tasks and died in
+    the Arrow-Netty direct allocator (OutOfMemoryException, measured
+    r8); at 1024 the worst case is ~24 MB per task. The extra
+    grid-split fan-out this costs is noise (tasks stay ≥ 10 ms of BLAS
+    at ~0.5M pairs), and sub-cap buckets on the normal LSH path
+    (occupancy ~64) never feel the cap at either value.
 
     Scoring is a blocked BLAS cosine matrix (``V_block @ V.T`` with the
     norms factored out — r7; the r6 per-pair gather+einsum measured
@@ -424,8 +439,8 @@ def eps_similarity_edges_bucketed(
     # branches — sizing adds no second shuffle of the keyed frame).
     # The shared exchange is PINNED (r8, mirrors the grid-path fix
     # below): many buckets near the cap have the same input-bytes-vs-
-    # compute mismatch the grid branch pins against (~4096 rows in,
-    # ~8M pair scores out), so AQE — which coalesces ENSURE_REQUIREMENTS
+    # compute mismatch the grid branch pins against (~1k rows in,
+    # ~0.5M pair scores out), so AQE — which coalesces ENSURE_REQUIREMENTS
     # exchanges by input bytes — could serialize sub-cap scoring into a
     # few tasks. A user-specified repartition is AQE-exempt; the window
     # and the small branch's groupBy().applyInPandas both reuse its

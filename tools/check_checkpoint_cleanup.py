@@ -62,12 +62,12 @@ def main() -> None:
     spark.sparkContext.setCheckpointDir(ckpt_root)
 
     left = spark.range(200_000).select(
-        F.col("id").alias("k") % 100,
+        (F.col("id") % 100).alias("k"),
         (F.col("id") % 1000).cast("double").alias("s"),
         (F.col("id") % 1000 + 10).cast("double").alias("e"),
     )
     right = spark.range(50_000).select(
-        F.col("id").alias("k") % 100,
+        (F.col("id") % 100).alias("k"),
         (F.col("id") % 1000).cast("double").alias("rs"),
         (F.col("id") % 1000 + 5).cast("double").alias("re"),
     )
