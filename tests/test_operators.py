@@ -109,6 +109,21 @@ def test_blocked_pairs_pin_preserves_pairs(spark):
     )
 
 
+def test_blocked_pairs_pin_in_plan(spark):
+    """The pin must materialize as USER-SPECIFIED hash partitioning on
+    the join keys (RepartitionByExpression with an explicit partition
+    count) — that is what makes it exempt from AQE's input-bytes
+    coalescing; an ENSURE_REQUIREMENTS exchange would not be."""
+    l = spark.createDataFrame([("k", 1)], ["blk", "lid"])
+    r = spark.createDataFrame([("k", 2)], ["blk", "rid"])
+    plan = (
+        blocked_pairs(l, r, ["blk"], num_partitions=7)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("RepartitionByExpression [blk") == 2  # both sides
+    assert ", 7" in plan
+
+
 def test_estimate_pair_stats(spark):
     """(pairs, n_left, n_right) in one pass: the pair total matches the
     inner-join sum even though the plan is a full-outer join (keys on
