@@ -181,6 +181,11 @@ def main() -> None:
             "metric": "headline_queries_wall",
             "value": total,
             "unit": "sec",
+            # host-drift-normalized wall (r9): the probe measures the
+            # HOST (0.144 -> 0.244 -> 0.441s across r7-r9 artifacts on
+            # byte-identical work), so value/calib is the cross-round
+            # comparable number; raw `value` stays the contract metric
+            "value_per_calib": round(total / calib, 2),
             "queries": timings,
             "sf": sf,
             "calibration_sec": calib,

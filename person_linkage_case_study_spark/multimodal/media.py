@@ -6,16 +6,22 @@ interprets media bytes in the JVM. Decode / feature-extraction run as
 Arrow-batched ``mapInPandas`` so whole payload batches reach Python
 without per-row overhead.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this environment, so
-the decode step is stubbed: ``decode_image`` raises NotImplementedError
-unless a decoder is importable, and ``extract_media_features`` computes
-deterministic byte-level features (real plumbing, fake vision). The Spark
-side — schema, batching, partitioning, UDF signatures — is real and
-tested.
+Image decode (r9): PNG is decoded for REAL in pure Python — signature +
+IHDR parse, zlib IDAT inflate (stdlib), scanline de-filtering (all five
+PNG filter types) to a numpy pixel array — and JPEG headers are parsed
+for dimensions/components (entropy-coded pixel decode stays behind the
+PIL gate: a DCT decoder is out of scope, and the metadata is what the
+curation pipeline consumes). ``encode_png`` is the matching writer so
+fixtures and round-trip tests need no imaging library. Heavier codecs
+(ffmpeg/torchaudio, JPEG pixels) still gate on an import-try;
+``extract_media_features`` computes deterministic byte-level features
+wherever a codec is unavailable.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,24 +57,263 @@ def attach_media_payload(
     )
 
 
-def decode_image(payload: bytes):
-    """Decode an image payload → (height, width, channels) array.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (PNG spec 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    STUB: no imaging library ships in this container. The import gate
-    keeps the pipeline importable; wire PIL/cv2 here on a real cluster.
+
+def encode_png(pixels, color_type: int | None = None) -> bytes:
+    """Minimal, spec-correct PNG writer for 8-bit images (the fixture /
+    round-trip counterpart of :func:`parse_png` — no imaging library in
+    this container). ``pixels`` is a uint8 numpy array: (h, w) gray or
+    (h, w, c) with c ∈ {1, 2, 3, 4}. Rows are filtered with a rotating
+    None/Sub/Up schedule so decoders exercise real de-filtering, not
+    just filter-0 passthrough."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if _PNG_CHANNELS[color_type] != c:
+        raise ValueError(f"color_type {color_type} wants {_PNG_CHANNELS[color_type]} channels, got {c}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    flat = px.reshape(h, w * c).astype(np.int32)
+    for y in range(h):
+        ft = y % 3  # 0 None, 1 Sub, 2 Up (filter 2 on row 0 == None)
+        row = flat[y]
+        if ft == 1:
+            filtered = (row - np.concatenate(([0] * c, row[:-c]))) % 256
+        elif ft == 2:
+            prev = flat[y - 1] if y else np.zeros_like(row)
+            filtered = (row - prev) % 256
+        else:
+            filtered = row
+        raw.append(ft)
+        raw.extend(filtered.astype(np.uint8).tobytes())
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> dict:
+    """Pure-Python PNG decode: IHDR metadata always; for 8-bit
+    non-interlaced, non-palette images also the full pixel array (zlib
+    inflate + all five scanline filters per the PNG spec, 9.2) and its
+    mean. Returns ``{format, width, height, channels, bit_depth,
+    pixels, pixel_mean}`` — ``pixels``/``pixel_mean`` are None when only
+    metadata is decodable (16-bit, interlaced, palette)."""
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat = 8, bytearray()
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = _PNG_CHANNELS.get(color_type)
+    meta = {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": bit_depth,
+        "pixels": None,
+        "pixel_mean": None,
+    }
+    if bit_depth != 8 or color_type == 3 or interlace != 0 or not idat:
+        return meta  # metadata-only tier
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(height):
+        ft = raw[p]
+        line = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        p += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent, per-byte
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - channels] if i >= channels else 0
+                b = prev[i]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    cdiag = prev[i - channels] if i >= channels else 0
+                    pa, pb, pc = abs(b - cdiag), abs(a - cdiag), abs(a + b - 2 * cdiag)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cdiag)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    pixels = out.reshape(height, width, channels)
+    meta["pixels"] = pixels
+    meta["pixel_mean"] = float(pixels.mean())
+    return meta
+
+
+_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_jpeg(payload: bytes) -> dict:
+    """JPEG header parse: walk the marker segments to the first SOFn and
+    read precision / dimensions / component count. Pixel decode (huffman
+    + DCT) is deliberately NOT reimplemented — metadata is what the
+    curation pipeline consumes; wire PIL for pixels on a real cluster."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG (bad SOI)")
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in _SOF_MARKERS:
+            return {
+                "format": "jpeg",
+                "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                "channels": payload[i + 9],
+                "bit_depth": payload[i + 4],
+                "pixels": None,
+                "pixel_mean": None,
+            }
+        if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        i += 2 + seglen
+    raise ValueError("JPEG missing SOF header")
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload.
+
+    PNG decodes for REAL in pure Python (r9 — see :func:`parse_png`):
+    returns the (h, w, c) uint8 numpy array for 8-bit non-interlaced
+    images. JPEG and anything else fall through to PIL when importable;
+    otherwise NotImplementedError (a pure-Python huffman+DCT decoder is
+    out of scope — JPEG *metadata* is available via :func:`parse_jpeg`).
     """
+    if payload[:8] == _PNG_SIG:
+        meta = parse_png(payload)
+        if meta["pixels"] is not None:
+            return meta["pixels"]
     try:
-        from PIL import Image  # noqa: F401
+        import io
+
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires PIL/pillow, not available in this "
-            "environment; extract_media_features uses byte-level features"
+            "non-PNG (or 16-bit/palette/interlaced PNG) pixel decode "
+            "requires PIL/pillow, not available in this environment; "
+            "parse_png/parse_jpeg provide metadata and "
+            "extract_media_features byte-level features"
         ) from e
-    import io
-
-    from PIL import Image
-
     return Image.open(io.BytesIO(payload))
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+    ]
+)
+
+
+def extract_image_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas image decode over payload batches: PNG → full decode
+    (dims + channels + true pixel mean), JPEG → header metadata, other /
+    corrupt payloads → NULL columns (a 100 TB crawl always contains
+    garbage bytes; a decode kernel that throws on them kills the stage).
+    Same Arrow-batched shape as :func:`extract_media_features`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    if b[:8] == _PNG_SIG:
+                        m = parse_png(b)
+                    elif b[:3] == b"\xff\xd8\xff":
+                        m = parse_jpeg(b)
+                    else:
+                        m = None
+                except ValueError:
+                    m = None
+                if m is None:
+                    rows.append((media_id, None, None, None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            media_id,
+                            m["format"],
+                            m["width"],
+                            m["height"],
+                            m["channels"],
+                            m["bit_depth"],
+                            m["pixel_mean"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height", "channels",
+                    "bit_depth", "pixel_mean",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, IMAGE_META_SCHEMA
+    )
 
 
 FEATURE_SCHEMA = T.StructType(

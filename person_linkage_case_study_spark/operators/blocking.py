@@ -21,9 +21,28 @@ Scale notes:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class PairStats(NamedTuple):
+    """One-pass blocking-pass statistics (see :func:`estimate_pair_stats`).
+
+    ``max_key_pairs`` is the largest single blocking key's pair product —
+    the signal that says "this pass has a monster block": hash
+    partitioning sends ALL of one key's pairs to ONE reduce task no
+    matter how many partitions the join is pinned to, so only salting
+    (splitting the key itself) can spread it. Splink salts Spark passes
+    unconditionally for exactly this reason
+    (reference 03_link_datasets.ipynb:1971-1975, salting_partitions: 10).
+    """
+
+    pairs: int
+    n_left: int
+    n_right: int
+    max_key_pairs: int
 
 
 def blocked_pairs(
@@ -85,16 +104,19 @@ def blocked_pairs(
 
 def estimate_pair_stats(
     left: DataFrame, right: DataFrame, block_on: Sequence[str]
-) -> tuple[int, int, int]:
-    """``(pairs, n_left, n_right)`` from one aggregation pass: per-key
-    counts on each side, full-outer joined so ONE tiny job yields both
-    the inner-join pair total (Σ count_l × count_r where both sides
-    present — missing side coalesces to 0, contributing nothing, exactly
-    the inner-join sum) and each side's non-NULL-key row total (rows
-    NULL in any blocking key skip the pass by equi-join semantics, so
-    they are not input to the explosion either). The row totals feed
-    :func:`derive_pair_pin`'s explosion gate; the aggregated per-key
-    frames are tiny, so the extra sums are free."""
+) -> PairStats:
+    """``(pairs, n_left, n_right, max_key_pairs)`` from one aggregation
+    pass: per-key counts on each side, full-outer joined so ONE tiny job
+    yields the inner-join pair total (Σ count_l × count_r where both
+    sides present — missing side coalesces to 0, contributing nothing,
+    exactly the inner-join sum), each side's non-NULL-key row total
+    (rows NULL in any blocking key skip the pass by equi-join semantics,
+    so they are not input to the explosion either), and the hottest
+    single key's pair product. The row totals feed
+    :func:`derive_pair_pin`'s explosion gate; ``max_key_pairs`` feeds
+    :func:`derive_salt`'s hot-key gate (r9 — the other half of the
+    forgotten-knob regime); the aggregated per-key frames are tiny, so
+    the extra aggregates are free."""
     keys = list(block_on)
     # rows NULL in any blocking key never join — exclude them up front so
     # they land in neither the pair total nor the row totals (the NULL
@@ -105,18 +127,23 @@ def estimate_pair_stats(
         not_null = not_null & F.col(k).isNotNull()
     lc = left.filter(not_null).groupBy(*keys).agg(F.count(F.lit(1)).alias("__cl"))
     rc = right.filter(not_null).groupBy(*keys).agg(F.count(F.lit(1)).alias("__cr"))
+    key_pairs = F.coalesce("__cl", F.lit(0)) * F.coalesce("__cr", F.lit(0))
     row = (
         lc.join(rc, on=keys, how="full_outer")
         .agg(
-            F.sum(
-                F.coalesce("__cl", F.lit(0)) * F.coalesce("__cr", F.lit(0))
-            ).alias("pairs"),
+            F.sum(key_pairs).alias("pairs"),
             F.sum("__cl").alias("nl"),
             F.sum("__cr").alias("nr"),
+            F.max(key_pairs).alias("maxkp"),
         )
         .first()
     )
-    return int(row["pairs"] or 0), int(row["nl"] or 0), int(row["nr"] or 0)
+    return PairStats(
+        int(row["pairs"] or 0),
+        int(row["nl"] or 0),
+        int(row["nr"] or 0),
+        int(row["maxkp"] or 0),
+    )
 
 
 def estimate_pair_count(
@@ -139,6 +166,7 @@ def derive_pair_pin(
     pair_row_bytes: int = 256,
     target_partition_bytes: int = 64 << 20,
     explosion_ratio: float = 8.0,
+    min_output_partitions: int = 4,
     cap: int = 4096,
 ) -> int | None:
     """Auto-derived ``num_partitions`` pin for :func:`blocked_pairs`, or
@@ -164,8 +192,68 @@ def derive_pair_pin(
     the session's configured parallelism and never mints absurd task
     counts (at the cap, per-task pair volume grows with the explosion —
     the same graceful degradation a fixed conf has).
+
+    Absolute-output floor (r9 advice): a pass barely over the ratio
+    gate with a tiny ABSOLUTE output (e.g. 9k pairs from 1k rows) would
+    otherwise get pinned at the full session ``shuffle_partitions``,
+    disabling AQE coalescing on work that fits in one task anyway —
+    below ``min_output_partitions × target_partition_bytes`` of
+    estimated pair bytes, return ``None`` and let AQE size it.
+
+    AQE-interaction note: a user-specified repartition is exempt from
+    ALL AQE partition rewrites, including ``OptimizeSkewedJoin`` (which
+    only splits ENSURE_REQUIREMENTS exchanges) — so a pinned pass loses
+    AQE's runtime skew splitting. That is safe because the cascade
+    derives SALT alongside the pin (:func:`derive_salt`): any single
+    key whose pair product exceeds ~2 partitions' worth is split by
+    salting *before* the exchange, bounding the worst unsalted key task
+    at roughly ``2 × target_partition_bytes`` of pair output — the same
+    bound skew-join splitting would have produced. Callers pinning
+    WITHOUT salt derivation should know an unsalted hot key still lands
+    in one task.
     """
     if n_pairs <= 0 or n_pairs <= explosion_ratio * max(1, n_left + n_right):
         return None
+    if n_pairs * pair_row_bytes < min_output_partitions * target_partition_bytes:
+        return None
     n = -(-(n_pairs * pair_row_bytes) // target_partition_bytes)  # ceil
     return max(shuffle_partitions, min(int(n), cap))
+
+
+def derive_salt(
+    max_key_pairs: int,
+    *,
+    pair_row_bytes: int = 256,
+    target_partition_bytes: int = 64 << 20,
+    hot_factor: float = 2.0,
+    cap: int = 32,
+) -> int | None:
+    """Auto-derived ``salt_partitions`` for :func:`blocked_pairs`, or
+    ``None`` when no single key is hot enough to need splitting.
+
+    The regime (the half of the forgotten-knob problem the r8 auto-pin
+    could NOT fix): hash partitioning sends a single monster block's
+    every pair to ONE reduce task — a pin spreads *distinct* keys but
+    cannot split one hot key, so a pass author who forgot
+    ``salt_partitions`` re-entered the serial regime even with the pin
+    (SKEW_BENCH_r08 proved only pin derivation; salt was hard-coded in
+    the harness). The reference salts unconditionally on Spark
+    (``salting_partitions: 10``, 03_link_datasets.ipynb:1971-1975); we
+    gate instead because salting replicates the whole right side
+    ``n``× (:func:`blocked_pairs`) — pure cost for a skew-free pass.
+
+    Gate: the hottest key's pair product must exceed ``hot_factor``
+    tasks' worth of pair output (``target_partition_bytes /
+    pair_row_bytes`` pairs each) — below that, the straggler a hot key
+    can create is bounded at ~``hot_factor × target_partition_bytes``
+    (~128 MB), no worse than what AQE's own skew-split advisory
+    produces. Size: enough salt lanes to bring the hot key back to one
+    task's worth each, clamped to ``[2, cap]`` — at the cap the
+    replication cost (right side × cap) stops growing and the hot key's
+    lanes degrade gracefully, exactly like the pin's cap.
+    """
+    target_pairs = max(1, target_partition_bytes // pair_row_bytes)
+    if max_key_pairs <= hot_factor * target_pairs:
+        return None
+    n = -(-max_key_pairs // target_pairs)  # ceil
+    return max(2, min(int(n), cap))

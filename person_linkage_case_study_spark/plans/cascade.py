@@ -26,13 +26,16 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.blocking import (
+    PairStats,
     blocked_pairs,
     derive_pair_pin,
+    derive_salt,
     estimate_pair_stats,
 )
 from ..operators.dedup import keep_best, max_per_group_with_ties
 from ..operators.joins import anti_join
 from ..operators.scoring import LinkageModel, score_pairs
+from ..session import shuffle_partitions
 
 CENSUS_DAY = "2030-04-01"
 
@@ -60,6 +63,16 @@ class PassConfig:
     blocking_columns: list[str]
     probability_threshold: float = 0.97
     input_data_transformation: Callable[[DataFrame], DataFrame] | None = None
+    # splits hot blocking keys across n salt lanes (blocked_pairs
+    # salt_partitions — the reference's salting_partitions,
+    # 03_link_datasets.ipynb:1971-1975). None (default) = AUTO-DERIVE
+    # from the per-key max pair product in the K8 estimate (r9:
+    # derive_salt — the pin below spreads DISTINCT keys but hash
+    # partitioning still sends one monster key's every pair to ONE
+    # task, so a pass author who forgot this knob re-entered the
+    # serial regime even with the r8 auto-pin); an explicit int
+    # overrides (1 disables salting); the cascade's auto_pin=False
+    # disables derivation entirely.
     salt_partitions: int | None = None
     # pins the block join's shuffle partitioning (blocked_pairs
     # num_partitions). Needed whenever the pass's INPUT is small but its
@@ -90,6 +103,18 @@ class ModuleConfig:
 @dataclass
 class CascadeConfig:
     modules: list[ModuleConfig]
+
+
+@dataclass(frozen=True)
+class PassPlan:
+    """A pass's resolved physical knobs (see ``resolve_pass_plan``):
+    the effective partition pin and salt for ``blocked_pairs``, plus the
+    K8 estimate that derived them (``stats`` is None when the estimate
+    wasn't needed — both knobs explicit and stats not requested)."""
+
+    stats: PairStats | None
+    num_partitions: int | None
+    salt_partitions: int | None
 
 
 @dataclass
@@ -246,14 +271,18 @@ class PersonLinkageCascade:
         return census_side, ref_side, block_on
 
     def build_pass_links(
-        self, pass_cfg: PassConfig, num_partitions: int | None = None
+        self,
+        pass_cfg: PassConfig,
+        num_partitions: int | None = None,
+        salt_partitions: int | None = None,
     ) -> DataFrame:
         """The (lazy) new-links pipeline for a pass: block-join → gamma →
         score → threshold → select. Exposed so plan pins can audit a pass
         without executing it — e.g. a bucketed reference file must show no
         shuffle exchange on its side of the block join. Stays fully lazy
         (no auto-pin estimation jobs here — ``run_matching_pass`` resolves
-        the pin and passes it in); ``num_partitions`` overrides the pass
+        the knobs via ``resolve_pass_plan`` and passes them in);
+        ``num_partitions`` / ``salt_partitions`` override the pass
         config's when given."""
         assert self._module is not None, "start_module first"
         cfg = self._module
@@ -268,7 +297,11 @@ class PersonLinkageCascade:
             census_side,
             ref_side,
             block_on,
-            salt_partitions=pass_cfg.salt_partitions,
+            salt_partitions=(
+                salt_partitions
+                if salt_partitions is not None
+                else pass_cfg.salt_partitions
+            ),
             num_partitions=(
                 num_partitions
                 if num_partitions is not None
@@ -301,51 +334,61 @@ class PersonLinkageCascade:
             F.lit(pass_cfg.name).alias("pass_name"),
         )
 
-    def resolve_pass_pin(self, pass_cfg: PassConfig) -> int | None:
-        """The pass's effective ``blocked_pairs`` partition pin: the
-        explicit config value, else (``auto_pin``) the one
-        :func:`derive_pair_pin` derives from the K8 estimate — so a
-        pair-exploding pass can no longer silently re-enter the
-        one-reduce-task regime because its author forgot the knob
-        (SKEW_BENCH_r07: salt WITHOUT the pin measured useless). Runs
-        the estimate's two small aggs; below the explosion gate returns
-        None and the pass keeps its exact unpinned plan."""
-        if pass_cfg.num_partitions is not None or not self.auto_pin:
-            return pass_cfg.num_partitions
+    def resolve_pass_plan(
+        self, pass_cfg: PassConfig, force_estimate: bool = False
+    ) -> PassPlan:
+        """The pass's effective physical knobs in ONE place (r9 advice:
+        ``resolve_pass_pin`` and ``run_matching_pass`` used to duplicate
+        this derivation — two copies that could drift, and an auditing
+        caller paid the estimate job twice).
+
+        Each knob is the explicit config value, else (``auto_pin``) the
+        one derived from the K8 estimate: :func:`derive_pair_pin` for
+        the partition pin (a pair-exploding pass can no longer silently
+        re-enter the one-reduce-task regime because its author forgot
+        the knob — SKEW_BENCH_r07: salt WITHOUT the pin measured
+        useless) and :func:`derive_salt` for the salt (the OTHER half of
+        that regime — the pin spreads distinct keys but cannot split ONE
+        monster key; SKEW_BENCH_r08's auto row still hard-coded salt).
+        Runs the estimate's two small aggs only when a knob needs
+        deriving (or ``force_estimate`` — stats collection reuses the
+        same job); with both knobs explicit it is free."""
+        pin = pass_cfg.num_partitions
+        salt = pass_cfg.salt_partitions
+        derive = self.auto_pin and (pin is None or salt is None)
+        if not (derive or force_estimate):
+            return PassPlan(None, pin, salt)
         census_side, ref_side, block_on = self._pass_sides(pass_cfg)
-        n_pairs, n_l, n_r = estimate_pair_stats(census_side, ref_side, block_on)
-        return derive_pair_pin(
-            n_pairs,
-            n_l,
-            n_r,
-            int(self.spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        )
+        stats = estimate_pair_stats(census_side, ref_side, block_on)
+        if self.auto_pin:
+            if pin is None:
+                pin = derive_pair_pin(
+                    stats.pairs,
+                    stats.n_left,
+                    stats.n_right,
+                    shuffle_partitions(self.spark),
+                )
+            if salt is None:
+                salt = derive_salt(stats.max_key_pairs)
+        return PassPlan(stats, pin, salt)
+
+    def resolve_pass_pin(self, pass_cfg: PassConfig) -> int | None:
+        """The pass's effective ``blocked_pairs`` partition pin (see
+        ``resolve_pass_plan``, which this delegates to)."""
+        return self.resolve_pass_plan(pass_cfg).num_partitions
 
     def run_matching_pass(self, pass_cfg: PassConfig) -> None:
         assert self._module is not None, "start_module first"
         cfg = self._module
-        need_estimate = self.collect_stats or (
-            self.auto_pin and pass_cfg.num_partitions is None
-        )
-        n_pairs = -1
-        pin = pass_cfg.num_partitions
-        if need_estimate:
-            census_side, ref_side, block_on = self._pass_sides(pass_cfg)
-            n_pairs, n_l, n_r = estimate_pair_stats(
-                census_side, ref_side, block_on
-            )
-            if pin is None and self.auto_pin:
-                pin = derive_pair_pin(
-                    n_pairs,
-                    n_l,
-                    n_r,
-                    int(
-                        self.spark.conf.get("spark.sql.shuffle.partitions", "200")
-                    ),
-                )
+        plan = self.resolve_pass_plan(pass_cfg, force_estimate=self.collect_stats)
+        n_pairs = plan.stats.pairs if plan.stats is not None else -1
 
         new_links = self._truncate(
-            self.build_pass_links(pass_cfg, num_partitions=pin)
+            self.build_pass_links(
+                pass_cfg,
+                num_partitions=plan.num_partitions,
+                salt_partitions=plan.salt_partitions,
+            )
         )
         # with the eager checkpoint above the count is free, but under a
         # non-eager checkpoint mode it would be a whole extra job — only

@@ -2271,13 +2271,38 @@ def _mm_features_oracle() -> str:
              list_reduce(list(byte ORDER BY i) FILTER (i <= 64),
                          (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
       FROM pos GROUP BY media_id
+    ),
+    -- r9: the PNG round-trip tier. The Spark side ENCODES a real PNG per
+    -- document (dims / channels / sequential pixel ramp all arithmetic in
+    -- doc_id, ramp short enough never to wrap mod 256) and DECODES it with
+    -- the pure-Python decoder (zlib inflate + de-filtering), so the oracle
+    -- can state the expected metadata and exact pixel mean
+    -- (v0 + (N-1)/2 for a v0..v0+N-1 ramp) in closed form: a value-hash
+    -- match proves the encode->decode loop is bit-faithful.
+    img AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             'png' AS img_format,
+             CAST(1 + CAST(doc_id AS BIGINT) % 7 AS INT) AS img_width,
+             CAST(1 + CAST(doc_id AS BIGINT) % 5 AS INT) AS img_height,
+             CAST(CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END
+                  AS INT) AS img_channels,
+             round(CAST(doc_id AS BIGINT) % 150
+                   + ((1 + CAST(doc_id AS BIGINT) % 7)
+                      * (1 + CAST(doc_id AS BIGINT) % 5)
+                      * (CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+                              THEN 3 ELSE 1 END) - 1) / 2.0,
+                   6) AS img_pixel_mean
+      FROM documents
     )
     SELECT b.media_id, d.source, b.n_bytes,
            round(coalesce(ent.e, 0.0), 6) + 0.0 AS byte_entropy,
-           CAST(coalesce(heads.hh, 0) AS BIGINT) AS head_hash
+           CAST(coalesce(heads.hh, 0) AS BIGINT) AS head_hash,
+           img.img_format, img.img_width, img.img_height, img.img_channels,
+           img.img_pixel_mean
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
     JOIN (SELECT CAST(doc_id AS BIGINT) AS media_id, source FROM documents) d
       USING (media_id)
+    JOIN img USING (media_id)
     """
 
 
@@ -2286,10 +2311,24 @@ def _mm_features_oracle() -> str:
 # the Arrow kernel's output, the former mm_media_byte_stats metadata
 # surface folded in). The features are deterministic byte arithmetic, so
 # even the Arrow/mapInPandas path is value-hash checked against a
-# pure-SQL replica (see _mm_features_oracle).
+# pure-SQL replica (see _mm_features_oracle). r9 adds the REAL image
+# decode tier: every document gets an actual PNG (pure-Python encoder,
+# dims/pixels arithmetic in doc_id) which the pure-Python decoder (zlib
+# inflate + all-filters de-filtering, multimodal/media.py parse_png)
+# decodes back — the oracle states the expected metadata and exact pixel
+# mean in closed form, so the value hash proves the encode→decode loop
+# bit-faithful on every row.
 @query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .multimodal.media import attach_media_payload, extract_media_features
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal.media import (
+        attach_media_payload,
+        encode_png,
+        extract_image_meta,
+        extract_media_features,
+    )
 
     d = _t(spark, sf_dir, "documents")
     media = attach_media_payload(
@@ -2297,12 +2336,53 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_media_features(media)
     feats = feats.join(media.select("media_id", "source"), on="media_id")
-    return feats.select(
+
+    def mk_png(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 7, 1 + mid % 5
+                c = 3 if mid % 2 == 0 else 1
+                v0 = mid % 150  # ramp v0..v0+N-1 stays < 256 (N <= 105)
+                px = (
+                    (v0 + np.arange(w * h * c)).astype(np.uint8).reshape(h, w, c)
+                )
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    from pyspark.sql import types as T
+
+    pngs = media.select("media_id").mapInPandas(
+        mk_png,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    img = extract_image_meta(pngs).select(
+        "media_id",
+        F.col("format").alias("img_format"),
+        F.col("width").alias("img_width"),
+        F.col("height").alias("img_height"),
+        F.col("channels").alias("img_channels"),
+        F.round("pixel_mean", 6).alias("img_pixel_mean"),
+    )
+    return feats.join(img, on="media_id").select(
         "media_id",
         "source",
         "n_bytes",
         (F.round("byte_entropy", 6) + F.lit(0.0)).alias("byte_entropy"),
         "head_hash",
+        "img_format",
+        "img_width",
+        "img_height",
+        "img_channels",
+        "img_pixel_mean",
     )
 
 

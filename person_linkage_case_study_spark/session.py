@@ -39,6 +39,17 @@ _DEFAULT_CONF = {
 }
 
 
+def shuffle_partitions(spark: SparkSession, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerant of platforms
+    that set it to a non-integer value such as ``"auto"`` (some managed
+    runtimes do) — the sizing heuristics that read it must degrade to a
+    default, not turn a perf hint into a pass-aborting ValueError."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (TypeError, ValueError):
+        return default
+
+
 def _under_spark_submit() -> bool:
     """True when this python process was launched BY ``spark-submit``
     (its PythonRunner starts the py4j gateway and exports the port to

@@ -250,6 +250,7 @@ def eps_similarity_edges_bucketed(
     target_occupancy: int = 64,
     pair_chunk: int = 1 << 20,
     max_bucket: int = 1024,
+    max_grid_tasks: int = 100_000,
 ) -> DataFrame:
     """Same edge set as :func:`eps_similarity_edges`, different shuffle
     economics: pairs are scored INSIDE each LSH bucket by one
@@ -305,6 +306,23 @@ def eps_similarity_edges_bucketed(
     grid-split fan-out this costs is noise (tasks stay ≥ 10 ms of BLAS
     at ~0.5M pairs), and sub-cap buckets on the normal LSH path
     (occupancy ~64) never feel the cap at either value.
+
+    **Degenerate-input ceiling (``max_grid_tasks``, r9).** The
+    grid-split's work is quadratic in oversized-block size —
+    ``ceil(|b|/max_bucket)²/2`` chunk-pair tasks, each row shipped
+    ``n_chunks`` times. The measured 50k block → ~1.2k tasks is the
+    design point; a hypothetical 10M-row near-identical block would
+    mint ~48M chunk-pair groups and replicate every row ~9.8k times —
+    but that input is ~5·10¹³ pair scores and NO scorer survives it
+    (at 10⁷ pairs/s/core × 32 cores it is ~50 days of BLAS), so the
+    right response is a typed refusal, not a faster grid. Any
+    bucket/block whose chunk-pair count exceeds ``max_grid_tasks``
+    fails fast with an error naming the remedies (``collapse_exact``
+    — which dissolves exact-duplicate mega-blocks entirely — a higher
+    ``threshold``, or a finer ``block_col``). The guard is a per-row
+    ``assert_true`` folded into the chunk-assignment projection, so it
+    costs nothing and fires BEFORE the explode replicates a single
+    row. At the defaults it trips at blocks > ~458k rows ≈ 10¹¹ pairs.
 
     Scoring is a blocked BLAS cosine matrix (``V_block @ V.T`` with the
     norms factored out — r7; the r6 per-pair gather+einsum measured
@@ -445,9 +463,9 @@ def eps_similarity_edges_bucketed(
     # few tasks. A user-specified repartition is AQE-exempt; the window
     # and the small branch's groupBy().applyInPandas both reuse its
     # hash distribution, so this is still ONE exchange.
-    n_shuffle = int(
-        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    from ..session import shuffle_partitions
+
+    n_shuffle = shuffle_partitions(corpus.sparkSession)
     keyed = keyed.repartition(n_shuffle, *join_keys)
     w = Window.partitionBy(*join_keys)
     sized = keyed.withColumn("__bsz", F.count(F.lit(1)).over(w))
@@ -457,8 +475,33 @@ def eps_similarity_edges_bucketed(
     big = sized.filter(F.col("__bsz") > cap)
     n_chunks = F.ceil(F.col("__bsz") / F.lit(cap)).cast("int")
     rn = F.row_number().over(Window.partitionBy(*join_keys).orderBy("__id"))
+    # degenerate-input refusal (see docstring): evaluated per row in the
+    # SAME projection that assigns chunks, so it fires before the explode
+    # below replicates anything. Folded into __c (coalesce of the NULL
+    # assert_true result) so column pruning can't drop it.
+    n_tasks = (n_chunks.cast("bigint") * (n_chunks.cast("bigint") + 1)) / F.lit(2)
+    guard = F.coalesce(
+        F.assert_true(
+            n_tasks <= F.lit(max_grid_tasks),
+            F.concat(
+                F.lit("semantic-dedup grid-split refused: one bucket/block of "),
+                F.col("__bsz").cast("string"),
+                F.lit(" rows would mint "),
+                n_tasks.cast("bigint").cast("string"),
+                F.lit(
+                    f" chunk-pair tasks (max_grid_tasks={max_grid_tasks})"
+                    " — ~|block|^2/2 pair scores, beyond any scorer."
+                    " Remedies: collapse_exact=True dissolves"
+                    " exact-duplicate mega-blocks; raise threshold; use a"
+                    " finer block_col; or raise max_grid_tasks if you"
+                    " really have the cluster-days."
+                ),
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
     big = (
-        big.withColumn("__c", F.pmod(rn - 1, n_chunks).cast("int"))
+        big.withColumn("__c", (F.pmod(rn - 1, n_chunks) + guard).cast("int"))
         .withColumn("__p", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))))
         .withColumn("__gc_i", F.least("__c", "__p"))
         .withColumn("__gc_j", F.greatest("__c", "__p"))

@@ -307,14 +307,20 @@ def test_checkpoint_off_matches_local(spark, fixture, cascade_result):
 
 
 def test_auto_pin_resolution(spark):
-    """r8 auto-derived pair-explosion pin: a pass whose pair output
-    explodes relative to its input gets a derived num_partitions even
-    though its author set none (the r7 manual-knob regime: forgetting it
-    silently serialized 176M pairs into one AQE-coalesced reduce task);
-    a normal pass resolves to None (exact prior plan); an explicit value
-    always wins; auto_pin=False restores the manual contract."""
-    # one hot block: 400 x 400 = 160k pairs from 800 input rows
-    hot = [("Z", "B1", f"c{i}", "A", "A", "A", 1, 1, 1980) for i in range(400)]
+    """r8 auto-derived pair-explosion pin + r9 auto salt: a pass whose
+    pair output explodes relative to its input gets a derived
+    num_partitions even though its author set none (the r7 manual-knob
+    regime: forgetting it silently serialized 176M pairs into one
+    AQE-coalesced reduce task), and a pass with ONE monster key gets a
+    derived salt_partitions (the pin spreads distinct keys; hash
+    partitioning still sends a single hot key's every pair to one task);
+    a normal pass resolves to (None, None) (exact prior plan); explicit
+    values always win; auto_pin=False restores the manual contract.
+    1024x1024 = 1,048,576 pairs from 2,048 rows sits exactly at the r9
+    absolute-output floor (4 x 64MB of pair bytes) so the pin still
+    fires, and over the salt gate (2 tasks' worth = 524,288 pairs)."""
+    # one hot block: 1024 x 1024 pairs from 2,048 input rows
+    hot = [("Z", "B1", f"c{i}", "A", "A", "A", 1, 1, 1980) for i in range(1024)]
     census = spark.createDataFrame(
         hot,
         "zip3 string, geokey_for_blocking string, record_id string, "
@@ -322,7 +328,7 @@ def test_auto_pin_resolution(spark):
         "day_of_birth int, month_of_birth int, year_of_birth int",
     ).withColumn("record_id_raw_input_file", F.col("record_id"))
     ref = spark.createDataFrame(
-        [("Z", "B1", f"r{i}", "A", "A", "A", 1, 1, 1980, f"P{i}") for i in range(400)],
+        [("Z", "B1", f"r{i}", "A", "A", "A", 1, 1, 1980, f"P{i}") for i in range(1024)],
         "zip3 string, geokey_for_blocking string, record_id string, "
         "first_name_15 string, last_name_12 string, middle_initial string, "
         "day_of_birth int, month_of_birth int, year_of_birth int, pik string",
@@ -350,13 +356,43 @@ def test_auto_pin_resolution(spark):
 
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     hot_pass = PassConfig("p", ["geokey_for_blocking"], 0.9)
-    # exploding pass: derived pin (160k pairs >> 8x800 rows; byte sizing
-    # is below shuffle_partitions so the clamp floor applies)
-    assert mk(census, ref).resolve_pass_pin(hot_pass) == shuffle_parts
-    # spread pass: below the gate -> unpinned
-    assert mk(spread_census, spread_ref).resolve_pass_pin(hot_pass) is None
-    # explicit value wins over derivation
-    explicit = PassConfig("p", ["geokey_for_blocking"], 0.9, num_partitions=7)
+    # exploding pass: derived pin (1M pairs >> 8x2k rows; byte sizing is
+    # below shuffle_partitions so the clamp floor applies) AND derived
+    # salt (the single B1 key carries all 1M pairs > the 2-task gate;
+    # 1,048,576 / 262,144 = 4 lanes)
+    plan = mk(census, ref).resolve_pass_plan(hot_pass)
+    assert plan.num_partitions == shuffle_parts
+    assert plan.salt_partitions == 4
+    assert plan.stats is not None and plan.stats.max_key_pairs == 1024 * 1024
+    # spread pass: below both gates -> exact prior plan
+    spread = mk(spread_census, spread_ref).resolve_pass_plan(hot_pass)
+    assert spread.num_partitions is None and spread.salt_partitions is None
+    # explicit values win over derivation (salt=1 explicitly DISABLES)
+    explicit = PassConfig(
+        "p", ["geokey_for_blocking"], 0.9, num_partitions=7, salt_partitions=1
+    )
+    explicit_plan = mk(census, ref).resolve_pass_plan(explicit)
+    assert explicit_plan.num_partitions == 7
+    assert explicit_plan.salt_partitions == 1
+    # resolve_pass_pin delegates (kept API)
     assert mk(census, ref).resolve_pass_pin(explicit) == 7
-    # auto_pin=False: manual contract (None stays None)
-    assert mk(census, ref, auto_pin=False).resolve_pass_pin(hot_pass) is None
+    # auto_pin=False: manual contract (None stays None, no estimate job)
+    off = mk(census, ref, auto_pin=False).resolve_pass_plan(hot_pass)
+    assert off.num_partitions is None and off.salt_partitions is None
+    assert off.stats is None
+    # the derived salt reaches the physical pass: the left side's
+    # pmod(hash(...), 4) salt lane assignment is in the optimized plan
+    # (the right side's sequence-explode constant-folds to an opaque
+    # UnsafeArrayData, so the deterministic pin is the hash side)
+    plan_str = (
+        mk(census, ref)
+        .build_pass_links(
+            hot_pass,
+            num_partitions=plan.num_partitions,
+            salt_partitions=plan.salt_partitions,
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert ", 4) AS __salt" in plan_str

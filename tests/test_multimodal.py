@@ -1,12 +1,21 @@
-"""Multimodal plumbing: binary payload schema, mapInPandas batching, stubs."""
+"""Multimodal plumbing: binary payload schema, mapInPandas batching, and
+the r9 pure-Python PNG decode / JPEG header parse."""
 
+import struct
+import zlib
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from person_linkage_case_study_spark.multimodal.media import (
     attach_media_payload,
     decode_image,
+    encode_png,
+    extract_image_meta,
     extract_media_features,
+    parse_jpeg,
+    parse_png,
     sample_frames,
 )
 
@@ -30,8 +39,129 @@ def test_media_schema(media):
 
 
 def test_decode_stub_raises():
+    # a PNG-signature-less payload still routes to the PIL gate
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG....")
+
+
+def test_png_round_trip_all_layouts():
+    """encode_png → parse_png recovers exact pixels for gray / RGB /
+    RGBA (the encoder's rotating None/Sub/Up filter schedule exercises
+    real de-filtering), and decode_image returns the array directly."""
+    rng = np.random.default_rng(42)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(7, 5, c), dtype=np.uint8)
+        payload = encode_png(px)
+        m = parse_png(payload)
+        assert (m["width"], m["height"], m["channels"], m["bit_depth"]) == (
+            5, 7, c, 8,
+        )
+        assert np.array_equal(m["pixels"], px)
+        assert m["pixel_mean"] == pytest.approx(px.mean())
+        assert np.array_equal(decode_image(payload), px)
+
+
+def test_png_average_and_paeth_filters():
+    """Filters 3 (Average) and 4 (Paeth) aren't produced by encode_png's
+    schedule, so build the filtered IDAT stream by hand (golden values
+    from the spec's predictor definitions) and check reconstruction."""
+    # 2x3 gray image, known pixels
+    px = np.array([[10, 20, 30], [40, 60, 90]], dtype=np.uint8)
+    stride = 3
+    # row 0 with filter 3 (Average, prev=0): f[i] = x[i] - floor(left/2)
+    r0 = [10, (20 - 10 // 2) % 256, (30 - 20 // 2) % 256]
+    # row 1 with filter 4 (Paeth): pred = paeth(left, up, up-left)
+    def paeth(a, b, cc):
+        pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    r1 = [
+        (40 - paeth(0, 10, 0)) % 256,
+        (60 - paeth(40, 20, 10)) % 256,
+        (90 - paeth(60, 30, 20)) % 256,
+    ]
+    raw = bytes([3] + r0 + [4] + r1)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    m = parse_png(payload)
+    assert np.array_equal(m["pixels"].reshape(2, 3), px)
+
+
+def test_png_metadata_only_tiers():
+    """16-bit PNGs decode metadata but not pixels (documented tier)."""
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 4, 16, 2, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    m = parse_png(payload)
+    assert (m["width"], m["height"], m["channels"], m["bit_depth"]) == (9, 4, 3, 16)
+    assert m["pixels"] is None and m["pixel_mean"] is None
+
+
+def _jpeg_header(width, height, ncomp=3, precision=8):
+    """Minimal JPEG byte stream: SOI, APP0, SOF0 (no scan data needed
+    for header parsing)."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof = (
+        bytes([precision])
+        + struct.pack(">HH", height, width)
+        + bytes([ncomp])
+        + b"\x01\x22\x00" * ncomp
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    )
+
+
+def test_jpeg_header_parse():
+    m = parse_jpeg(_jpeg_header(640, 480, ncomp=3))
+    assert (m["width"], m["height"], m["channels"], m["bit_depth"]) == (
+        640, 480, 3, 8,
+    )
+    assert m["format"] == "jpeg" and m["pixels"] is None
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"not a jpeg")
+
+
+def test_extract_image_meta_spark(spark):
+    """The decode kernel over Spark: PNG fully decoded, JPEG header
+    parsed, garbage bytes → NULLs (never a stage kill)."""
+    png = encode_png(np.full((4, 6, 3), 100, dtype=np.uint8))
+    jpg = _jpeg_header(320, 200, ncomp=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(b"garbage")),
+         (4, None)],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in extract_image_meta(media).collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"],
+            rows[1]["channels"]) == ("png", 6, 4, 3)
+    assert rows[1]["pixel_mean"] == pytest.approx(100.0)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == (
+        "jpeg", 320, 200,
+    )
+    assert rows[3]["format"] is None and rows[4]["format"] is None
 
 
 def test_feature_extraction(media):

@@ -136,9 +136,10 @@ def test_estimate_pair_stats(spark):
 
     l = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], ["blk"])
     r = spark.createDataFrame([("a",), ("b",), ("b",), ("c",)], ["blk"])
-    assert estimate_pair_stats(l, r, ["blk"]) == (4, 3, 4)
+    # r9: 4th field is the hottest key's pair product (a: 2x1, b: 1x2)
+    assert estimate_pair_stats(l, r, ["blk"]) == (4, 3, 4, 2)
     empty = spark.createDataFrame([], "blk string")
-    assert estimate_pair_stats(empty, r, ["blk"]) == (0, 0, 4)
+    assert estimate_pair_stats(empty, r, ["blk"]) == (0, 0, 4, 0)
 
 
 def test_derive_pair_pin():
@@ -153,6 +154,10 @@ def test_derive_pair_pin():
     # below gate: pairs <= 8x input rows
     assert derive_pair_pin(1000, 100, 100, 32) is None
     assert derive_pair_pin(0, 0, 0, 32) is None
+    # r9 absolute-output floor: over the ratio gate but the whole pair
+    # output is ~2 MB — pinning at session parallelism would only
+    # disable AQE coalescing on work that fits one task
+    assert derive_pair_pin(9_000, 500, 500, 200) is None
     # the r7 measured regime: 176M pairs from 300k input rows
     pin = derive_pair_pin(176_000_000, 150_000, 150_000, 32)
     assert pin == -(-(176_000_000 * 256) // (64 << 20))  # ceil = 672
@@ -160,6 +165,26 @@ def test_derive_pair_pin():
     assert derive_pair_pin(10_000_000, 1000, 1000, 200) == 200
     # ...never above the cap
     assert derive_pair_pin(10**12, 10**6, 10**6, 32) == 4096
+
+
+def test_derive_salt():
+    """The r9 auto salt: None unless ONE key's pair product exceeds
+    ~2 tasks' worth of pair output (the pin spreads distinct keys; only
+    salt can split a single hot key), then enough lanes to bring the hot
+    key back to ~one task each, clamped to [2, 32]."""
+    from person_linkage_case_study_spark.operators.blocking import derive_salt
+
+    target = (64 << 20) // 256  # 262,144 pairs per task
+    # no hot key / below the 2x-task bound: the worst straggler is
+    # already no worse than AQE's own skew-split advisory
+    assert derive_salt(0) is None
+    assert derive_salt(2 * target) is None
+    # just past the gate: ceil back to one task's worth per lane
+    assert derive_salt(2 * target + 1) == 3
+    # the r7/r8 measured hot block (176M pairs on one key) hits the cap
+    assert derive_salt(176_000_000) == 32
+    # cap respected however monstrous the key
+    assert derive_salt(10**12) == 32
 
 
 def test_record_id_minting(spark):

@@ -269,6 +269,36 @@ def test_bucket_scorer_grid_split_matches_unsplit(spark, planted):
     assert unsplit  # non-vacuous
 
 
+def test_grid_split_task_budget_refusal(spark):
+    """r9 degenerate-input ceiling: a block whose grid-split would mint
+    more than max_grid_tasks chunk-pair tasks fails fast with a typed
+    refusal naming the remedies — BEFORE the explode replicates rows.
+    The same shape under a sufficient budget completes normally."""
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        eps_similarity_edges_bucketed,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((600, DIM))
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], "B") for i in range(600)],
+        "vec_id long, embedding array<double>, blk string",
+    )
+    # 600-row block at max_bucket=2 -> 300 chunks -> 45,150 chunk pairs
+    over = eps_similarity_edges_bucketed(
+        corpus, block_col="blk", max_bucket=2, max_grid_tasks=1000,
+        threshold=0.5,
+    )
+    with pytest.raises(Exception, match="grid-split refused"):
+        over.collect()
+    # under budget: completes, non-vacuous
+    ok = eps_similarity_edges_bucketed(
+        corpus, block_col="blk", max_bucket=64, max_grid_tasks=50_000,
+        threshold=0.5,
+    )
+    assert ok.count() > 0
+
+
 def test_bucket_scorer_grid_split_with_tiny_pair_chunk(spark, planted):
     """Grid-split composes with in-task pair chunking (the cross kernel's
     block iterator), result unchanged."""

@@ -238,7 +238,7 @@ def main() -> None:
     )
     census, ref = synthesize(spark, sf_dir, scale_mult)
     salt = pin = None
-    if mode in ("skew", "skew-salted", "skew-auto"):
+    if mode in ("skew", "skew-salted", "skew-auto", "skew-full-auto"):
         # cascade-path skew rehearsal: same hot-block shape as
         # tools/bench_skew.py, but the mitigation is measured through
         # blocking→gamma→score→argmax, not the isolated join. The
@@ -264,7 +264,12 @@ def main() -> None:
         # PassConfig.num_partitions. "skew-salted" pins MANUALLY (the r7
         # measured config, 64); "skew-auto" leaves num_partitions=None so
         # the cascade's derive_pair_pin supplies it from the K8 estimate
-        # — the r8 check that the auto pin matches the manual wall.
+        # (the r8 check that the auto pin matches the manual wall) but
+        # still hard-codes salt=32 — it proves only HALF the zero-knob
+        # path; "skew-full-auto" (r9) sets NEITHER knob, so the cascade
+        # derives both (derive_pair_pin + derive_salt) — the end-to-end
+        # proof that a pass author who sets nothing survives the monster
+        # block.
         pin = 64 if mode == "skew-salted" else None
     n_records = census.count()
     ref = ref.persist()
@@ -334,7 +339,7 @@ def main() -> None:
         "link_rate": round(n_links / n_records, 4),
         "sf": sf,
     }
-    if mode in ("skew", "skew-salted", "skew-auto"):
+    if mode in ("skew", "skew-salted", "skew-auto", "skew-full-auto"):
         hot_c = census.filter(F.col("zip3") == "H00").count()
         hot_r = ref.filter(F.col("zip3") == "H00").count()
         # the SUM aggregate is NULL when no cold block co-occurs on both
