@@ -368,6 +368,30 @@ def main() -> None:
             hot_pairs_pass1=hot_pairs,
             hot_share_pass1=round(hot_pairs / (hot_pairs + cold_pairs), 4),
         )
+        if mode == "skew-full-auto":
+            # record what the zero-knob path derived for pass 1 (one
+            # extra tiny agg job — the artifact needs the numbers)
+            from person_linkage_case_study_spark.operators.blocking import (
+                derive_pair_pin,
+                derive_salt,
+                estimate_pair_stats,
+            )
+            from person_linkage_case_study_spark.session import (
+                shuffle_partitions,
+            )
+
+            keys = ["zip3", "geokey_for_blocking"]
+            st = estimate_pair_stats(
+                census.select(*keys), ref.select(*keys), keys
+            )
+            payload.update(
+                est_pairs_pass1=st.pairs,
+                max_key_pairs_pass1=st.max_key_pairs,
+                derived_pin_pass1=derive_pair_pin(
+                    st.pairs, st.n_left, st.n_right, shuffle_partitions(spark)
+                ),
+                derived_salt_pass1=derive_salt(st.max_key_pairs),
+            )
     print(json.dumps(payload))
 
 
