@@ -37,3 +37,25 @@ def test_plain_python_falls_back_to_local(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_MASTER", raising=False)
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "7")
     assert _resolve_master(None, submit_conf=_empty_conf()) == "local[7]"
+
+
+def test_shuffle_partitions_tolerates_non_integer_conf():
+    """r9 advice: managed runtimes can set spark.sql.shuffle.partitions
+    to 'auto' — the sizing heuristics must fall back, not ValueError."""
+    from person_linkage_case_study_spark.session import shuffle_partitions
+
+    class FakeConf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key, default=None):
+            return self._v if self._v is not None else default
+
+    class FakeSpark:
+        def __init__(self, value):
+            self.conf = FakeConf(value)
+
+    assert shuffle_partitions(FakeSpark("64")) == 64
+    assert shuffle_partitions(FakeSpark("auto")) == 200
+    assert shuffle_partitions(FakeSpark("auto"), default=32) == 32
+    assert shuffle_partitions(FakeSpark(None)) == 200
