@@ -164,6 +164,73 @@ def main() -> None:
     check("j5", "BroadcastHashJoin" in p,
           "is_active membership join is broadcast, not shuffled")
 
+    print("== cascade zero-knob skew derivation (r9) ==")
+    # One monster-key pass (1024x1024 pairs on one block) and one spread
+    # pass (pairs == rows), both with NEITHER knob set: the hot pass's
+    # physical plan must carry the derived salt lanes AND the AQE-exempt
+    # pin; the spread pass's plan must be byte-identical to the manual
+    # contract (auto derivation may never perturb a below-gate pass).
+    from pyspark.sql import functions as F
+
+    from person_linkage_case_study_spark.operators.gamma import exact_comparison
+    from person_linkage_case_study_spark.operators.scoring import LinkageModel
+    from person_linkage_case_study_spark.plans.cascade import (
+        ModuleConfig,
+        PassConfig,
+        PersonLinkageCascade,
+    )
+
+    def person_frame(prefix: str, spread: bool):
+        df = spark.range(1024).select(
+            F.lit("Z").alias("zip3"),
+            (
+                F.concat(F.lit("B"), F.col("id")) if spread else F.lit("B1")
+            ).alias("geokey_for_blocking"),
+            F.concat(F.lit(prefix), F.col("id")).alias("record_id"),
+            F.lit("A").alias("middle_initial"),
+        )
+        return df
+
+    mi = exact_comparison("middle_initial")
+    mi.m, mi.u = [0.2, 0.8], [0.8, 0.2]
+    model = LinkageModel([mi], lambda_prior=1e-3)
+    module = ModuleConfig(
+        name="audit", reference_file_name="ref", cut_columns=["zip3"],
+        matching_columns=["middle_initial"],
+        passes=[],
+    )
+    zero_knob = PassConfig("p", ["geokey_for_blocking"], 0.5)
+    for label, spread in (("hot", False), ("spread", True)):
+        census = person_frame("c", spread).withColumn(
+            "record_id_raw_input_file", F.col("record_id")
+        )
+        ref = person_frame("r", spread).withColumn(
+            "pik", F.concat(F.lit("P"), F.col("record_id"))
+        )
+        casc = PersonLinkageCascade(
+            spark, census, {"ref": ref}, model, collect_stats=False
+        )
+        casc.start_module(module)
+        plan = casc.resolve_pass_plan(zero_knob)
+        p = plan_of(
+            casc.build_pass_links(
+                zero_knob,
+                num_partitions=plan.num_partitions,
+                salt_partitions=plan.salt_partitions,
+            )
+        )
+        if label == "hot":
+            check("autoskew", ") AS __salt" in p,
+                  "hot pass: derived salt lanes in the optimized plan")
+            check("autoskew", "REPARTITION_BY_NUM" in p,
+                  "hot pass: derived pin is a user-specified repartition"
+                  " (AQE-exempt)")
+        else:
+            check("autoskew", "__salt" not in p
+                  and "REPARTITION_BY_NUM" not in p,
+                  "spread pass: below-gate plan untouched (no salt, no pin)")
+        casc.census.unpersist()
+
     if failures:
         print(f"\n{len(failures)} plan invariant(s) FAILED")
         sys.exit(1)
