@@ -100,6 +100,18 @@ JAR="$REPO/person_linkage_case_study_spark/jvm/sparklinkage.jar"
 JARS_ARG=""
 [ -f "$JAR" ] && JARS_ARG="--jars $JAR"
 
+# SUBMIT_SCRIPT overrides the submitted app (r9): any bench tool can run
+# through the same fleet, with ALL positional args passed verbatim (the
+# SF_DIR/MULT/MODE convention is bench_linkage's). Example:
+#   SUBMIT_SCRIPT=tools/bench_semdedup.py tools/standalone_rehearsal.sh 10 0.9 64 bucket
+if [ -n "${SUBMIT_SCRIPT:-}" ]; then
+  APP="$REPO/$SUBMIT_SCRIPT"
+  APP_ARGS=("$@")
+else
+  APP="$REPO/tools/bench_linkage.py"
+  APP_ARGS=("$SF_DIR" "$MULT" "$MODE" "${@:4}")
+fi
+
 "$SPARK_HOME/bin/spark-submit" \
   --master "$MASTER_URL" \
   --deploy-mode client \
@@ -114,5 +126,5 @@ JARS_ARG=""
   --conf spark.ui.enabled=false \
   $JARS_ARG \
   --py-files "$REHEARSAL_DIR/dist/engine.zip" \
-  "$REPO/tools/bench_linkage.py" "$SF_DIR" "$MULT" "$MODE" "${@:4}" \
+  "$APP" "${APP_ARGS[@]}" \
   2>"$REHEARSAL_DIR/submit.log"
