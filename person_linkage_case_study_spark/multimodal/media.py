@@ -369,6 +369,96 @@ def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> D
     return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def box_downsample(pixels, scale: int):
+    """Box-average downsample of an (h, w, c) uint8 array by integer
+    ``scale``: each output pixel is the mean of a ``scale × scale`` input
+    block (edge blocks truncate to whatever rows/cols remain, mirroring
+    how real resize kernels handle non-divisible dims). Pure numpy —
+    ``np.add.reduceat`` along each axis then divide by the exact block
+    areas — so the arithmetic is deterministic and testable against
+    hand-computed goldens. Rounding is round-half-away-from-zero via
+    ``floor(x + 0.5)`` (values are non-negative), NOT banker's rounding,
+    so 0.5-exact averages are stable across numpy versions."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, _ = px.shape
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    ys = np.arange(0, h, scale)
+    xs = np.arange(0, w, scale)
+    summed = np.add.reduceat(np.add.reduceat(px, ys, axis=0), xs, axis=1)
+    blk_h = np.minimum(ys + scale, h) - ys  # edge blocks truncate
+    blk_w = np.minimum(xs + scale, w) - xs
+    area = np.multiply.outer(blk_h, blk_w)[:, :, None]
+    return np.floor(summed / area + 0.5).astype(np.uint8)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, scale: int = 2) -> DataFrame:
+    """mapInPandas image resize over payload batches — the missing rung
+    between decode and feature-extract in a multimodal curation pipeline
+    (thumbnail / fixed-res normalization before a vision encoder).
+
+    Each decodable PNG payload is decoded (:func:`parse_png`), box-average
+    downsampled by ``scale`` (:func:`box_downsample`), and RE-ENCODED
+    (:func:`encode_png`); the emitted ``width/height/channels/pixel_mean``
+    metadata come from decoding the re-encoded bytes again, so a match
+    against expected values proves the whole decode → resize → encode →
+    decode loop, not just the numpy kernel. Non-decodable / non-PNG /
+    metadata-only payloads emit NULL columns rather than throwing — a
+    100 TB crawl always contains garbage bytes and a kernel that throws
+    on them kills the stage. Batches stream through Arrow; nothing is
+    collected."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    meta = parse_png(b) if b[:8] == _PNG_SIG else None
+                except ValueError:
+                    meta = None
+                if meta is None or meta["pixels"] is None:
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                out = encode_png(box_downsample(meta["pixels"], scale))
+                m2 = parse_png(out)  # round-trip: metadata from re-decode
+                rows.append(
+                    (
+                        media_id,
+                        out,
+                        m2["width"],
+                        m2["height"],
+                        m2["channels"],
+                        m2["pixel_mean"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "payload", "width", "height", "channels",
+                    "pixel_mean",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
     """Frame-sampling plumbing: emit (media_id, frame_idx, frame_payload)
     rows by slicing the payload — the partitioning/explode shape of real

@@ -2386,6 +2386,73 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_RESIZE_ORACLE = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(1 + CAST(doc_id AS BIGINT) % 4 AS INT) AS out_width,
+           CAST(1 + CAST(doc_id AS BIGINT) % 3 AS INT) AS out_height,
+           CAST(CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END
+                AS INT) AS out_channels,
+           CAST(CAST(doc_id AS BIGINT) % 150
+                + 1 + 2 * (CAST(doc_id AS BIGINT) % 3)
+                AS DOUBLE) AS out_pixel_mean
+    FROM documents
+    """
+
+
+# Image resize over the opaque-binary media schema (the thumbnail /
+# fixed-res normalization step before a vision encoder). Construction
+# makes the resize arithmetic EXACT so the oracle is closed-form: every
+# document gets a real PNG with even dims (w=2(1+id%4), h=2(1+id%3)) and
+# row-constant pixel value v0+2y (v0=id%150, max 159 < 256) — a 2×
+# box-average of two adjacent rows is (v0+4y')+(v0+4y'+2))/2 = v0+4y'+1,
+# an integer, so no rounding tier is exercised here (unit tests own the
+# rounding/edge-block goldens) and the expected pixel mean collapses to
+# v0 + 1 + 2·(id%3). The emitted metadata comes from RE-DECODING the
+# re-encoded output PNG (multimodal/media.py resize_images), so a value
+# hash match proves decode → box_downsample → encode → decode end to end.
+@query("mm_resize_images", oracle=_MM_RESIZE_ORACLE)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .multimodal.media import encode_png, resize_images
+
+    d = _t(spark, sf_dir, "documents")
+
+    def mk_png(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 2 * (1 + mid % 4), 2 * (1 + mid % 3)
+                c = 3 if mid % 2 == 0 else 1
+                v0 = mid % 150
+                row_vals = (v0 + 2 * np.arange(h, dtype=np.int64)) % 256
+                px = np.broadcast_to(
+                    row_vals[:, None, None], (h, w, c)
+                ).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = d.select(F.col("doc_id").cast("long").alias("media_id")).mapInPandas(
+        mk_png,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return resize_images(media, scale=2).select(
+        "media_id",
+        F.col("width").alias("out_width"),
+        F.col("height").alias("out_height"),
+        F.col("channels").alias("out_channels"),
+        F.col("pixel_mean").alias("out_pixel_mean"),
+    )
+
+
 # ===========================================================================
 # Phase 3: remaining SURVEY §2 operator coverage.
 # ===========================================================================

@@ -10,12 +10,14 @@ from pyspark.sql import functions as F
 
 from person_linkage_case_study_spark.multimodal.media import (
     attach_media_payload,
+    box_downsample,
     decode_image,
     encode_png,
     extract_image_meta,
     extract_media_features,
     parse_jpeg,
     parse_png,
+    resize_images,
     sample_frames,
 )
 
@@ -173,6 +175,57 @@ def test_feature_extraction(media):
     # determinism
     again = {r["media_id"]: r for r in extract_media_features(media).collect()}
     assert feats[1]["head_hash"] == again[1]["head_hash"]
+
+
+def test_box_downsample_goldens():
+    """Hand-computed goldens for even dims, odd dims (truncated edge
+    blocks), multi-channel independence, identity scale, and the
+    scale<1 contract."""
+    # 4x4 gray ramp, scale 2: block means 2.5/4.5/10.5/12.5 round
+    # half-away-from-zero to 3/5/11/13
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(
+        box_downsample(px, 2).reshape(2, 2), [[3, 5], [11, 13]]
+    )
+    # 5x3 gray ramp, scale 2: edge blocks truncate to 2x1 / 1x2 / 1x1
+    px = np.arange(15, dtype=np.uint8).reshape(5, 3)
+    assert np.array_equal(
+        box_downsample(px, 2).reshape(3, 2), [[2, 4], [8, 10], [13, 14]]
+    )
+    # channels average independently: 2x2 RGB -> 1x1 with per-channel means
+    px = np.array(
+        [[[0, 100, 200], [10, 110, 210]], [[20, 120, 220], [30, 130, 230]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(box_downsample(px, 2).reshape(3), [15, 115, 215])
+    # scale 1 is the identity
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(box_downsample(px, 1).reshape(3, 4), px)
+    with pytest.raises(ValueError, match="scale"):
+        box_downsample(px, 0)
+
+
+def test_resize_images_spark(spark):
+    """resize_images over Spark: decode -> box_downsample -> encode ->
+    re-decode; emitted metadata comes from the RE-DECODED bytes so the
+    assertion proves the full loop. Garbage / JPEG (no pixel tier) -> NULL
+    columns, never a stage kill."""
+    png = encode_png(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    jpg = _jpeg_header(64, 64)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in resize_images(media, scale=2).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (2, 2, 1)
+    assert rows[1]["pixel_mean"] == pytest.approx(8.0)  # (3+5+11+13)/4
+    assert np.array_equal(
+        parse_png(bytes(rows[1]["payload"]))["pixels"].reshape(2, 2),
+        [[3, 5], [11, 13]],
+    )
+    assert rows[2]["payload"] is None and rows[2]["width"] is None
+    assert rows[3]["payload"] is None
 
 
 def test_frame_sampling(media):
