@@ -12,10 +12,13 @@ PNG filter types) to a numpy pixel array — and JPEG headers are parsed
 for dimensions/components (entropy-coded pixel decode stays behind the
 PIL gate: a DCT decoder is out of scope, and the metadata is what the
 curation pipeline consumes). ``encode_png`` is the matching writer so
-fixtures and round-trip tests need no imaging library. Heavier codecs
-(ffmpeg/torchaudio, JPEG pixels) still gate on an import-try;
-``extract_media_features`` computes deterministic byte-level features
-wherever a codec is unavailable.
+fixtures and round-trip tests need no imaging library. Audio gets the
+same treatment (r9): WAV/PCM16 is decoded for REAL — RIFF chunk walk,
+fmt parse, int16 sample array with RMS/peak — via :func:`parse_wav`,
+with :func:`encode_wav` as the matching writer. Heavier codecs
+(ffmpeg/torchaudio, JPEG pixels, compressed audio) still gate on an
+import-try; ``extract_media_features`` computes deterministic byte-level
+features wherever a codec is unavailable.
 """
 
 from __future__ import annotations
@@ -313,6 +316,148 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, IMAGE_META_SCHEMA
+    )
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal, spec-correct RIFF/WAVE writer for PCM16 (the fixture /
+    round-trip counterpart of :func:`parse_wav` — no audio library in
+    this container). ``samples`` is an int16 numpy array: (n,) mono or
+    (n, ch) interleaved on write."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.reshape(-1).tobytes()  # C-order == interleaved frames
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def parse_wav(payload: bytes) -> dict:
+    """Pure-Python WAV decode: RIFF chunk walk (word-aligned per the
+    spec — odd-length chunks carry a pad byte), fmt metadata always; for
+    PCM16 also the decoded (n_frames, ch) int16 sample array and its
+    RMS / peak (the stats an audio curation pipeline filters on).
+    Returns ``{format, channels, sample_rate, bit_depth, n_frames,
+    duration_sec, samples, rms, peak}`` — sample-tier fields are None
+    for non-PCM16 encodings (float32, ADPCM, …), mirroring
+    :func:`parse_png`'s metadata-only tier."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos = 12
+    audio_format = channels = sample_rate = bit_depth = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_format, channels, sample_rate, _, _, bit_depth = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if audio_format is None:
+        raise ValueError("WAV missing fmt chunk")
+    meta = {
+        "format": "wav",
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bit_depth": bit_depth,
+        "n_frames": None,
+        "duration_sec": None,
+        "samples": None,
+        "rms": None,
+        "peak": None,
+    }
+    if data is None:
+        return meta
+    frame_bytes = channels * (bit_depth // 8)
+    if frame_bytes:
+        meta["n_frames"] = len(data) // frame_bytes
+        meta["duration_sec"] = meta["n_frames"] / sample_rate
+    if audio_format != 1 or bit_depth != 16:
+        return meta  # metadata-only tier (non-PCM16)
+    s = np.frombuffer(data[: meta["n_frames"] * frame_bytes], dtype="<i2").reshape(
+        meta["n_frames"], channels
+    )
+    meta["samples"] = s
+    if s.size:
+        meta["rms"] = float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+        meta["peak"] = int(np.abs(s.astype(np.int32)).max())
+    return meta
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas audio decode over payload batches: WAV/PCM16 → full
+    decode (frames, duration, RMS, peak), non-PCM16 WAV → header
+    metadata, garbage → NULL columns (same crawl-garbage contract as
+    :func:`extract_image_meta`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    m = parse_wav(b) if b[:4] == b"RIFF" else None
+                except ValueError:
+                    m = None
+                if m is None:
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None, None)
+                    )
+                else:
+                    rows.append(
+                        (
+                            media_id,
+                            m["format"],
+                            m["channels"],
+                            m["sample_rate"],
+                            m["bit_depth"],
+                            m["n_frames"],
+                            m["duration_sec"],
+                            m["rms"],
+                            m["peak"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "channels", "sample_rate",
+                    "bit_depth", "n_frames", "duration_sec", "rms", "peak",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_META_SCHEMA
     )
 
 

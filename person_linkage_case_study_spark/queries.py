@@ -2453,6 +2453,74 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_AUDIO_ORACLE = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
+                AS INT) AS audio_channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(8 * (1 + CAST(doc_id AS BIGINT) % 16) AS BIGINT) AS n_frames,
+           CAST(8 * (1 + CAST(doc_id AS BIGINT) % 16) AS DOUBLE) / 8000
+               AS duration_sec,
+           CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS DOUBLE) AS rms,
+           CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS INT) AS peak
+    FROM documents
+    """
+
+
+# Audio decode over the opaque-binary media schema: every document gets a
+# REAL RIFF/WAVE PCM16 payload (pure-Python encoder) which the pure-Python
+# decoder (multimodal/media.py parse_wav — chunk walk, fmt parse, int16
+# sample recovery) decodes back inside the Arrow kernel. Construction
+# makes the stats EXACT so the oracle is closed-form: a ±A alternating
+# square wave (A = 1+id%9999) has every sample magnitude A, so RMS = A
+# and peak = A with no float ambiguity (A² and its mean are exact in
+# float64, IEEE sqrt of an exact square is exact); frames n = 8·(1+id%16)
+# at 8 kHz gives duration n/8000 computed by the same IEEE division on
+# both sides. A value-hash match proves the encode→decode loop sample-
+# faithful on every row.
+@query("mm_audio_features", oracle=_MM_AUDIO_ORACLE)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .multimodal.media import encode_wav, extract_audio_meta
+
+    d = _t(spark, sf_dir, "documents")
+
+    def mk_wav(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                amp = 1 + mid % 9999
+                n = 8 * (1 + mid % 16)
+                ch = 2 if mid % 3 == 0 else 1
+                wave = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(np.int16)
+                s = np.repeat(wave[:, None], ch, axis=1)
+                payloads.append(encode_wav(s, sample_rate=8000))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = d.select(F.col("doc_id").cast("long").alias("media_id")).mapInPandas(
+        mk_wav,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return extract_audio_meta(media).select(
+        "media_id",
+        F.col("channels").alias("audio_channels"),
+        "sample_rate",
+        "n_frames",
+        "duration_sec",
+        "rms",
+        "peak",
+    )
+
+
 # ===========================================================================
 # Phase 3: remaining SURVEY §2 operator coverage.
 # ===========================================================================

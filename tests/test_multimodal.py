@@ -13,10 +13,13 @@ from person_linkage_case_study_spark.multimodal.media import (
     box_downsample,
     decode_image,
     encode_png,
+    encode_wav,
+    extract_audio_meta,
     extract_image_meta,
     extract_media_features,
     parse_jpeg,
     parse_png,
+    parse_wav,
     resize_images,
     sample_frames,
 )
@@ -226,6 +229,66 @@ def test_resize_images_spark(spark):
     )
     assert rows[2]["payload"] is None and rows[2]["width"] is None
     assert rows[3]["payload"] is None
+
+
+def test_wav_round_trip():
+    """encode_wav -> parse_wav recovers exact int16 samples (mono and
+    stereo), metadata, and RMS/peak goldens."""
+    rng = np.random.default_rng(7)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32768, size=(50, ch), dtype=np.int16)
+        m = parse_wav(encode_wav(s, sample_rate=16000))
+        assert (m["channels"], m["sample_rate"], m["bit_depth"], m["n_frames"]) == (
+            ch, 16000, 16, 50,
+        )
+        assert m["duration_sec"] == pytest.approx(50 / 16000)
+        assert np.array_equal(m["samples"], s)
+    # RMS golden: samples [3, -4] -> sqrt((9+16)/2) = sqrt(12.5); peak 4
+    m = parse_wav(encode_wav(np.array([3, -4], dtype=np.int16)))
+    assert m["rms"] == pytest.approx(12.5 ** 0.5)
+    assert m["peak"] == 4
+
+
+def test_wav_chunk_padding_and_tiers():
+    """RIFF chunks are word-aligned: an odd-length chunk before `data`
+    carries a pad byte the walker must skip. Non-PCM16 (8-bit) decodes
+    metadata + frame count but not samples (documented tier)."""
+    body = encode_wav(np.array([100, -100, 7], dtype=np.int16), sample_rate=8000)
+    # splice an odd-length LIST chunk between fmt and data
+    fmt_end = body.index(b"data")
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    spliced = body[:fmt_end] + odd + body[fmt_end:]
+    m = parse_wav(spliced)
+    assert m["n_frames"] == 3 and np.array_equal(
+        m["samples"].reshape(3), [100, -100, 7]
+    )
+    # 8-bit tier: rewrite fmt's bit_depth to 8 -> metadata-only
+    fmt_pos = body.index(b"fmt ") + 8
+    fmt = bytearray(body)
+    struct.pack_into("<H", fmt, fmt_pos + 14, 8)
+    m = parse_wav(bytes(fmt))
+    assert m["bit_depth"] == 8 and m["samples"] is None and m["rms"] is None
+    assert m["n_frames"] == 6  # 6 bytes of data / 1-byte mono frames
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"not audio at all")
+
+
+def test_extract_audio_meta_spark(spark):
+    """The audio decode kernel over Spark: WAV fully decoded, garbage /
+    NULL payloads -> NULL columns, never a stage kill."""
+    wav = encode_wav(np.full(80, 5, dtype=np.int16), sample_rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"RIFFjunk")), (3, None)],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in extract_audio_meta(media).collect()}
+    assert (rows[1]["format"], rows[1]["channels"], rows[1]["n_frames"]) == (
+        "wav", 1, 80,
+    )
+    assert rows[1]["duration_sec"] == pytest.approx(0.01)
+    assert rows[1]["rms"] == pytest.approx(5.0) and rows[1]["peak"] == 5
+    assert rows[2]["format"] is None and rows[3]["format"] is None
 
 
 def test_frame_sampling(media):
