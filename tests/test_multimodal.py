@@ -291,6 +291,62 @@ def test_extract_audio_meta_spark(spark):
     assert rows[2]["format"] is None and rows[3]["format"] is None
 
 
+# --- property tests: the codecs must round-trip ANY payload of their
+# declared domain, not just the goldens above -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_round_trip_property(h, w, c, seed):
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    m = parse_png(encode_png(px))
+    assert (m["width"], m["height"], m["channels"]) == (w, h, c)
+    assert np.array_equal(m["pixels"], px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(0, 64),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_round_trip_property(n, ch, rate, seed):
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, size=(n, ch), dtype=np.int16
+    )
+    m = parse_wav(encode_wav(s, sample_rate=rate))
+    assert (m["channels"], m["sample_rate"], m["n_frames"]) == (ch, rate, n)
+    assert np.array_equal(m["samples"], s)
+    if n:
+        assert m["peak"] == int(np.abs(s.astype(np.int32)).max())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    scale=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_box_downsample_property(h, w, scale, seed):
+    """Output dims are ceil-divided; every output pixel stays within the
+    input's [min, max] (a block average can never leave the range, and
+    half-away-from-zero rounding of a value <= max lands <= max)."""
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = box_downsample(px, scale)
+    assert out.shape == (-(-h // scale), -(-w // scale), 1)
+    assert out.min() >= px.min() and out.max() <= px.max()
+
+
 def test_frame_sampling(media):
     frames = sample_frames(media, every_n_bytes=4096, max_frames=8).collect()
     by_id = {}
