@@ -182,6 +182,12 @@ class PersonLinkageCascade:
                      exponentially in passes, but a 1-pass run pays zero
                      materialization jobs (cascade_mini at sf0.1: ~0.3s
                      saved; the rest of its wall is genuine pair scoring).
+    checkpoint_storage_level: storage level for 'local' checkpoints
+                     (None → Spark default, on-heap first). Pass
+                     ``StorageLevel.DISK_ONLY`` when the per-pass links
+                     frame is a material fraction of the executor heap —
+                     see ``_truncate`` for the measured 1024× OOM this
+                     avoids.
     """
 
     def __init__(
@@ -195,9 +201,11 @@ class PersonLinkageCascade:
         jw_strategy: str = "auto",
         checkpoint: str = "local",
         auto_pin: bool = True,
+        checkpoint_storage_level: StorageLevel | None = None,
     ) -> None:
         self.jw_strategy = jw_strategy
         self.checkpoint = checkpoint
+        self.checkpoint_storage_level = checkpoint_storage_level
         self.auto_pin = auto_pin
         self.spark = spark
         self.census = census.persist(StorageLevel.MEMORY_AND_DISK)
@@ -221,10 +229,30 @@ class PersonLinkageCascade:
         self._reference_file: DataFrame | None = None
 
     def _truncate(self, df: DataFrame) -> DataFrame:
-        """Materialize and cut lineage (plan depth back to O(1))."""
+        """Materialize and cut lineage (plan depth back to O(1)).
+
+        ``checkpoint_storage_level`` (local mode only) controls WHERE the
+        materialized blocks live. The default (None → Spark's
+        MEMORY_AND_DISK, deserialized rows on-heap first) is right while
+        the per-pass links frame is small against the heap, but it is a
+        measured scale cliff: at the 1024× ladder rung (153.6M records)
+        the pass-1 links frame (~51 GB across 228 × ~226 MiB partitions)
+        unrolled as deserialized objects saturated the 64 g heap and a
+        concurrent shuffle writer's allocation threw
+        ``java.lang.OutOfMemoryError`` (LADDER_r09 first attempt) — the
+        512× rung, at half the frame, fit. ``StorageLevel.DISK_ONLY``
+        streams the serialized UnsafeRow bytes straight to local disk
+        (no MemoryStore unroll at all), which is exactly how a real
+        cluster spills a once-per-pass frame; the blocks are still
+        GC-reclaimed when the pass drops its refs (observed r8,
+        tools/check_checkpoint_cleanup.py)."""
         if self.checkpoint == "reliable":
             return df.checkpoint(eager=True)
         if self.checkpoint == "local":
+            if self.checkpoint_storage_level is not None:
+                return df.localCheckpoint(
+                    eager=True, storageLevel=self.checkpoint_storage_level
+                )
             return df.localCheckpoint(eager=True)
         if self.checkpoint == "off":
             return df

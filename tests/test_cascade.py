@@ -306,6 +306,89 @@ def test_checkpoint_off_matches_local(spark, fixture, cascade_result):
     assert got == want
 
 
+def test_checkpoint_disk_only_matches_local(spark, fixture, cascade_result):
+    """checkpoint_storage_level=DISK_ONLY (the mega-rung regime: stream
+    checkpoint blocks to local disk instead of unrolling deserialized
+    rows on-heap — the 1024x ladder OOM fix) must confirm exactly the
+    same PIKs as the default on-heap 'local' mode, and _truncate must
+    actually apply the level."""
+    from pyspark import StorageLevel
+
+    census, geobase, name_dob, fake_names, dod = fixture
+    prepped_census = preprocess_census(census, fake_names, gq_threshold=99)
+    disk = PersonLinkageCascade(
+        spark,
+        prepped_census,
+        {
+            "geobase_reference_file": preprocess_reference_file(geobase),
+            "name_dob_reference_file": preprocess_reference_file(
+                name_dob, has_address=False
+            ),
+        },
+        make_model(),
+        dates_of_death=dod,
+        checkpoint_storage_level=StorageLevel.DISK_ONLY,
+    )
+    # the truncated frame's blocks live at disk level, not on-heap
+    # (df.rdd.getStorageLevel() reflects the wrapping python RDD, not the
+    # checkpointed blocks — read the block manager's storage info instead)
+    before = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    kept = disk._truncate(spark.range(10_000).selectExpr("id"))
+    new = [
+        i
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before
+    ]
+    assert any(
+        i.storageLevel().useDisk()
+        and not i.storageLevel().useMemory()
+        and i.diskSize() > 0
+        and i.memSize() == 0
+        for i in new
+    ), [i.storageLevel().toString() for i in new]
+    assert kept.count() == 10_000
+    config = CascadeConfig(
+        modules=[
+            ModuleConfig(
+                name="geosearch",
+                reference_file_name="geobase_reference_file",
+                cut_columns=["zip3"],
+                matching_columns=[
+                    "first_name_15", "last_name_12", "middle_initial",
+                    "day_of_birth", "month_of_birth", "year_of_birth", "geokey",
+                ],
+                passes=[PassConfig("geokey", ["geokey_for_blocking"], 0.9)],
+            ),
+            ModuleConfig(
+                name="namesearch",
+                reference_file_name="name_dob_reference_file",
+                cut_columns=["first_initial_cut", "last_initial_cut"],
+                matching_columns=[
+                    "first_name_15", "last_name_12", "middle_initial",
+                    "day_of_birth", "month_of_birth", "year_of_birth",
+                ],
+                passes=[
+                    PassConfig(
+                        "dob and nysiis",
+                        ["day_of_birth", "month_of_birth", "year_of_birth",
+                         "first_name_nysiis", "last_name_nysiis"],
+                        0.9,
+                    ),
+                ],
+            ),
+        ]
+    )
+    got = {
+        (r["record_id_raw_input_file"], r["pik"])
+        for r in disk.run(config).collect()
+    }
+    _, confirmed_rows = cascade_result
+    want = {(r["record_id_raw_input_file"], r["pik"]) for r in confirmed_rows}
+    assert got == want
+
+
 def test_auto_pin_resolution(spark):
     """r8 auto-derived pair-explosion pin + r9 auto salt: a pass whose
     pair output explodes relative to its input gets a derived

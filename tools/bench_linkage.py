@@ -322,9 +322,21 @@ def main() -> None:
     # "skew" is the UNMITIGATED baseline: auto_pin off so the measured
     # serial-reduce-task regime stays reproducible (with r8's default-on
     # derivation it would otherwise self-mitigate)
+    #
+    # Checkpoint storage scales with the data like heap/partitions do:
+    # past 256× the per-pass links frame (~linear in mult; ~51 GB at
+    # 1024×) no longer fits the capped 64 g heap as deserialized
+    # MEMORY_AND_DISK blocks — the 1024× first attempt OOM'd a shuffle
+    # writer while 32 tasks unrolled ~226 MiB partitions on-heap — so
+    # mega rungs stream checkpoint blocks to local disk (DISK_ONLY),
+    # the local analog of a cluster checkpointing to node-local SSD.
+    from pyspark import StorageLevel
+
+    ckpt_level = StorageLevel.DISK_ONLY if scale_mult > 256 else None
     cascade = PersonLinkageCascade(
         spark, census, {"ref": ref}, make_model(), collect_stats=False,
         auto_pin=(mode != "skew"),
+        checkpoint_storage_level=ckpt_level,
     )
     confirmed = cascade.run(config)
     n_links = confirmed.count()
