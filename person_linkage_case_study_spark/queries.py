@@ -2293,16 +2293,57 @@ def _mm_features_oracle() -> str:
                               THEN 3 ELSE 1 END) - 1) / 2.0,
                    6) AS img_pixel_mean
       FROM documents
+    ),
+    -- r9 late: the resize tier. The Spark side builds an even-dim PNG
+    -- with row-constant pixel value v0+2y (v0=id%150, max 159 < 256),
+    -- box-average downsamples by 2, RE-ENCODES, and re-decodes — a 2x
+    -- average of two adjacent rows is ((v0+4y')+(v0+4y'+2))/2 = v0+4y'+1,
+    -- an integer, so the expected mean collapses to v0 + 1 + 2*(id%3)
+    -- in closed form (unit tests own the rounding/edge-block goldens).
+    rsz AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + CAST(doc_id AS BIGINT) % 4 AS INT) AS rsz_width,
+             CAST(1 + CAST(doc_id AS BIGINT) % 3 AS INT) AS rsz_height,
+             CAST(CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END
+                  AS INT) AS rsz_channels,
+             CAST(CAST(doc_id AS BIGINT) % 150
+                  + 1 + 2 * (CAST(doc_id AS BIGINT) % 3)
+                  AS DOUBLE) AS rsz_pixel_mean
+      FROM documents
+    ),
+    -- r9 late: the audio tier. The Spark side encodes a REAL RIFF/WAVE
+    -- PCM16 +/-A alternating square wave (A = 1+id%9999) and decodes it
+    -- back (parse_wav): every sample magnitude is A, so RMS = A and
+    -- peak = A with no float ambiguity (A^2 and its mean are exact in
+    -- float64; IEEE sqrt of an exact square is exact); n = 8*(1+id%16)
+    -- frames at 8 kHz gives duration n/8000 by the same IEEE division.
+    aud AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
+                  AS INT) AS audio_channels,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(8 * (1 + CAST(doc_id AS BIGINT) % 16) AS BIGINT) AS n_frames,
+             CAST(8 * (1 + CAST(doc_id AS BIGINT) % 16) AS DOUBLE) / 8000
+                 AS duration_sec,
+             CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS DOUBLE) AS rms,
+             CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS INT) AS peak
+      FROM documents
     )
     SELECT b.media_id, d.source, b.n_bytes,
            round(coalesce(ent.e, 0.0), 6) + 0.0 AS byte_entropy,
            CAST(coalesce(heads.hh, 0) AS BIGINT) AS head_hash,
            img.img_format, img.img_width, img.img_height, img.img_channels,
-           img.img_pixel_mean
+           img.img_pixel_mean,
+           rsz.rsz_width, rsz.rsz_height, rsz.rsz_channels,
+           rsz.rsz_pixel_mean,
+           aud.audio_channels, aud.sample_rate, aud.n_frames,
+           aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
     JOIN (SELECT CAST(doc_id AS BIGINT) AS media_id, source FROM documents) d
       USING (media_id)
     JOIN img USING (media_id)
+    JOIN rsz USING (media_id)
+    JOIN aud USING (media_id)
     """
 
 
@@ -2317,7 +2358,14 @@ def _mm_features_oracle() -> str:
 # inflate + all-filters de-filtering, multimodal/media.py parse_png)
 # decodes back — the oracle states the expected metadata and exact pixel
 # mean in closed form, so the value hash proves the encode→decode loop
-# bit-faithful on every row.
+# bit-faithful on every row. Late r9 folds in two more real-codec tiers
+# (kept inside this entry so the catalog stays within the driver's
+# 50-entry verification window): the RESIZE loop (even-dim row-constant
+# PNG → box_downsample 2× → re-encode → re-decode; resize_images emits
+# metadata from the re-decoded bytes) and the AUDIO loop (±A square-wave
+# RIFF/WAVE PCM16 → parse_wav sample recovery; RMS = peak = A exactly).
+# Closed-form expectations for both are derived in _mm_features_oracle's
+# rsz/aud CTE comments.
 @query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -2326,8 +2374,11 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal.media import (
         attach_media_payload,
         encode_png,
+        encode_wav,
+        extract_audio_meta,
         extract_image_meta,
         extract_media_features,
+        resize_images,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -2372,55 +2423,16 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("channels").alias("img_channels"),
         F.round("pixel_mean", 6).alias("img_pixel_mean"),
     )
-    return feats.join(img, on="media_id").select(
-        "media_id",
-        "source",
-        "n_bytes",
-        (F.round("byte_entropy", 6) + F.lit(0.0)).alias("byte_entropy"),
-        "head_hash",
-        "img_format",
-        "img_width",
-        "img_height",
-        "img_channels",
-        "img_pixel_mean",
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
     )
 
-
-_MM_RESIZE_ORACLE = """
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CAST(1 + CAST(doc_id AS BIGINT) % 4 AS INT) AS out_width,
-           CAST(1 + CAST(doc_id AS BIGINT) % 3 AS INT) AS out_height,
-           CAST(CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END
-                AS INT) AS out_channels,
-           CAST(CAST(doc_id AS BIGINT) % 150
-                + 1 + 2 * (CAST(doc_id AS BIGINT) % 3)
-                AS DOUBLE) AS out_pixel_mean
-    FROM documents
-    """
-
-
-# Image resize over the opaque-binary media schema (the thumbnail /
-# fixed-res normalization step before a vision encoder). Construction
-# makes the resize arithmetic EXACT so the oracle is closed-form: every
-# document gets a real PNG with even dims (w=2(1+id%4), h=2(1+id%3)) and
-# row-constant pixel value v0+2y (v0=id%150, max 159 < 256) — a 2×
-# box-average of two adjacent rows is (v0+4y')+(v0+4y'+2))/2 = v0+4y'+1,
-# an integer, so no rounding tier is exercised here (unit tests own the
-# rounding/edge-block goldens) and the expected pixel mean collapses to
-# v0 + 1 + 2·(id%3). The emitted metadata comes from RE-DECODING the
-# re-encoded output PNG (multimodal/media.py resize_images), so a value
-# hash match proves decode → box_downsample → encode → decode end to end.
-@query("mm_resize_images", oracle=_MM_RESIZE_ORACLE)
-def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from .multimodal.media import encode_png, resize_images
-
-    d = _t(spark, sf_dir, "documents")
-
-    def mk_png(it):
+    def mk_rsz_png(it):
+        # even dims + row-constant value v0+2y: 2x box-average is exact
         for pdf in it:
             payloads = []
             for mid in pdf["media_id"]:
@@ -2435,60 +2447,18 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(px))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
-    media = d.select(F.col("doc_id").cast("long").alias("media_id")).mapInPandas(
-        mk_png,
-        T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("payload", T.BinaryType()),
-            ]
-        ),
-    )
-    return resize_images(media, scale=2).select(
+    rsz = resize_images(
+        media.select("media_id").mapInPandas(mk_rsz_png, payload_schema), scale=2
+    ).select(
         "media_id",
-        F.col("width").alias("out_width"),
-        F.col("height").alias("out_height"),
-        F.col("channels").alias("out_channels"),
-        F.col("pixel_mean").alias("out_pixel_mean"),
+        F.col("width").alias("rsz_width"),
+        F.col("height").alias("rsz_height"),
+        F.col("channels").alias("rsz_channels"),
+        F.col("pixel_mean").alias("rsz_pixel_mean"),
     )
-
-
-_MM_AUDIO_ORACLE = """
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
-           CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
-                AS INT) AS audio_channels,
-           CAST(8000 AS INT) AS sample_rate,
-           CAST(8 * (1 + CAST(doc_id AS BIGINT) % 16) AS BIGINT) AS n_frames,
-           CAST(8 * (1 + CAST(doc_id AS BIGINT) % 16) AS DOUBLE) / 8000
-               AS duration_sec,
-           CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS DOUBLE) AS rms,
-           CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS INT) AS peak
-    FROM documents
-    """
-
-
-# Audio decode over the opaque-binary media schema: every document gets a
-# REAL RIFF/WAVE PCM16 payload (pure-Python encoder) which the pure-Python
-# decoder (multimodal/media.py parse_wav — chunk walk, fmt parse, int16
-# sample recovery) decodes back inside the Arrow kernel. Construction
-# makes the stats EXACT so the oracle is closed-form: a ±A alternating
-# square wave (A = 1+id%9999) has every sample magnitude A, so RMS = A
-# and peak = A with no float ambiguity (A² and its mean are exact in
-# float64, IEEE sqrt of an exact square is exact); frames n = 8·(1+id%16)
-# at 8 kHz gives duration n/8000 computed by the same IEEE division on
-# both sides. A value-hash match proves the encode→decode loop sample-
-# faithful on every row.
-@query("mm_audio_features", oracle=_MM_AUDIO_ORACLE)
-def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from .multimodal.media import encode_wav, extract_audio_meta
-
-    d = _t(spark, sf_dir, "documents")
 
     def mk_wav(it):
+        # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
             payloads = []
             for mid in pdf["media_id"]:
@@ -2501,16 +2471,9 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_wav(s, sample_rate=8000))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
-    media = d.select(F.col("doc_id").cast("long").alias("media_id")).mapInPandas(
-        mk_wav,
-        T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("payload", T.BinaryType()),
-            ]
-        ),
-    )
-    return extract_audio_meta(media).select(
+    aud = extract_audio_meta(
+        media.select("media_id").mapInPandas(mk_wav, payload_schema)
+    ).select(
         "media_id",
         F.col("channels").alias("audio_channels"),
         "sample_rate",
@@ -2518,6 +2481,34 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_sec",
         "rms",
         "peak",
+    )
+
+    return (
+        feats.join(img, on="media_id")
+        .join(rsz, on="media_id")
+        .join(aud, on="media_id")
+        .select(
+            "media_id",
+            "source",
+            "n_bytes",
+            (F.round("byte_entropy", 6) + F.lit(0.0)).alias("byte_entropy"),
+            "head_hash",
+            "img_format",
+            "img_width",
+            "img_height",
+            "img_channels",
+            "img_pixel_mean",
+            "rsz_width",
+            "rsz_height",
+            "rsz_channels",
+            "rsz_pixel_mean",
+            "audio_channels",
+            "sample_rate",
+            "n_frames",
+            "duration_sec",
+            "rms",
+            "peak",
+        )
     )
 
 
