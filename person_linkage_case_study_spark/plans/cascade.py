@@ -57,6 +57,37 @@ def switch_first_and_last_names(df: DataFrame) -> DataFrame:
     return out
 
 
+def derive_checkpoint_storage(
+    frame_rows: int | None,
+    heap_bytes: int | None,
+    *,
+    row_bytes: int = 350,
+    heap_fraction: float = 0.5,
+) -> StorageLevel | None:
+    """Auto-derived storage level for 'local' checkpoints, or ``None``
+    to keep Spark's on-heap-first default — the checkpoint analog of
+    :func:`derive_pair_pin` / :func:`derive_salt` (r9 closed the pin and
+    salt knobs; this closes the one the 1024× OOM fix introduced, so a
+    caller who sets nothing survives the mega regime too).
+
+    Measured bracket (in-process ladder, 64 g heap): the 512× rung's
+    76.8M-row links frame (~25 GB deserialized at the observed ~330
+    B/row) checkpointed on-heap FINE; the 1024× rung's 153.6M-row frame
+    (~51 GB) OOM'd a shuffle writer while 32 tasks unrolled partitions
+    concurrently. ``heap_fraction=0.5`` with ``row_bytes=350`` keeps
+    both measured points on their correct sides: flip to DISK_ONLY when
+    the frame's estimated deserialized bytes exceed half the executor
+    heap. On a multi-executor cluster the comparison (TOTAL rows vs ONE
+    executor's heap) is conservative — it flips to disk sooner than
+    strictly needed, which at 100 TB is the posture you want anyway
+    (node-local-disk checkpoints, zero MemoryStore pressure)."""
+    if not frame_rows or not heap_bytes:
+        return None
+    if frame_rows * row_bytes > heap_fraction * heap_bytes:
+        return StorageLevel.DISK_ONLY
+    return None
+
+
 @dataclass
 class PassConfig:
     name: str
@@ -182,12 +213,16 @@ class PersonLinkageCascade:
                      exponentially in passes, but a 1-pass run pays zero
                      materialization jobs (cascade_mini at sf0.1: ~0.3s
                      saved; the rest of its wall is genuine pair scoring).
-    checkpoint_storage_level: storage level for 'local' checkpoints
-                     (None → Spark default, on-heap first). Pass
-                     ``StorageLevel.DISK_ONLY`` when the per-pass links
-                     frame is a material fraction of the executor heap —
-                     see ``_truncate`` for the measured 1024× OOM this
-                     avoids.
+    checkpoint_storage_level: storage level for 'local' checkpoints.
+                     None (default) = AUTO-DERIVE from the census row
+                     count vs the executor heap
+                     (``derive_checkpoint_storage`` — frames past ~half
+                     the heap's worth of deserialized rows stream to
+                     DISK_ONLY; smaller corpora keep Spark's on-heap
+                     default untouched). An explicit StorageLevel
+                     overrides; ``auto_pin=False`` disables this
+                     derivation along with pin/salt. See ``_truncate``
+                     for the measured 1024× OOM the derivation avoids.
     """
 
     def __init__(
@@ -206,6 +241,8 @@ class PersonLinkageCascade:
         self.jw_strategy = jw_strategy
         self.checkpoint = checkpoint
         self.checkpoint_storage_level = checkpoint_storage_level
+        self._ckpt_level: StorageLevel | None = None
+        self._ckpt_level_resolved = False
         self.auto_pin = auto_pin
         self.spark = spark
         self.census = census.persist(StorageLevel.MEMORY_AND_DISK)
@@ -249,14 +286,32 @@ class PersonLinkageCascade:
         if self.checkpoint == "reliable":
             return df.checkpoint(eager=True)
         if self.checkpoint == "local":
-            if self.checkpoint_storage_level is not None:
-                return df.localCheckpoint(
-                    eager=True, storageLevel=self.checkpoint_storage_level
-                )
+            lvl = self._resolve_ckpt_level()
+            if lvl is not None:
+                return df.localCheckpoint(eager=True, storageLevel=lvl)
             return df.localCheckpoint(eager=True)
         if self.checkpoint == "off":
             return df
         return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _resolve_ckpt_level(self) -> StorageLevel | None:
+        """Resolve once, lazily (the census count that feeds the
+        derivation materializes the persisted census — which the first
+        module needs immediately anyway, so the count is ~free). An
+        explicit ``checkpoint_storage_level`` wins; ``auto_pin=False``
+        restores the fully manual contract (None = Spark default)."""
+        if self._ckpt_level_resolved:
+            return self._ckpt_level
+        if self.checkpoint_storage_level is not None or not self.auto_pin:
+            self._ckpt_level = self.checkpoint_storage_level
+        else:
+            from ..session import executor_heap_bytes
+
+            self._ckpt_level = derive_checkpoint_storage(
+                self.census.count(), executor_heap_bytes(self.spark)
+            )
+        self._ckpt_level_resolved = True
+        return self._ckpt_level
 
     # -- module lifecycle ---------------------------------------------------
 

@@ -50,6 +50,44 @@ def shuffle_partitions(spark: SparkSession, default: int = 200) -> int:
         return default
 
 
+_MEM_SUFFIX = {"k": 10, "m": 20, "g": 30, "t": 40}
+
+
+def parse_mem_bytes(value: str) -> int:
+    """JVM-style memory string → bytes ('64g', '8192m', bare number =
+    bytes). Raises ValueError on anything else."""
+    s = str(value).strip().lower()
+    if s and s[-1] in _MEM_SUFFIX:
+        return int(float(s[:-1]) * (1 << _MEM_SUFFIX[s[-1]]))
+    return int(s)
+
+
+def executor_heap_bytes(spark: SparkSession, default: int = 8 << 30) -> int:
+    """The per-executor JVM heap in bytes — the denominator for
+    storage-pressure heuristics (e.g. deriving a checkpoint storage
+    level). ``spark.executor.memory`` when explicitly set (cluster
+    submits set it); otherwise the driver JVM's actual
+    ``Runtime.maxMemory()`` (in local mode the driver IS the executor,
+    and maxMemory reflects the real -Xmx however it was configured).
+    Degrades to ``default`` rather than raising — like
+    :func:`shuffle_partitions`, a sizing heuristic must never turn a
+    platform quirk into a crash."""
+    try:
+        conf_val = spark.conf.get("spark.executor.memory", None)
+    except Exception:
+        conf_val = None
+    if conf_val:
+        try:
+            return parse_mem_bytes(conf_val)
+        except (TypeError, ValueError):
+            pass
+    try:
+        jvm = spark.sparkContext._jvm
+        return int(jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:
+        return default
+
+
 def _under_spark_submit() -> bool:
     """True when this python process was launched BY ``spark-submit``
     (its PythonRunner starts the py4j gateway and exports the port to

@@ -306,6 +306,57 @@ def test_checkpoint_off_matches_local(spark, fixture, cascade_result):
     assert got == want
 
 
+def test_checkpoint_storage_derivation(spark, fixture):
+    """The checkpoint storage level is the r9-late auto-derived knob:
+    the measured bracket (512x's ~76.8M-row frame fit a 64g heap,
+    1024x's ~153.6M-row frame OOM'd it) must land on the correct sides
+    of the gate; explicit levels and auto_pin=False override; a
+    fixture-sized cascade derives None (Spark's on-heap default)."""
+    from pyspark import StorageLevel
+
+    from person_linkage_case_study_spark.plans.cascade import (
+        derive_checkpoint_storage,
+    )
+    from person_linkage_case_study_spark.session import (
+        executor_heap_bytes,
+        parse_mem_bytes,
+    )
+
+    heap64 = 64 << 30
+    assert derive_checkpoint_storage(76_800_000, heap64) is None  # 512x: fit
+    lvl = derive_checkpoint_storage(153_600_000, heap64)  # 1024x: OOM'd
+    assert lvl is not None and lvl.useDisk and not lvl.useMemory
+    assert derive_checkpoint_storage(None, heap64) is None
+    assert derive_checkpoint_storage(1_000_000, None) is None
+
+    assert parse_mem_bytes("64g") == 64 << 30
+    assert parse_mem_bytes("8192m") == 8 << 30
+    assert parse_mem_bytes("1024") == 1024
+    with pytest.raises(ValueError):
+        parse_mem_bytes("auto")
+    assert executor_heap_bytes(spark) > 0
+
+    census, geobase, name_dob, fake_names, dod = fixture
+    prepped = preprocess_census(census, fake_names, gq_threshold=99)
+    refs = {
+        "geobase_reference_file": preprocess_reference_file(geobase),
+        "name_dob_reference_file": preprocess_reference_file(
+            name_dob, has_address=False
+        ),
+    }
+    auto = PersonLinkageCascade(spark, prepped, refs, make_model())
+    assert auto._resolve_ckpt_level() is None  # tiny corpus: heap default
+    explicit = PersonLinkageCascade(
+        spark, prepped, refs, make_model(),
+        checkpoint_storage_level=StorageLevel.DISK_ONLY,
+    )
+    assert explicit._resolve_ckpt_level() == StorageLevel.DISK_ONLY
+    manual = PersonLinkageCascade(
+        spark, prepped, refs, make_model(), auto_pin=False
+    )
+    assert manual._resolve_ckpt_level() is None
+
+
 def test_checkpoint_disk_only_matches_local(spark, fixture, cascade_result):
     """checkpoint_storage_level=DISK_ONLY (the mega-rung regime: stream
     checkpoint blocks to local disk instead of unrolling deserialized
