@@ -323,20 +323,18 @@ def main() -> None:
     # serial-reduce-task regime stays reproducible (with r8's default-on
     # derivation it would otherwise self-mitigate)
     #
-    # Checkpoint storage scales with the data like heap/partitions do:
-    # past 256× the per-pass links frame (~linear in mult; ~51 GB at
-    # 1024×) no longer fits the capped 64 g heap as deserialized
-    # MEMORY_AND_DISK blocks — the 1024× first attempt OOM'd a shuffle
-    # writer while 32 tasks unrolled ~226 MiB partitions on-heap — so
-    # mega rungs stream checkpoint blocks to local disk (DISK_ONLY),
-    # the local analog of a cluster checkpointing to node-local SSD.
-    from pyspark import StorageLevel
-
-    ckpt_level = StorageLevel.DISK_ONLY if scale_mult > 256 else None
+    # Checkpoint storage is NOT set here: the cascade auto-derives it
+    # (derive_checkpoint_storage) from the census count vs the heap the
+    # run was sized with — at 1024× that resolves to DISK_ONLY (the
+    # first 1024× attempt OOM'd a shuffle writer while 32 tasks
+    # unrolled ~226 MiB on-heap checkpoint partitions; the relaunch
+    # with disk-level checkpoints cleared it), and at ≤512× it keeps
+    # the measured-good on-heap default. The ladder therefore proves
+    # the zero-knob path end-to-end, like skew-full-auto does for
+    # salt+pin.
     cascade = PersonLinkageCascade(
         spark, census, {"ref": ref}, make_model(), collect_stats=False,
         auto_pin=(mode != "skew"),
-        checkpoint_storage_level=ckpt_level,
     )
     confirmed = cascade.run(config)
     n_links = confirmed.count()
