@@ -19,6 +19,14 @@ with :func:`encode_wav` as the matching writer. Heavier codecs
 (ffmpeg/torchaudio, JPEG pixels, compressed audio) still gate on an
 import-try; ``extract_media_features`` computes deterministic byte-level
 features wherever a codec is unavailable.
+
+r10: indexed (color type 3 / PLTE) PNGs decode to RGB — the last common
+PNG tier a crawl actually contains; the Sub scanline filter reconstructs
+via one vectorized prefix sum instead of a per-byte loop; and every
+per-row decode in the Spark kernels catches Exception, not just
+ValueError, so payloads with valid signatures and corrupt innards
+(zlib.error, struct.error — advisor-probed) NULL out instead of killing
+the stage.
 """
 
 from __future__ import annotations
@@ -65,21 +73,37 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def encode_png(pixels, color_type: int | None = None) -> bytes:
+def encode_png(pixels, color_type: int | None = None, palette=None) -> bytes:
     """Minimal, spec-correct PNG writer for 8-bit images (the fixture /
     round-trip counterpart of :func:`parse_png` — no imaging library in
     this container). ``pixels`` is a uint8 numpy array: (h, w) gray or
     (h, w, c) with c ∈ {1, 2, 3, 4}. Rows are filtered with a rotating
     None/Sub/Up schedule so decoders exercise real de-filtering, not
-    just filter-0 passthrough."""
+    just filter-0 passthrough.
+
+    ``palette`` (r10): an (n ≤ 256, 3) uint8 RGB array makes this a
+    color-type-3 (indexed) writer — ``pixels`` is then the (h, w) uint8
+    INDEX array and a PLTE chunk is emitted before IDAT (PNG spec 11.2.3
+    requires PLTE ahead of the image data for type 3)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+            raise ValueError("palette must be (n<=256, 3) uint8 RGB")
+        if c != 1:
+            raise ValueError("indexed PNG wants a single index sample per pixel")
+        if int(px.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        color_type = 3
     if color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if color_type == 3 and palette is None:
+        raise ValueError("color_type 3 requires a palette")
     if _PNG_CHANNELS[color_type] != c:
         raise ValueError(f"color_type {color_type} wants {_PNG_CHANNELS[color_type]} channels, got {c}")
 
@@ -106,9 +130,11 @@ def encode_png(pixels, color_type: int | None = None) -> bytes:
             filtered = row
         raw.append(ft)
         raw.extend(filtered.astype(np.uint8).tobytes())
+    plte = b"" if palette is None else chunk(b"PLTE", pal.tobytes())
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -116,25 +142,34 @@ def encode_png(pixels, color_type: int | None = None) -> bytes:
 
 def parse_png(payload: bytes) -> dict:
     """Pure-Python PNG decode: IHDR metadata always; for 8-bit
-    non-interlaced, non-palette images also the full pixel array (zlib
-    inflate + all five scanline filters per the PNG spec, 9.2) and its
-    mean. Returns ``{format, width, height, channels, bit_depth,
-    pixels, pixel_mean}`` — ``pixels``/``pixel_mean`` are None when only
-    metadata is decodable (16-bit, interlaced, palette)."""
+    non-interlaced images also the full pixel array (zlib inflate + all
+    five scanline filters per the PNG spec, 9.2) and its mean — including
+    color type 3 (indexed, r10): index samples are de-filtered like any
+    1-sample image and expanded through the PLTE lookup table to an RGB
+    array, so ``channels`` reports 3 and ``pixel_mean`` averages the
+    expanded RGB values. Returns ``{format, width, height, channels,
+    bit_depth, pixels, pixel_mean}`` — ``pixels``/``pixel_mean`` are None
+    when only metadata is decodable (16-bit, interlaced, palette sans
+    PLTE); ``channels`` is then the IHDR samples-per-pixel count."""
     import numpy as np
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat = 8, bytearray()
     width = height = bit_depth = color_type = interlace = None
+    plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("PNG IHDR truncated")
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
+        elif tag == b"PLTE":
+            plte = bytes(body)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -152,13 +187,21 @@ def parse_png(payload: bytes) -> dict:
         "pixels": None,
         "pixel_mean": None,
     }
-    if bit_depth != 8 or color_type == 3 or interlace != 0 or not idat:
+    if (
+        bit_depth != 8
+        or interlace != 0
+        or not idat
+        or channels is None
+        or (color_type == 3 and plte is None)
+    ):
         return meta  # metadata-only tier
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     p = 0
+    if len(raw) < height * (1 + stride):
+        raise ValueError("PNG IDAT shorter than the scanline geometry")
     for y in range(height):
         ft = raw[p]
         line = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).astype(
@@ -169,14 +212,25 @@ def parse_png(payload: bytes) -> dict:
             rec = line
         elif ft == 2:  # Up
             rec = (line + prev) % 256
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent, per-byte
+        elif ft == 1:  # Sub: recon[i] = line[i] + recon[i - channels] is a
+            # per-channel prefix sum mod 256, so one np.cumsum reconstructs
+            # the whole scanline (r10 — the per-byte loop it replaces ran
+            # every third encoder row through Python; a 512×512 RGB
+            # Sub-only image now decodes whole in 16 ms where the old
+            # de-filter loop alone took 1.15 s — ~74×, SCALING.md). int64
+            # cumsum cannot overflow below ~3.6e16 columns.
+            rec = (
+                np.cumsum(line.reshape(width, channels), axis=0, dtype=np.int64)
+                % 256
+            ).reshape(stride).astype(np.int32)
+        elif ft in (3, 4):  # Average / Paeth: the predictor mixes the UP
+            # neighbor with the reconstructed LEFT, which breaks the
+            # prefix-sum form — genuinely sequential, per-byte
             rec = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
                 a = rec[i - channels] if i >= channels else 0
                 b = prev[i]
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) // 2
                 else:
                     cdiag = prev[i - channels] if i >= channels else 0
@@ -187,7 +241,17 @@ def parse_png(payload: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec
         prev = rec
-    pixels = out.reshape(height, width, channels)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3)
+        if not len(pal):
+            raise ValueError("PNG PLTE chunk empty")
+        if int(out.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        pixels = pal[out]  # (h, w, 3) RGB expansion
+        meta["channels"] = 3
+    else:
+        pixels = out.reshape(height, width, channels)
     meta["pixels"] = pixels
     meta["pixel_mean"] = float(pixels.mean())
     return meta
@@ -236,9 +300,10 @@ def decode_image(payload: bytes):
 
     PNG decodes for REAL in pure Python (r9 — see :func:`parse_png`):
     returns the (h, w, c) uint8 numpy array for 8-bit non-interlaced
-    images. JPEG and anything else fall through to PIL when importable;
-    otherwise NotImplementedError (a pure-Python huffman+DCT decoder is
-    out of scope — JPEG *metadata* is available via :func:`parse_jpeg`).
+    images, including indexed/PLTE images expanded to RGB (r10). JPEG and
+    anything else fall through to PIL when importable; otherwise
+    NotImplementedError (a pure-Python huffman+DCT decoder is out of
+    scope — JPEG *metadata* is available via :func:`parse_jpeg`).
     """
     if payload[:8] == _PNG_SIG:
         meta = parse_png(payload)
@@ -250,7 +315,7 @@ def decode_image(payload: bytes):
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG (or 16-bit/palette/interlaced PNG) pixel decode "
+            "non-PNG (or 16-bit/interlaced PNG) pixel decode "
             "requires PIL/pillow, not available in this environment; "
             "parse_png/parse_jpeg provide metadata and "
             "extract_media_features byte-level features"
@@ -290,7 +355,12 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                         m = parse_jpeg(b)
                     else:
                         m = None
-                except ValueError:
+                except Exception:
+                    # crawl-garbage contract: a valid signature with corrupt
+                    # innards raises whatever the codec hit (zlib.error on a
+                    # bad IDAT, struct.error on a truncated header — advisor
+                    # probe, r10); ANY decode failure means NULL columns,
+                    # never a thrown stage
                     m = None
                 if m is None:
                     rows.append((media_id, None, None, None, None, None, None))
@@ -363,6 +433,8 @@ def parse_wav(payload: bytes) -> dict:
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             audio_format, channels, sample_rate, _, _, bit_depth = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -384,12 +456,16 @@ def parse_wav(payload: bytes) -> dict:
     }
     if data is None:
         return meta
+    # degenerate fmt guards (r10, advisor probe): channels=0 / bit_depth=0
+    # give frame_bytes=0 (division by zero at n_frames), sample_rate=0
+    # divides by zero at duration — all legal-looking garbage a crawl
+    # contains, all resolved to the metadata-only tier, never a throw
     frame_bytes = channels * (bit_depth // 8)
-    if frame_bytes:
+    if frame_bytes and sample_rate:
         meta["n_frames"] = len(data) // frame_bytes
         meta["duration_sec"] = meta["n_frames"] / sample_rate
-    if audio_format != 1 or bit_depth != 16:
-        return meta  # metadata-only tier (non-PCM16)
+    if audio_format != 1 or bit_depth != 16 or meta["n_frames"] is None:
+        return meta  # metadata-only tier (non-PCM16 or degenerate fmt)
     s = np.frombuffer(data[: meta["n_frames"] * frame_bytes], dtype="<i2").reshape(
         meta["n_frames"], channels
     )
@@ -428,7 +504,11 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 try:
                     m = parse_wav(b) if b[:4] == b"RIFF" else None
-                except ValueError:
+                except Exception:
+                    # same crawl-garbage contract as extract_image_meta: a
+                    # RIFF header with corrupt innards can raise beyond
+                    # ValueError (struct.error on a truncated chunk —
+                    # advisor probe, r10); NULL columns, never a throw
                     m = None
                 if m is None:
                     rows.append(
@@ -576,13 +656,21 @@ def resize_images(media: DataFrame, scale: int = 2) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 try:
                     meta = parse_png(b) if b[:8] == _PNG_SIG else None
-                except ValueError:
+                    if meta is not None and meta["pixels"] is not None:
+                        # round-trip: metadata from re-decoding the output
+                        out = encode_png(box_downsample(meta["pixels"], scale))
+                        m2 = parse_png(out)
+                    else:
+                        meta = None
+                except Exception:
+                    # the whole decode → resize → encode → re-decode loop is
+                    # under the crawl-garbage contract: a valid PNG signature
+                    # with corrupt IDAT raises zlib.error, a truncated IHDR
+                    # struct.error (advisor probe, r10) — NULL row, no throw
                     meta = None
-                if meta is None or meta["pixels"] is None:
+                if meta is None:
                     rows.append((media_id, None, None, None, None, None))
                     continue
-                out = encode_png(box_downsample(meta["pixels"], scale))
-                m2 = parse_png(out)  # round-trip: metadata from re-decode
                 rows.append(
                     (
                         media_id,

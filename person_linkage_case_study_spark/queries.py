@@ -2311,6 +2311,26 @@ def _mm_features_oracle() -> str:
                   AS DOUBLE) AS rsz_pixel_mean
       FROM documents
     ),
+    -- r10: the palette tier. The Spark side encodes a color-type-3
+    -- (indexed/PLTE) PNG per document — palette entry k = (k, 2k, 3k)
+    -- (k <= 85 so 3k < 256, no wrap), index ramp i0..i0+N-1 with
+    -- i0 = id % 40 and N = w*h <= 20 (max index 59 < 86 palette
+    -- entries) — and decodes it back through the PLTE expansion
+    -- (parse_png r10). Per-pixel RGB mean of entry k is (k+2k+3k)/3 =
+    -- 2k, so the image mean collapses to 2*i0 + (N-1) exactly — an
+    -- integer, no float ambiguity; a value-hash match proves the
+    -- indexed encode -> PLTE-expanded decode loop bit-faithful per row.
+    plt AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + CAST(doc_id AS BIGINT) % 5 AS INT) AS plt_width,
+             CAST(1 + CAST(doc_id AS BIGINT) % 4 AS INT) AS plt_height,
+             CAST(3 AS INT) AS plt_channels,
+             CAST(2 * (CAST(doc_id AS BIGINT) % 40)
+                  + (1 + CAST(doc_id AS BIGINT) % 5)
+                    * (1 + CAST(doc_id AS BIGINT) % 4) - 1
+                  AS DOUBLE) AS plt_pixel_mean
+      FROM documents
+    ),
     -- r9 late: the audio tier. The Spark side encodes a REAL RIFF/WAVE
     -- PCM16 +/-A alternating square wave (A = 1+id%9999) and decodes it
     -- back (parse_wav): every sample magnitude is A, so RMS = A and
@@ -2336,6 +2356,8 @@ def _mm_features_oracle() -> str:
            img.img_pixel_mean,
            rsz.rsz_width, rsz.rsz_height, rsz.rsz_channels,
            rsz.rsz_pixel_mean,
+           plt.plt_width, plt.plt_height, plt.plt_channels,
+           plt.plt_pixel_mean,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
            aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
@@ -2343,6 +2365,7 @@ def _mm_features_oracle() -> str:
       USING (media_id)
     JOIN img USING (media_id)
     JOIN rsz USING (media_id)
+    JOIN plt USING (media_id)
     JOIN aud USING (media_id)
     """
 
@@ -2365,7 +2388,9 @@ def _mm_features_oracle() -> str:
 # metadata from the re-decoded bytes) and the AUDIO loop (±A square-wave
 # RIFF/WAVE PCM16 → parse_wav sample recovery; RMS = peak = A exactly).
 # Closed-form expectations for both are derived in _mm_features_oracle's
-# rsz/aud CTE comments.
+# rsz/aud CTE comments. r10 folds in the PALETTE tier (indexed/PLTE PNG
+# encode → PLTE-expanded decode, closed form in the plt CTE comment) the
+# same way — six real-codec loops, one catalog entry.
 @query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -2457,6 +2482,33 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pixel_mean").alias("rsz_pixel_mean"),
     )
 
+    def mk_plt_png(it):
+        # r10 palette tier: indexed PNG, palette entry k = (k, 2k, 3k)
+        # (3k < 256 for k <= 85), index ramp i0..i0+N-1 — per-pixel RGB
+        # mean is 2k, so the image mean is exactly 2*i0 + (N-1)
+        pal = np.stack(
+            [np.arange(86), 2 * np.arange(86), 3 * np.arange(86)], axis=1
+        ).astype(np.uint8)
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 5, 1 + mid % 4
+                i0 = mid % 40
+                idx = (i0 + np.arange(w * h)).astype(np.uint8).reshape(h, w)
+                payloads.append(encode_png(idx, palette=pal))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    plt = extract_image_meta(
+        media.select("media_id").mapInPandas(mk_plt_png, payload_schema)
+    ).select(
+        "media_id",
+        F.col("width").alias("plt_width"),
+        F.col("height").alias("plt_height"),
+        F.col("channels").alias("plt_channels"),
+        F.col("pixel_mean").alias("plt_pixel_mean"),
+    )
+
     def mk_wav(it):
         # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
@@ -2486,6 +2538,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         feats.join(img, on="media_id")
         .join(rsz, on="media_id")
+        .join(plt, on="media_id")
         .join(aud, on="media_id")
         .select(
             "media_id",
@@ -2502,6 +2555,10 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rsz_height",
             "rsz_channels",
             "rsz_pixel_mean",
+            "plt_width",
+            "plt_height",
+            "plt_channels",
+            "plt_pixel_mean",
             "audio_channels",
             "sample_rate",
             "n_frames",

@@ -347,6 +347,143 @@ def test_box_downsample_property(h, w, scale, seed):
     assert out.min() >= px.min() and out.max() <= px.max()
 
 
+def test_png_palette_round_trip():
+    """Indexed (color type 3) PNGs decode to the PLTE-expanded RGB array
+    (r10): encode indices + palette, decode, compare against the direct
+    numpy lookup. decode_image returns the expanded array too."""
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 4), dtype=np.uint8)
+    payload = encode_png(idx, palette=pal)
+    m = parse_png(payload)
+    assert (m["width"], m["height"], m["channels"], m["bit_depth"]) == (4, 6, 3, 8)
+    assert np.array_equal(m["pixels"], pal[idx])
+    assert m["pixel_mean"] == pytest.approx(float(pal[idx].mean()))
+    assert np.array_equal(decode_image(payload), pal[idx])
+    # writer contract checks
+    with pytest.raises(ValueError, match="palette index"):
+        encode_png(np.full((2, 2), 16, dtype=np.uint8), palette=pal)
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(idx, color_type=3)
+    # a palette PNG with its PLTE chunk stripped is metadata-only (the
+    # pre-r10 tier), reporting the IHDR samples-per-pixel count of 1
+    plte_pos = payload.index(b"PLTE") - 4
+    (plte_len,) = struct.unpack(">I", payload[plte_pos : plte_pos + 4])
+    stripped = payload[:plte_pos] + payload[plte_pos + 12 + plte_len :]
+    m = parse_png(stripped)
+    assert m["pixels"] is None and m["channels"] == 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    n_pal=st.integers(1, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_palette_round_trip_property(h, w, n_pal, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_pal, size=(h, w), dtype=np.uint8)
+    m = parse_png(encode_png(idx, palette=pal))
+    assert np.array_equal(m["pixels"], pal[idx])
+
+
+def test_png_sub_filter_vectorized_golden():
+    """Sub (filter 1) reconstruction is a per-channel prefix sum (r10
+    vectorization); pin it against a hand-built Sub-only stream whose
+    running sums wrap mod 256."""
+    px = np.array([[200, 100, 250], [30, 240, 10]], dtype=np.uint8)
+    flat = px.astype(np.int32)
+    raw = bytearray()
+    for y in range(2):
+        row = flat[y]
+        filt = (row - np.concatenate(([0], row[:-1]))) % 256
+        raw.append(1)
+        raw.extend(filt.astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(parse_png(payload)["pixels"].reshape(2, 3), px)
+
+
+def test_wav_degenerate_fmt_metadata_only():
+    """Advisor-probed garbage (r10): channels=0, sample_rate=0, and a
+    truncated fmt chunk must resolve to the metadata-only tier or a typed
+    ValueError — never struct.error / TypeError / ZeroDivisionError."""
+    body = encode_wav(np.array([3, -4], dtype=np.int16))
+    fmt_body = body.index(b"fmt ") + 8
+    # channels = 0: no frame geometry, metadata-only
+    bad = bytearray(body)
+    struct.pack_into("<H", bad, fmt_body + 2, 0)
+    m = parse_wav(bytes(bad))
+    assert m["channels"] == 0 and m["n_frames"] is None and m["samples"] is None
+    # sample_rate = 0: no duration, metadata-only
+    bad = bytearray(body)
+    struct.pack_into("<I", bad, fmt_body + 4, 0)
+    m = parse_wav(bytes(bad))
+    assert m["sample_rate"] == 0 and m["n_frames"] is None
+    # truncated fmt chunk: typed refusal
+    fmt_pos = body.index(b"fmt ")
+    trunc = (
+        body[:fmt_pos] + b"fmt " + struct.pack("<I", 8)
+        + body[fmt_pos + 8 : fmt_pos + 16]
+    )
+    with pytest.raises(ValueError, match="fmt chunk truncated"):
+        parse_wav(trunc)
+
+
+def _corrupt_idat_png():
+    """A payload with a valid PNG signature/IHDR but garbage IDAT bytes —
+    parse_png raises zlib.error on it, which the Spark kernels must
+    swallow per the crawl-garbage contract (advisor probe, r10)."""
+    good = encode_png(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    i = good.index(b"IDAT")
+    return good[: i + 4] + b"\x00" * 8 + good[i + 12 :]
+
+
+def test_kernels_swallow_non_valueerror_garbage(spark):
+    """One bad record must never kill a stage: corrupt-IDAT PNGs
+    (zlib.error) through extract_image_meta AND resize_images, truncated
+    WAV fmt (struct.error pre-r10) through extract_audio_meta — all NULL
+    rows alongside an intact good row."""
+    good_png = encode_png(np.full((4, 4), 9, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(good_png)), (2, bytearray(_corrupt_idat_png()))],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    meta = {r["media_id"]: r for r in extract_image_meta(media).collect()}
+    assert meta[1]["pixel_mean"] == pytest.approx(9.0)
+    assert meta[2]["format"] is None
+    rsz = {r["media_id"]: r for r in resize_images(media, scale=2).collect()}
+    assert rsz[1]["width"] == 2 and rsz[2]["payload"] is None
+
+    wav = encode_wav(np.array([7, -7], dtype=np.int16))
+    fmt_pos = wav.index(b"fmt ")
+    trunc = (
+        wav[:fmt_pos] + b"fmt " + struct.pack("<I", 8)
+        + wav[fmt_pos + 8 : fmt_pos + 16]
+    )
+    adf = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(trunc))],
+        "media_id long, payload binary",
+    )
+    amedia = attach_media_payload(adf, bytes_col="payload", id_col="media_id")
+    arows = {r["media_id"]: r for r in extract_audio_meta(amedia).collect()}
+    assert arows[1]["peak"] == 7 and arows[2]["format"] is None
+
+
 def test_frame_sampling(media):
     frames = sample_frames(media, every_n_bytes=4096, max_frames=8).collect()
     by_id = {}
