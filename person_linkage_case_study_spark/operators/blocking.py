@@ -157,6 +157,48 @@ def estimate_pair_count(
     return estimate_pair_stats(left, right, block_on)[0]
 
 
+def estimate_pair_row_bytes(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: Sequence[str],
+    *,
+    floor: int = 64,
+) -> int:
+    """Estimated in-memory bytes of ONE :func:`blocked_pairs` output row,
+    from the join's actual projected schema (r10 — closes the r9 finding
+    that :func:`derive_pair_pin` / :func:`derive_salt` sized partitions
+    from a constant 256: a pass carrying many matching columns under-
+    pinned, a narrow pass over-pinned; the cascade knows the schema at
+    derivation time, so the heuristic can self-size like everything else
+    the derivations automated).
+
+    The pair row is the blocking keys once plus every non-key column of
+    both sides, UnsafeRow-shaped: an 8-byte header word, one 8-byte slot
+    per field, plus a variable section for var-width types (strings ~16
+    payload bytes — the linkage columns are short name/date fragments;
+    arrays/maps/binary get a coarse 32). This is a partition-count
+    heuristic, not an allocator: being ~2× off moves the pin by 2× inside
+    a [32, 4096] clamp, which the measured brackets tolerate
+    (SKEW_BENCH_r07-r09 spanned pins 64-679 at the same wall)."""
+    var_extra = {"string": 16}
+    fields = []
+    keys = set(block_on)
+    for side in (left, right):
+        for f in side.schema.fields:
+            if f.name in keys and side is right:
+                continue  # keys emitted once (from the left side)
+            fields.append(f)
+    total = 8  # UnsafeRow header / null bitmap word
+    for f in fields:
+        name = f.dataType.typeName()
+        total += 8  # fixed slot
+        if name in var_extra:
+            total += var_extra[name]
+        elif name in ("array", "map", "struct", "binary"):
+            total += 32
+    return max(floor, total)
+
+
 def derive_pair_pin(
     n_pairs: int,
     n_left: int,

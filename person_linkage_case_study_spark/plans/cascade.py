@@ -30,6 +30,7 @@ from ..operators.blocking import (
     blocked_pairs,
     derive_pair_pin,
     derive_salt,
+    estimate_pair_row_bytes,
     estimate_pair_stats,
 )
 from ..operators.dedup import keep_best, max_per_group_with_ties
@@ -80,7 +81,19 @@ def derive_checkpoint_storage(
     heap. On a multi-executor cluster the comparison (TOTAL rows vs ONE
     executor's heap) is conservative — it flips to disk sooner than
     strictly needed, which at 100 TB is the posture you want anyway
-    (node-local-disk checkpoints, zero MemoryStore pressure)."""
+    (node-local-disk checkpoints, zero MemoryStore pressure).
+
+    ``frame_rows`` proxy (r10, advisor): the cascade seeds this with the
+    CENSUS row count — exact when link rate ≈ 1 (the whole ladder), an
+    UNDERCOUNT for a pass whose links multiply census rows (nickname-
+    style record multiplication) or whose row width exceeds
+    ``row_bytes``. The cascade therefore RE-derives per pass with
+    ``max(census_rows, K8 pair estimate)`` and escalates to DISK_ONLY
+    mid-run the moment any pass's pair bound flips the gate (escalation
+    is one-way — a level already derived never downgrades mid-run, so
+    checkpoint behavior stays monotone). The pair estimate upper-bounds
+    the links frame (links ⊆ scored pairs), so the escalated gate can
+    only fire early — the conservative side."""
     if not frame_rows or not heap_bytes:
         return None
     if frame_rows * row_bytes > heap_fraction * heap_bytes:
@@ -243,6 +256,8 @@ class PersonLinkageCascade:
         self.checkpoint_storage_level = checkpoint_storage_level
         self._ckpt_level: StorageLevel | None = None
         self._ckpt_level_resolved = False
+        self._ckpt_rows = 0  # largest frame-row bound fed to the gate
+        self._heap_bytes: int | None = None
         self.auto_pin = auto_pin
         self.spark = spark
         self.census = census.persist(StorageLevel.MEMORY_AND_DISK)
@@ -307,11 +322,37 @@ class PersonLinkageCascade:
         else:
             from ..session import executor_heap_bytes
 
+            self._ckpt_rows = self.census.count()
+            self._heap_bytes = executor_heap_bytes(self.spark)
             self._ckpt_level = derive_checkpoint_storage(
-                self.census.count(), executor_heap_bytes(self.spark)
+                self._ckpt_rows, self._heap_bytes
             )
         self._ckpt_level_resolved = True
         return self._ckpt_level
+
+    def _note_frame_rows(self, rows: int | None) -> None:
+        """Escalate the derived checkpoint level when a pass's K8 pair
+        estimate bounds a bigger links frame than the census-row proxy
+        (r10, advisor: a pass emitting MULTIPLES of census rows —
+        nickname-style record multiplication — could blow past half-heap
+        while the census-seeded gate still said on-heap, the exact 1024×
+        failure reached via row explosion instead of corpus size). The
+        pair estimate upper-bounds the links frame, so this only flips
+        EARLY, and only one way: an auto-derived level never downgrades
+        mid-run. Explicit levels and ``auto_pin=False`` are untouched."""
+        if (
+            not rows
+            or self.checkpoint_storage_level is not None
+            or not self.auto_pin
+        ):
+            return
+        self._resolve_ckpt_level()  # seeds _ckpt_rows / _heap_bytes
+        if rows <= self._ckpt_rows:
+            return
+        self._ckpt_rows = rows
+        lvl = derive_checkpoint_storage(rows, self._heap_bytes)
+        if lvl is not None:
+            self._ckpt_level = lvl
 
     # -- module lifecycle ---------------------------------------------------
 
@@ -444,15 +485,20 @@ class PersonLinkageCascade:
         census_side, ref_side, block_on = self._pass_sides(pass_cfg)
         stats = estimate_pair_stats(census_side, ref_side, block_on)
         if self.auto_pin:
+            # size the derivations from the pass's ACTUAL pair-row schema
+            # (r10 — the r9 constant 256 under-pinned wide passes and
+            # over-pinned narrow ones; schema inspection is free)
+            row_bytes = estimate_pair_row_bytes(census_side, ref_side, block_on)
             if pin is None:
                 pin = derive_pair_pin(
                     stats.pairs,
                     stats.n_left,
                     stats.n_right,
                     shuffle_partitions(self.spark),
+                    pair_row_bytes=row_bytes,
                 )
             if salt is None:
-                salt = derive_salt(stats.max_key_pairs)
+                salt = derive_salt(stats.max_key_pairs, pair_row_bytes=row_bytes)
         return PassPlan(stats, pin, salt)
 
     def resolve_pass_pin(self, pass_cfg: PassConfig) -> int | None:
@@ -465,6 +511,9 @@ class PersonLinkageCascade:
         cfg = self._module
         plan = self.resolve_pass_plan(pass_cfg, force_estimate=self.collect_stats)
         n_pairs = plan.stats.pairs if plan.stats is not None else -1
+        # escalate the checkpoint storage gate BEFORE this pass's links
+        # frame is checkpointed — the pair estimate bounds its rows
+        self._note_frame_rows(plan.stats.pairs if plan.stats is not None else None)
 
         new_links = self._truncate(
             self.build_pass_links(

@@ -54,9 +54,13 @@ _MEM_SUFFIX = {"k": 10, "m": 20, "g": 30, "t": 40}
 
 
 def parse_mem_bytes(value: str) -> int:
-    """JVM-style memory string → bytes ('64g', '8192m', bare number =
-    bytes). Raises ValueError on anything else."""
+    """JVM/Spark-style memory string → bytes ('64g', '8192m', and the
+    Spark-legal two-letter forms '64gb'/'8192mb' — r10, advisor: those
+    used to fall through to int() and silently lose the conf; bare
+    number = bytes). Raises ValueError on anything else."""
     s = str(value).strip().lower()
+    if len(s) >= 2 and s[-1] == "b" and s[-2] in _MEM_SUFFIX:
+        s = s[:-1]  # Spark accepts '64gb' as a synonym of '64g'
     if s and s[-1] in _MEM_SUFFIX:
         return int(float(s[:-1]) * (1 << _MEM_SUFFIX[s[-1]]))
     return int(s)
@@ -65,22 +69,31 @@ def parse_mem_bytes(value: str) -> int:
 def executor_heap_bytes(spark: SparkSession, default: int = 8 << 30) -> int:
     """The per-executor JVM heap in bytes — the denominator for
     storage-pressure heuristics (e.g. deriving a checkpoint storage
-    level). ``spark.executor.memory`` when explicitly set (cluster
-    submits set it); otherwise the driver JVM's actual
-    ``Runtime.maxMemory()`` (in local mode the driver IS the executor,
-    and maxMemory reflects the real -Xmx however it was configured).
+    level). On a ``local[*]`` master the driver IS the executor and
+    ``spark.executor.memory`` is INERT — a shared conf template that
+    sets it would feed the wrong denominator (r10, advisor) — so local
+    masters go straight to the driver JVM's actual
+    ``Runtime.maxMemory()`` (which reflects the real -Xmx however it
+    was configured). On a cluster master, ``spark.executor.memory``
+    when set (cluster submits set it); the driver's maxMemory is only
+    the last-ditch fallback there, since it is NOT the executor heap.
     Degrades to ``default`` rather than raising — like
     :func:`shuffle_partitions`, a sizing heuristic must never turn a
     platform quirk into a crash."""
     try:
-        conf_val = spark.conf.get("spark.executor.memory", None)
+        is_local = str(spark.sparkContext.master).startswith("local")
     except Exception:
-        conf_val = None
-    if conf_val:
+        is_local = False
+    if not is_local:
         try:
-            return parse_mem_bytes(conf_val)
-        except (TypeError, ValueError):
-            pass
+            conf_val = spark.conf.get("spark.executor.memory", None)
+        except Exception:
+            conf_val = None
+        if conf_val:
+            try:
+                return parse_mem_bytes(conf_val)
+            except (TypeError, ValueError):
+                pass
     try:
         jvm = spark.sparkContext._jvm
         return int(jvm.java.lang.Runtime.getRuntime().maxMemory())

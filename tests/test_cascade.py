@@ -335,6 +335,38 @@ def test_checkpoint_storage_derivation(spark, fixture):
     with pytest.raises(ValueError):
         parse_mem_bytes("auto")
     assert executor_heap_bytes(spark) > 0
+    # r10 (advisor): Spark-legal two-letter suffixes parse instead of
+    # silently falling through; and on a local master an (inert)
+    # spark.executor.memory conf is IGNORED — the heap is the driver
+    # JVM's real -Xmx, not whatever a shared conf template claims
+    assert parse_mem_bytes("64gb") == 64 << 30
+    assert parse_mem_bytes("8192mb") == 8 << 30
+    assert parse_mem_bytes(" 2GB ") == 2 << 30
+    # duck-typed sessions (spark.executor.memory is a static conf — a
+    # real local session can't set it at runtime, which is the point):
+    # local master ignores the inert conf and reads the JVM's maxMemory;
+    # a cluster master honors the conf, including the 'gb' spelling
+    import types
+
+    def _fake_spark(master, conf_val, max_mem):
+        runtime = types.SimpleNamespace(maxMemory=lambda: max_mem)
+        jvm = types.SimpleNamespace(
+            java=types.SimpleNamespace(
+                lang=types.SimpleNamespace(
+                    Runtime=types.SimpleNamespace(getRuntime=lambda: runtime)
+                )
+            )
+        )
+        return types.SimpleNamespace(
+            sparkContext=types.SimpleNamespace(master=master, _jvm=jvm),
+            conf=types.SimpleNamespace(get=lambda k, d=None: conf_val),
+        )
+
+    assert executor_heap_bytes(_fake_spark("local[32]", "512t", 123456)) == 123456
+    assert (
+        executor_heap_bytes(_fake_spark("spark://h:7077", "64gb", 999))
+        == 64 << 30
+    )
 
     census, geobase, name_dob, fake_names, dod = fixture
     prepped = preprocess_census(census, fake_names, gq_threshold=99)
@@ -354,6 +386,76 @@ def test_checkpoint_storage_derivation(spark, fixture):
     manual = PersonLinkageCascade(
         spark, prepped, refs, make_model(), auto_pin=False
     )
+    assert manual._resolve_ckpt_level() is None
+
+
+def test_pair_row_bytes_schema_derivation(spark):
+    """r10: the pin/salt derivations size from the pass's ACTUAL pair-row
+    schema instead of a constant 256 — at equal pair counts a wide pass
+    (many matching columns) must derive a larger pin and salt than a
+    narrow one, because its pair output is genuinely more bytes."""
+    from person_linkage_case_study_spark.operators.blocking import (
+        derive_pair_pin,
+        derive_salt,
+        estimate_pair_row_bytes,
+    )
+
+    narrow_l = spark.createDataFrame([], "k string, a string")
+    narrow_r = spark.createDataFrame([], "k string, b string")
+    wide_cols = ", ".join(f"m{i} string" for i in range(20))
+    wide_l = spark.createDataFrame([], f"k string, {wide_cols}")
+    wide_r = spark.createDataFrame([], f"k string, {wide_cols}")
+    nb = estimate_pair_row_bytes(narrow_l, narrow_r, ["k"])
+    wb = estimate_pair_row_bytes(wide_l, wide_r, ["k"])
+    # keys counted once; every non-key column of both sides counted
+    assert wb > nb >= 64
+
+    pairs = 200_000_000
+    pin_n = derive_pair_pin(pairs, 1000, 1000, 32, pair_row_bytes=nb)
+    pin_w = derive_pair_pin(pairs, 1000, 1000, 32, pair_row_bytes=wb)
+    assert pin_w > pin_n > 32
+
+    salt_n = derive_salt(2_000_000, pair_row_bytes=nb)
+    salt_w = derive_salt(2_000_000, pair_row_bytes=wb)
+    assert salt_w > salt_n >= 2
+
+
+def test_checkpoint_gate_escalates_on_pair_estimate(spark, fixture):
+    """r10 (advisor): the checkpoint storage gate is seeded with census
+    rows but must escalate to DISK_ONLY when a pass's K8 pair estimate
+    bounds a links frame past half-heap — one way only, and never for
+    explicit levels or auto_pin=False."""
+    from pyspark import StorageLevel
+
+    census, geobase, name_dob, fake_names, dod = fixture
+    prepped = preprocess_census(census, fake_names, gq_threshold=99)
+    refs = {
+        "geobase_reference_file": preprocess_reference_file(geobase),
+        "name_dob_reference_file": preprocess_reference_file(
+            name_dob, has_address=False
+        ),
+    }
+    c = PersonLinkageCascade(spark, prepped, refs, make_model())
+    assert c._resolve_ckpt_level() is None  # tiny corpus: on-heap default
+    c._note_frame_rows(10)  # below the census proxy: no-op
+    assert c._ckpt_level is None
+    past_gate = c._heap_bytes // 700 + 1  # rows*350 just over heap/2
+    c._note_frame_rows(past_gate)
+    assert c._ckpt_level is not None
+    assert c._ckpt_level.useDisk and not c._ckpt_level.useMemory
+    c._note_frame_rows(10)  # escalation is one-way
+    assert c._ckpt_level.useDisk
+
+    explicit = PersonLinkageCascade(
+        spark, prepped, refs, make_model(),
+        checkpoint_storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
+    explicit._note_frame_rows(10**12)
+    assert explicit._resolve_ckpt_level() == StorageLevel.MEMORY_AND_DISK
+    manual = PersonLinkageCascade(
+        spark, prepped, refs, make_model(), auto_pin=False
+    )
+    manual._note_frame_rows(10**12)
     assert manual._resolve_ckpt_level() is None
 
 
@@ -492,11 +594,14 @@ def test_auto_pin_resolution(spark):
     hot_pass = PassConfig("p", ["geokey_for_blocking"], 0.9)
     # exploding pass: derived pin (1M pairs >> 8x2k rows; byte sizing is
     # below shuffle_partitions so the clamp floor applies) AND derived
-    # salt (the single B1 key carries all 1M pairs > the 2-task gate;
-    # 1,048,576 / 262,144 = 4 lanes)
+    # salt (the single B1 key carries all 1M pairs > the 2-task gate).
+    # r10: pair_row_bytes comes from the pass's actual schema — 17
+    # fields, 11 strings -> 8 + 17*8 + 11*16 = 320 B/row, so one task's
+    # worth is 64MB/320 = 209,715 pairs and the hot key needs
+    # ceil(1,048,576 / 209,715) = 6 lanes (the r9 constant 256 derived 4)
     plan = mk(census, ref).resolve_pass_plan(hot_pass)
     assert plan.num_partitions == shuffle_parts
-    assert plan.salt_partitions == 4
+    assert plan.salt_partitions == 6
     assert plan.stats is not None and plan.stats.max_key_pairs == 1024 * 1024
     # spread pass: below both gates -> exact prior plan
     spread = mk(spread_census, spread_ref).resolve_pass_plan(hot_pass)
@@ -515,7 +620,7 @@ def test_auto_pin_resolution(spark):
     assert off.num_partitions is None and off.salt_partitions is None
     assert off.stats is None
     # the derived salt reaches the physical pass: the left side's
-    # pmod(hash(...), 4) salt lane assignment is in the optimized plan
+    # pmod(hash(...), n) salt lane assignment is in the optimized plan
     # (the right side's sequence-explode constant-folds to an opaque
     # UnsafeArrayData, so the deterministic pin is the hash side)
     plan_str = (
@@ -529,4 +634,4 @@ def test_auto_pin_resolution(spark):
         .optimizedPlan()
         .toString()
     )
-    assert ", 4) AS __salt" in plan_str
+    assert f", {plan.salt_partitions}) AS __salt" in plan_str

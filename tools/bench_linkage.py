@@ -238,7 +238,7 @@ def main() -> None:
     )
     census, ref = synthesize(spark, sf_dir, scale_mult)
     salt = pin = None
-    if mode in ("skew", "skew-salted", "skew-auto", "skew-full-auto"):
+    if mode in ("skew", "skew-salted", "skew-full-auto"):
         # cascade-path skew rehearsal: same hot-block shape as
         # tools/bench_skew.py, but the mitigation is measured through
         # blocking→gamma→score→argmax, not the isolated join. The
@@ -256,20 +256,19 @@ def main() -> None:
         census, ref = skew_transform(
             census, ref, hot_census_every=hot_c, hot_ref_every=hot_r
         )
-        salt = 32 if mode in ("skew-salted", "skew-auto") else None
+        salt = 32 if mode == "skew-salted" else None
         # the salted config also PINS the join partitioning: at this
         # corpus size AQE coalesces the pass's reduce stage to ~1 task
         # by input bytes (zstd crushes the replicated side), which would
         # serialize the scoring with or without salt — see
         # PassConfig.num_partitions. "skew-salted" pins MANUALLY (the r7
-        # measured config, 64); "skew-auto" leaves num_partitions=None so
-        # the cascade's derive_pair_pin supplies it from the K8 estimate
-        # (the r8 check that the auto pin matches the manual wall) but
-        # still hard-codes salt=32 — it proves only HALF the zero-knob
-        # path; "skew-full-auto" (r9) sets NEITHER knob, so the cascade
-        # derives both (derive_pair_pin + derive_salt) — the end-to-end
-        # proof that a pass author who sets nothing survives the monster
-        # block.
+        # measured config: salt 32, pin 64); "skew-full-auto" (r9) sets
+        # NEITHER knob, so the cascade derives both (derive_pair_pin +
+        # derive_salt) — the end-to-end proof that a pass author who
+        # sets nothing survives the monster block. (The interim
+        # "skew-auto" mode — derived pin, hard-coded salt — was retired
+        # r10: it proved a half-derivation that no longer exists as a
+        # shipping configuration; SKEW_BENCH_r08 holds its numbers.)
         pin = 64 if mode == "skew-salted" else None
     n_records = census.count()
     ref = ref.persist()
@@ -349,7 +348,7 @@ def main() -> None:
         "link_rate": round(n_links / n_records, 4),
         "sf": sf,
     }
-    if mode in ("skew", "skew-salted", "skew-auto", "skew-full-auto"):
+    if mode in ("skew", "skew-salted", "skew-full-auto"):
         hot_c = census.filter(F.col("zip3") == "H00").count()
         hot_r = ref.filter(F.col("zip3") == "H00").count()
         # the SUM aggregate is NULL when no cold block co-occurs on both
@@ -384,6 +383,7 @@ def main() -> None:
             from person_linkage_case_study_spark.operators.blocking import (
                 derive_pair_pin,
                 derive_salt,
+                estimate_pair_row_bytes,
                 estimate_pair_stats,
             )
             from person_linkage_case_study_spark.session import (
@@ -394,13 +394,27 @@ def main() -> None:
             st = estimate_pair_stats(
                 census.select(*keys), ref.select(*keys), keys
             )
+            # replicate the cascade's _pass_sides projection so the
+            # recorded derivation uses the SAME schema-derived row bytes
+            # (r10) the zero-knob run actually derived with
+            cols = list(dict.fromkeys(["record_id", *keys, *matching]))
+            cside = census.select(
+                *[c for c in cols if c in census.columns],
+                "record_id_raw_input_file",
+            )
+            rside = ref.select(*[c for c in cols if c in ref.columns])
+            rb = estimate_pair_row_bytes(cside, rside, keys)
             payload.update(
                 est_pairs_pass1=st.pairs,
                 max_key_pairs_pass1=st.max_key_pairs,
+                pair_row_bytes_pass1=rb,
                 derived_pin_pass1=derive_pair_pin(
-                    st.pairs, st.n_left, st.n_right, shuffle_partitions(spark)
+                    st.pairs, st.n_left, st.n_right, shuffle_partitions(spark),
+                    pair_row_bytes=rb,
                 ),
-                derived_salt_pass1=derive_salt(st.max_key_pairs),
+                derived_salt_pass1=derive_salt(
+                    st.max_key_pairs, pair_row_bytes=rb
+                ),
             )
     print(json.dumps(payload))
 
