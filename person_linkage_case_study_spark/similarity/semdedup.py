@@ -72,6 +72,36 @@ def _project(corpus, id_col, vec_col, block_col):
 # here because the self-join candidate contract documents it
 
 
+def derive_max_bucket(
+    dim: int | None,
+    *,
+    batch_budget_bytes: int = 16 << 20,
+    floor: int = 64,
+    cap: int = 1024,
+) -> int:
+    """Auto-derived ``max_bucket`` for the bucketed scorer (r10 — closes
+    the r9 finding that the fixed 1024 cap was DIM-BLIND): the grid-split
+    bound exists to keep per-task Arrow batches inside the Netty direct
+    allocator's comfort zone (the r8 cliff: 32 concurrent ~400 MB batches
+    exhausted it), but a grouped-map task's INPUT batch scales with
+    embedding width — a cap-sized chunk pair is ``2·cap`` rows of
+    ``dim × 8`` bytes each, so the constant sized for 64-dim vectors
+    (~1 MB in) re-approaches the cliff at 4096-dim (~67 MB per batch,
+    32 concurrent). One task's worth of rows is therefore
+    ``batch_budget_bytes / (dim × 16)`` (two chunks of ``dim``-wide
+    float64 rows per chunk-pair task), clamped to ``[floor, cap]``:
+    any dim ≤ 1024 keeps the measured r8 cap of 1024 exactly (the
+    production 64-dim path is untouched); 1536-dim derives 682,
+    4096-dim 256, 8192-dim 128 — batch bytes stay ~flat as width grows.
+    The floor keeps tasks at ≥ ~10 ms of BLAS so grid fan-out stays
+    noise. The derived cap feeds the SAME chunk count the
+    ``max_grid_tasks`` refusal reasons over, so the degenerate-input
+    economics shrink with it automatically."""
+    if not dim or dim <= 0:
+        return cap
+    return max(floor, min(cap, batch_budget_bytes // (int(dim) * 16)))
+
+
 def _keyed_buckets(
     corpus: DataFrame,
     id_col: str,
@@ -85,8 +115,11 @@ def _keyed_buckets(
     target_occupancy: int,
 ):
     """Shared bucket-keying for the candidate generator and the bucketed
-    scorer: ``(keyed, join_keys)`` where ``keyed`` carries ``__id``,
-    ``__vec`` and the bucket key columns. On an EMPTY corpus returns the
+    scorer: ``(keyed, join_keys, dim)`` where ``keyed`` carries ``__id``,
+    ``__vec`` and the bucket key columns, and ``dim`` is the embedding
+    width when a probe resolved it (None on the ``block_col`` path,
+    which needs no planes — the bucketed scorer probes it separately
+    when its cap derivation needs it). On an EMPTY corpus returns the
     typed empty ``(id_l, id_r)`` frame with ``join_keys=None`` (the
     empty schema is derived from the projected id column so it matches
     the non-empty path for ANY id type)."""
@@ -103,7 +136,7 @@ def _keyed_buckets(
         keyed = c.filter(F.col("__blk").isNotNull()).select(
             "__id", "__vec", F.col("__blk").alias("__bucket")
         )
-        return keyed, ["__bucket"]
+        return keyed, ["__bucket"], dim
     if n_planes is None:
         # one cheap narrow pass gets n (for the plane count) and the
         # dimensionality probe together
@@ -111,14 +144,14 @@ def _keyed_buckets(
             F.count(F.lit(1)).alias("n"), F.first(F.size("__vec")).alias("d")
         ).collect()[0]
         if probe["n"] == 0:
-            return empty, None
+            return empty, None, dim
         n_planes = auto_planes(probe["n"], target_occupancy)
         if dim is None:
             dim = probe["d"]
     if dim is None:
         row = c.select(F.size("__vec").alias("d")).limit(1).collect()
         if not row:
-            return empty, None
+            return empty, None, dim
         dim = row[0]["d"]
     planes = [
         seeded_int_planes(dim, n_planes, seed + t) for t in range(n_tables)
@@ -129,7 +162,7 @@ def _keyed_buckets(
         "__vec",
         F.posexplode(buckets(F.col("__vec"))).alias("__tbl", "__bucket"),
     )
-    return keyed, ["__tbl", "__bucket"]
+    return keyed, ["__tbl", "__bucket"], dim
 
 
 def semdedup_candidates(
@@ -156,7 +189,7 @@ def semdedup_candidates(
     ``n_planes`` for oracle-replayable determinism independent of n
     (the driver entry does), or to trade recall vs volume by hand.
     """
-    keyed, join_keys = _keyed_buckets(
+    keyed, join_keys, _ = _keyed_buckets(
         corpus, id_col, vec_col, n_tables, n_planes, seed, quantize, dim,
         block_col, target_occupancy,
     )
@@ -249,7 +282,7 @@ def eps_similarity_edges_bucketed(
     block_col: str | None = None,
     target_occupancy: int = 64,
     pair_chunk: int = 1 << 20,
-    max_bucket: int = 1024,
+    max_bucket: int | None = None,
     max_grid_tasks: int = 100_000,
 ) -> DataFrame:
     """Same edge set as :func:`eps_similarity_edges`, different shuffle
@@ -292,10 +325,10 @@ def eps_similarity_edges_bucketed(
     the SAME hash partitioning the scorer needs anyway, so the guard
     adds no extra shuffle of the keyed frame.
 
-    **Why the cap is 1024 (r8).** The cap bounds THREE things, and the
-    binding one is the *edge output batch*: pyspark's grouped-map
-    serializer converts each task's returned frame into ONE Arrow
-    record batch (``_create_batch`` per group in
+    **Why the cap ceiling is 1024 (r8).** The cap bounds THREE things,
+    and the binding one at narrow dims is the *edge output batch*:
+    pyspark's grouped-map serializer converts each task's returned
+    frame into ONE Arrow record batch (``_create_batch`` per group in
     ``sql/pandas/serializers.py`` — ``maxRecordsPerBatch`` slices UDF
     *inputs*, never grouped-map *outputs*), and a fully-duplicate
     chunk pair emits ~cap² edge rows in that single batch. At the r7
@@ -306,6 +339,19 @@ def eps_similarity_edges_bucketed(
     grid-split fan-out this costs is noise (tasks stay ≥ 10 ms of BLAS
     at ~0.5M pairs), and sub-cap buckets on the normal LSH path
     (occupancy ~64) never feel the cap at either value.
+
+    **Why the default derives from the embedding dim (r10).**
+    ``max_bucket=None`` resolves via :func:`derive_max_bucket`: the r8
+    constant was sized for 64-dim vectors, but the task's INPUT batch
+    is ``2·cap`` rows of ``dim × 8`` bytes — at 4096-dim float64 a
+    1024-cap chunk pair is ~67 MB per record batch, ~2.7× the budget
+    the r8 fix was sized for, re-approaching the measured allocator
+    cliff from the input side. The derivation holds batch bytes ~flat:
+    any dim ≤ 1024 keeps cap 1024 (the production path and every r8/r9
+    measurement unchanged); 1536 → 682, 4096 → 256, 8192 → 128. The
+    embedding dim is probed from one row when the LSH phase didn't
+    already resolve it (``block_col`` path). An explicit ``max_bucket``
+    int still overrides.
 
     **Degenerate-input ceiling (``max_grid_tasks``, r9).** The
     grid-split's work is quadratic in oversized-block size —
@@ -340,13 +386,26 @@ def eps_similarity_edges_bucketed(
     import pandas as pd
     from pyspark.sql import Window
 
-    keyed, join_keys = _keyed_buckets(
+    keyed, join_keys, probed_dim = _keyed_buckets(
         corpus, id_col, vec_col, n_tables, n_planes, seed, quantize, dim,
         block_col, target_occupancy,
     )
     if join_keys is None:
         return keyed.withColumn("cosine", F.lit(None).cast("double"))
 
+    if max_bucket is None:
+        if probed_dim is None:
+            # block_col path: the LSH phase never probed the width —
+            # one 1-row job resolves it (same bounded-probe shape as
+            # _keyed_buckets' own dim probe)
+            row = (
+                _project(corpus, id_col, vec_col, None)
+                .select(F.size("__vec").alias("d"))
+                .limit(1)
+                .collect()
+            )
+            probed_dim = row[0]["d"] if row else None
+        max_bucket = derive_max_bucket(probed_dim)
     id_type = dict(keyed.dtypes)["__id"]
     out_schema = f"id_l {id_type}, id_r {id_type}, cosine double"
     thr = float(threshold)

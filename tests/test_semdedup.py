@@ -269,6 +269,38 @@ def test_bucket_scorer_grid_split_matches_unsplit(spark, planted):
     assert unsplit  # non-vacuous
 
 
+def test_max_bucket_derives_from_embedding_dim(spark, planted):
+    """r10: the Arrow-batch cap self-sizes from the embedding width (the
+    r8 constant 1024 was sized for 64-dim vectors; a 4096-dim chunk pair
+    at that cap is ~67 MB per input record batch, re-approaching the
+    measured allocator cliff). Pins the derivation at 64/1536/8192, the
+    production-dim invariance, and decisions-unchanged on the planted
+    corpus whichever cap applies."""
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        derive_max_bucket,
+    )
+
+    assert derive_max_bucket(64) == 1024  # production path: r8 cap exactly
+    assert derive_max_bucket(1024) == 1024  # widest dim that keeps the cap
+    assert derive_max_bucket(1536) == 682
+    assert derive_max_bucket(4096) == 256
+    assert derive_max_bucket(8192) == 128
+    assert derive_max_bucket(10**7) == 64  # floor: tasks stay BLAS-sized
+    assert derive_max_bucket(None) == 1024  # unprobeable dim: r8 constant
+
+    # decisions are cap-invariant: the derived cap (1024 at DIM=16) and a
+    # cap forcing the grid-split on every bucket agree exactly
+    derived = _decisions(
+        semantic_dedup(planted, threshold=0.95, seed=11, scorer="bucket")
+    )
+    forced = _decisions(
+        semantic_dedup(
+            planted, threshold=0.95, seed=11, scorer="bucket", max_bucket=3
+        )
+    )
+    assert derived == forced
+
+
 def test_grid_split_task_budget_refusal(spark):
     """r9 degenerate-input ceiling: a block whose grid-split would mint
     more than max_grid_tasks chunk-pair tasks fails fast with a typed

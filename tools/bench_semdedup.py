@@ -335,12 +335,124 @@ def main_blockcol() -> None:
     }))
 
 
+def synthesize_widedim(
+    spark: SparkSession, n_base: int, block_rows: int, dim: int
+) -> DataFrame:
+    """Wide-dim corpus for the r10 cap-derivation rehearsal: ``n_base``
+    seeded-numpy vectors in ~64-row hash blocks + one planted
+    ``block_rows``-row HOT block of DISTINCT near-identical vectors
+    (0.005-amplitude per-row noise — mutual cosine ≈ 1, so at threshold
+    0.9 the block is a full quadratic edge set, the exact r8 cliff
+    shape). Generated via mapInPandas — a 4096-wide ``F.array``
+    projection would blow past codegen's method-size limit — with a
+    per-id seed, so the corpus is deterministic and layout-invariant."""
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = max(1, n_base // 64)
+
+    def gen(it):
+        anchor = np.random.default_rng(SEED - 1).uniform(-1.0, 1.0, dim)
+        for pdf in it:
+            out = []
+            for vid in pdf["id"]:
+                vid = int(vid)
+                rng = np.random.default_rng(SEED + vid)
+                if vid < n_base:
+                    v = rng.uniform(-1.0, 1.0, dim)
+                    blk = str((vid * 2654435761) % n_blocks)
+                else:
+                    v = anchor + 0.005 * rng.uniform(-1.0, 1.0, dim)
+                    blk = "HOT"
+                out.append((vid, v.tolist(), blk))
+            yield pd.DataFrame(out, columns=["vec_id", "embedding", "blk"])
+
+    return spark.range(n_base + block_rows).mapInPandas(
+        gen, "vec_id long, embedding array<double>, blk string"
+    )
+
+
+def main_widedim() -> None:
+    """r10: the dim-derived ``max_bucket`` rehearsal. At dim 4096 the
+    derived cap is 256 (batch bytes ~flat vs the 64-dim path); the
+    ``r8cap`` variant forces the old constant 1024, whose chunk-pair
+    input batches are ~67 MB each (2048 rows × 32 KB) — 2.7× the budget
+    the r8 fix was sized for. Decisions must be identical either way
+    (cap is a work-shape knob); the artifact records whether the old
+    constant merely bloats batches at this heap or re-enters the
+    allocator cliff.
+
+    Usage: python tools/bench_semdedup.py widedim [n_base] [block_rows]
+           [dim] [variant: derived|r8cap]"""
+    n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    block_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000
+    dim = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
+    variant = sys.argv[5] if len(sys.argv) > 5 else "derived"
+
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        derive_max_bucket,
+        semantic_dedup,
+    )
+
+    spark = get_spark(
+        "bench-semdedup-widedim",
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    from pyspark import StorageLevel
+
+    corpus = synthesize_widedim(spark, n_base, block_rows, dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corpus.count()
+
+    # collapse_exact off: every planted row is DISTINCT (per-row noise),
+    # so the collapse would only add a corpus-wide window shuffle of the
+    # 32 KB-wide payload for zero collapsed rows
+    kw = dict(
+        threshold=0.9, block_col="blk", dim=dim, collapse_exact=False
+    )
+    if variant == "r8cap":
+        kw["max_bucket"] = 1024  # the r8 constant, dim-blind
+    t0 = time.time()
+    out = semantic_dedup(corpus, **kw)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("kept") & (F.col("vec_id") >= n_base)).cast("long")).alias(
+            "hot_dropped"
+        ),
+        F.sum((~F.col("kept") & (F.col("vec_id") < n_base)).cast("long")).alias(
+            "base_dropped"
+        ),
+        F.expr("bit_xor(xxhash64(vec_id, kept, dup_of))").alias("checksum"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 1)
+
+    print(json.dumps({
+        "metric": "semdedup_widedim_wall",
+        "value": wall,
+        "unit": "sec",
+        "variant": variant,
+        "dim": dim,
+        "effective_max_bucket": kw.get("max_bucket", derive_max_bucket(dim)),
+        "vectors": n_base + block_rows,
+        "hot_block_rows": block_rows,
+        "hot_dropped": int(stats["hot_dropped"]),
+        "hot_recall": round(int(stats["hot_dropped"]) / (block_rows - 1), 6),
+        "base_dropped": int(stats["base_dropped"]),
+        "decision_checksum": int(stats["checksum"]),
+        "threshold": 0.9,
+    }))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "mega":
         main_mega()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "blockcol":
         main_blockcol()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "widedim":
+        main_widedim()
         return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
