@@ -75,7 +75,7 @@ def _project(corpus, id_col, vec_col, block_col):
 def derive_max_bucket(
     dim: int | None,
     *,
-    batch_budget_bytes: int = 16 << 20,
+    batch_budget_bytes: int = 64 << 20,
     floor: int = 64,
     cap: int = 1024,
 ) -> int:
@@ -85,18 +85,27 @@ def derive_max_bucket(
     allocator's comfort zone (the r8 cliff: 32 concurrent ~400 MB batches
     exhausted it), but a grouped-map task's INPUT batch scales with
     embedding width — a cap-sized chunk pair is ``2·cap`` rows of
-    ``dim × 8`` bytes each, so the constant sized for 64-dim vectors
-    (~1 MB in) re-approaches the cliff at 4096-dim (~67 MB per batch,
-    32 concurrent). One task's worth of rows is therefore
+    ``dim × 8`` bytes each, so a constant cap means unbounded batch
+    growth as embeddings widen. One task's worth of rows is therefore
     ``batch_budget_bytes / (dim × 16)`` (two chunks of ``dim``-wide
-    float64 rows per chunk-pair task), clamped to ``[floor, cap]``:
-    any dim ≤ 1024 keeps the measured r8 cap of 1024 exactly (the
-    production 64-dim path is untouched); 1536-dim derives 682,
-    4096-dim 256, 8192-dim 128 — batch bytes stay ~flat as width grows.
-    The floor keeps tasks at ≥ ~10 ms of BLAS so grid fan-out stays
-    noise. The derived cap feeds the SAME chunk count the
-    ``max_grid_tasks`` refusal reasons over, so the degenerate-input
-    economics shrink with it automatically."""
+    float64 rows per chunk-pair task), clamped to ``[floor, cap]``.
+
+    The 64 MB budget is the MEASURED bracket, both sides
+    (SEMDEDUP_BENCH_r10): at dim 4096 / cap 1024 the ~67 MB input +
+    ~25 MB output batches ran 32-concurrent without allocator distress
+    (23.6s on a planted full-quadratic 8k block), while shrinking the
+    cap to 256 there bought no safety and cost 4.2× wall (98.7s) in
+    grid replication — each oversized-block row ships ``n_chunks``
+    times, and a wide row is expensive to ship. So the budget pins
+    every dim's input batch at ≤ the proven ~67 MB point: dims ≤ 4096
+    keep cap 1024 exactly (the production 64-dim path and every
+    r8/r9 measurement untouched, 4096 sits exactly at the boundary);
+    8192 → 512, 16384 → 256 — batch bytes stay ~flat past the proven
+    point instead of growing toward the r8 cliff (~400 MB). The floor
+    keeps tasks at ≥ ~10 ms of BLAS so grid fan-out stays noise. The
+    derived cap feeds the SAME chunk count the ``max_grid_tasks``
+    refusal reasons over, so the degenerate-input economics shrink
+    with it automatically."""
     if not dim or dim <= 0:
         return cap
     return max(floor, min(cap, batch_budget_bytes // (int(dim) * 16)))
@@ -343,12 +352,15 @@ def eps_similarity_edges_bucketed(
     **Why the default derives from the embedding dim (r10).**
     ``max_bucket=None`` resolves via :func:`derive_max_bucket`: the r8
     constant was sized for 64-dim vectors, but the task's INPUT batch
-    is ``2·cap`` rows of ``dim × 8`` bytes — at 4096-dim float64 a
-    1024-cap chunk pair is ~67 MB per record batch, ~2.7× the budget
-    the r8 fix was sized for, re-approaching the measured allocator
-    cliff from the input side. The derivation holds batch bytes ~flat:
-    any dim ≤ 1024 keeps cap 1024 (the production path and every r8/r9
-    measurement unchanged); 1536 → 682, 4096 → 256, 8192 → 128. The
+    is ``2·cap`` rows of ``dim × 8`` bytes — width-blind, the batch
+    grows without bound as embeddings widen, back toward the measured
+    ~400 MB allocator cliff. The derivation pins every dim's batch at
+    the widest point MEASURED safe (dim 4096 / cap 1024, ~67 MB input
+    batches — SEMDEDUP_BENCH_r10): dims ≤ 4096 keep cap 1024 (the
+    production path and every r8/r9 measurement unchanged); 8192 → 512,
+    16384 → 256. Shrinking the cap harder than the measurement demands
+    is not free — the same bench measured a 256 cap at dim 4096
+    costing 4.2× wall in grid replication for zero safety gain. The
     embedding dim is probed from one row when the LSH phase didn't
     already resolve it (``block_col`` path). An explicit ``max_bucket``
     int still overrides.

@@ -270,21 +270,24 @@ def test_bucket_scorer_grid_split_matches_unsplit(spark, planted):
 
 
 def test_max_bucket_derives_from_embedding_dim(spark, planted):
-    """r10: the Arrow-batch cap self-sizes from the embedding width (the
-    r8 constant 1024 was sized for 64-dim vectors; a 4096-dim chunk pair
-    at that cap is ~67 MB per input record batch, re-approaching the
-    measured allocator cliff). Pins the derivation at 64/1536/8192, the
-    production-dim invariance, and decisions-unchanged on the planted
-    corpus whichever cap applies."""
+    """r10: the Arrow-batch cap self-sizes from the embedding width —
+    the r8 constant 1024 was width-blind, so input batches grew without
+    bound toward the measured ~400 MB allocator cliff as embeddings
+    widened. The 64 MB budget pins every dim at the widest point
+    measured safe (dim 4096 / cap 1024 ≈ 67 MB input batches,
+    SEMDEDUP_BENCH_r10; shrinking harder measured 4.2× wall in grid
+    replication for zero safety). Pins the derivation at
+    64/1536/4096/8192/16384, the production-dim invariance, and
+    decisions-unchanged on the planted corpus whichever cap applies."""
     from person_linkage_case_study_spark.similarity.semdedup import (
         derive_max_bucket,
     )
 
     assert derive_max_bucket(64) == 1024  # production path: r8 cap exactly
-    assert derive_max_bucket(1024) == 1024  # widest dim that keeps the cap
-    assert derive_max_bucket(1536) == 682
-    assert derive_max_bucket(4096) == 256
-    assert derive_max_bucket(8192) == 128
+    assert derive_max_bucket(1536) == 1024  # ≤ 4096: measured-safe batch
+    assert derive_max_bucket(4096) == 1024  # the measured boundary exactly
+    assert derive_max_bucket(8192) == 512
+    assert derive_max_bucket(16384) == 256
     assert derive_max_bucket(10**7) == 64  # floor: tasks stay BLAS-sized
     assert derive_max_bucket(None) == 1024  # unprobeable dim: r8 constant
 
