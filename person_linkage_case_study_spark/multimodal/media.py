@@ -78,8 +78,11 @@ def encode_png(pixels, color_type: int | None = None, palette=None) -> bytes:
     round-trip counterpart of :func:`parse_png` — no imaging library in
     this container). ``pixels`` is a uint8 numpy array: (h, w) gray or
     (h, w, c) with c ∈ {1, 2, 3, 4}. Rows are filtered with a rotating
-    None/Sub/Up schedule so decoders exercise real de-filtering, not
-    just filter-0 passthrough.
+    None/Sub/Up/Average/Paeth schedule (all five spec filters, r10 — so
+    every decoder path is exercised by round-trip tests, not just
+    filter-0 passthrough); encoding-side predictors read RAW neighbor
+    values, which equal the decoder's reconstructed ones, so the whole
+    schedule is vectorizable and lossless.
 
     ``palette`` (r10): an (n ≤ 256, 3) uint8 RGB array makes this a
     color-type-3 (indexed) writer — ``pixels`` is then the (h, w) uint8
@@ -118,14 +121,27 @@ def encode_png(pixels, color_type: int | None = None, palette=None) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = bytearray()
     flat = px.reshape(h, w * c).astype(np.int32)
+    zeros = np.zeros(w * c, dtype=np.int32)
     for y in range(h):
-        ft = y % 3  # 0 None, 1 Sub, 2 Up (filter 2 on row 0 == None)
+        ft = y % 5  # 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth
         row = flat[y]
+        left = np.concatenate((zeros[:c], row[:-c]))
+        up = flat[y - 1] if y else zeros
         if ft == 1:
-            filtered = (row - np.concatenate(([0] * c, row[:-c]))) % 256
+            filtered = (row - left) % 256
         elif ft == 2:
-            prev = flat[y - 1] if y else np.zeros_like(row)
-            filtered = (row - prev) % 256
+            filtered = (row - up) % 256
+        elif ft == 3:
+            filtered = (row - (left + up) // 2) % 256
+        elif ft == 4:
+            upleft = np.concatenate((zeros[:c], up[:-c]))
+            pa = np.abs(up - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + up - 2 * upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            filtered = (row - pred) % 256
         else:
             filtered = row
         raw.append(ft)
@@ -225,18 +241,31 @@ def parse_png(payload: bytes) -> dict:
             ).reshape(stride).astype(np.int32)
         elif ft in (3, 4):  # Average / Paeth: the predictor mixes the UP
             # neighbor with the reconstructed LEFT, which breaks the
-            # prefix-sum form — genuinely sequential, per-byte
-            rec = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = rec[i - channels] if i >= channels else 0
-                b = prev[i]
+            # prefix-sum form — sequential in PIXELS, but every channel
+            # of a pixel vectorizes together (r10: width iterations, not
+            # width × channels)
+            ln = line.reshape(width, channels)
+            pv = prev.reshape(width, channels)
+            pvl = np.vstack(
+                (np.zeros((1, channels), dtype=np.int32), pv[:-1])
+            )  # up-left = previous row shifted one pixel right
+            rc = np.zeros((width, channels), dtype=np.int32)
+            a = np.zeros(channels, dtype=np.int32)  # reconstructed left
+            for x in range(width):
+                b = pv[x]
                 if ft == 3:
                     pred = (a + b) // 2
                 else:
-                    cdiag = prev[i - channels] if i >= channels else 0
-                    pa, pb, pc = abs(b - cdiag), abs(a - cdiag), abs(a + b - 2 * cdiag)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cdiag)
-                rec[i] = (line[i] + pred) % 256
+                    cd = pvl[x]
+                    pa = np.abs(b - cd)
+                    pb = np.abs(a - cd)
+                    pc = np.abs(a + b - 2 * cd)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cd)
+                    )
+                a = (ln[x] + pred) % 256
+                rc[x] = a
+            rec = rc.reshape(stride)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec
