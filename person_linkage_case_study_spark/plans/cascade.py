@@ -342,11 +342,14 @@ class PersonLinkageCascade:
         mid-run. Explicit levels and ``auto_pin=False`` are untouched."""
         if (
             not rows
+            or self.checkpoint != "local"  # only 'local' consults the level
             or self.checkpoint_storage_level is not None
             or not self.auto_pin
         ):
             return
-        self._resolve_ckpt_level()  # seeds _ckpt_rows / _heap_bytes
+        # in 'local' mode start_module's first _truncate already resolved
+        # the level, so this seeds _ckpt_rows / _heap_bytes for free
+        self._resolve_ckpt_level()
         if rows <= self._ckpt_rows:
             return
         self._ckpt_rows = rows
