@@ -484,6 +484,39 @@ def test_kernels_swallow_non_valueerror_garbage(spark):
     assert arows[1]["peak"] == 7 and arows[2]["format"] is None
 
 
+def test_kernels_survive_fuzzed_garbage(spark):
+    """The crawl-garbage contract, fuzzed: 60 seeded-random payloads —
+    pure noise, PNG/JPEG/RIFF signatures glued onto noise, truncated
+    real encodings — through all three decode kernels in one pass each.
+    The assertion is the contract itself: every row comes back (NULL or
+    decoded), no stage ever throws."""
+    rng = np.random.default_rng(20251234)
+    real_png = encode_png(np.arange(9, dtype=np.uint8).reshape(3, 3))
+    real_wav = encode_wav(np.array([1, -2, 3], dtype=np.int16))
+    payloads = []
+    for i in range(60):
+        kind = i % 6
+        noise = rng.integers(0, 256, size=int(rng.integers(0, 64)), dtype=np.uint8).tobytes()
+        if kind == 0:
+            b = noise
+        elif kind == 1:
+            b = b"\x89PNG\r\n\x1a\n" + noise
+        elif kind == 2:
+            b = b"\xff\xd8\xff" + noise
+        elif kind == 3:
+            b = b"RIFF" + noise
+        elif kind == 4:
+            b = real_png[: int(rng.integers(1, len(real_png)))]
+        else:
+            b = real_wav[: int(rng.integers(1, len(real_wav)))]
+        payloads.append((i, bytearray(b)))
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    assert extract_image_meta(media).count() == 60
+    assert extract_audio_meta(media).count() == 60
+    assert resize_images(media, scale=2).count() == 60
+
+
 def test_frame_sampling(media):
     frames = sample_frames(media, every_n_bytes=4096, max_frames=8).collect()
     by_id = {}

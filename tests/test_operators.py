@@ -187,6 +187,67 @@ def test_derive_salt():
     assert derive_salt(10**12) == 32
 
 
+def test_derivation_invariants_property():
+    """Property pins for every sizing derivation (r10): clamps always
+    hold, and each derivation is monotone in its driving signal — more
+    pairs never derives a SMALLER pin, a hotter key never derives fewer
+    salt lanes, wider pair rows never derive a smaller pin/salt, and a
+    wider embedding never derives a LARGER bucket cap. Monotonicity is
+    what makes 'zero-knob' safe to trust: scale can only push the knobs
+    toward more mitigation, never silently less."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from person_linkage_case_study_spark.operators.blocking import (
+        derive_pair_pin,
+        derive_salt,
+    )
+    from person_linkage_case_study_spark.similarity.semdedup import (
+        derive_max_bucket,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        p1=st.integers(0, 10**13),
+        p2=st.integers(0, 10**13),
+        rows=st.integers(0, 10**9),
+        conf=st.integers(1, 4096),
+        rb1=st.integers(64, 4096),
+        rb2=st.integers(64, 4096),
+        mk=st.integers(0, 10**13),
+        d1=st.integers(1, 10**6),
+        d2=st.integers(1, 10**6),
+    )
+    def check(p1, p2, rows, conf, rb1, rb2, mk, d1, d2):
+        lo, hi = sorted((p1, p2))
+        rb_lo, rb_hi = sorted((rb1, rb2))
+        pin_lo = derive_pair_pin(lo, rows, rows, conf, pair_row_bytes=rb_lo)
+        pin_hi = derive_pair_pin(hi, rows, rows, conf, pair_row_bytes=rb_lo)
+        for pin in (pin_lo, pin_hi):
+            assert pin is None or conf <= pin <= 4096
+        if pin_lo is not None and pin_hi is not None:
+            assert pin_lo <= pin_hi  # more pairs, never a smaller pin
+        pin_wide = derive_pair_pin(hi, rows, rows, conf, pair_row_bytes=rb_hi)
+        if pin_hi is not None and pin_wide is not None:
+            assert pin_hi <= pin_wide  # wider rows, never a smaller pin
+
+        s_lo = derive_salt(mk, pair_row_bytes=rb_lo)
+        s_hi = derive_salt(mk, pair_row_bytes=rb_hi)
+        for s in (s_lo, s_hi):
+            assert s is None or 2 <= s <= 32
+        if s_lo is not None and s_hi is not None:
+            assert s_lo <= s_hi  # wider rows, never fewer lanes
+        if mk and s_lo is not None:
+            bigger = derive_salt(mk * 2, pair_row_bytes=rb_lo)
+            assert bigger is not None and bigger >= s_lo
+
+        c1 = derive_max_bucket(min(d1, d2))
+        c2 = derive_max_bucket(max(d1, d2))
+        assert 64 <= c2 <= c1 <= 1024  # wider embedding, never a larger cap
+
+    check()
+
+
 def test_record_id_minting(spark):
     from person_linkage_case_study_spark.sources.io import add_record_id
 
