@@ -115,6 +115,19 @@ def main() -> None:
     if mode == "cascade_ri_scale":
         run_cascade_ri_scale(sf_dir)
         return
+    # r11 (verdict): the r10 same-host A/B measured a 53% per-query /
+    # 7% total same-code noise floor on this host class — single numbers
+    # can't answer "did this round regress?". The headline mode is
+    # therefore explicitly multi-rep (--reps=N / SPARK_GRAFT_BENCH_REPS,
+    # default 3): `queries` stays min-of-N (the cross-round comparable —
+    # the floor measures the engine, the spread measures the host) and
+    # `queries_median` rides next to it so a reader can see per-query
+    # weather without digging into BENCH_summary.json's raw_runs.
+    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    for a in sys.argv[1:]:
+        if a.startswith("--reps="):
+            reps_n = int(a.split("=", 1)[1])
+    reps_n = max(1, reps_n)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     qs = catalog.queries()
@@ -153,23 +166,25 @@ def main() -> None:
     calibration()  # warm the probe's plan itself once
     calib_runs = [round(calibration(), 3)]
 
-    # best-of-3 per query: the box is a shared microVM and single runs can
+    # best-of-N per query: the box is a shared microVM and single runs can
     # be inflated 2-6x by host noise; the min measures the engine (r3: a
     # best-of-2 suite run measured 2.8x slower than an identical run
     # minutes later — one extra rep materially tightens the floor). All
     # raw reps are carried in the payload so cross-round comparisons can
     # see the spread, not just the floor.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for i, name in enumerate(HEADLINE):
         fn = qs[name]
         reps = []
-        for _ in range(3):
+        for _ in range(reps_n):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(round(time.time() - t0, 3))
         raw_runs[name] = reps
         timings[name] = min(reps)
+        medians[name] = round(sorted(reps)[len(reps) // 2], 2)
         if i == len(HEADLINE) // 2:
             calib_runs.append(round(calibration(), 3))
     calib_runs.append(round(calibration(), 3))
@@ -187,6 +202,11 @@ def main() -> None:
             # comparable number; raw `value` stays the contract metric
             "value_per_calib": round(total / calib, 2),
             "queries": timings,
+            # per-query medians (2dp to stay inside the driver's ~2k-char
+            # tail window); min-of-N in `queries` stays the comparable
+            "queries_median": medians,
+            "value_median": round(sum(medians.values()), 2),
+            "reps": reps_n,
             "sf": sf,
             "calibration_sec": calib,
             "calibration_runs": calib_runs,

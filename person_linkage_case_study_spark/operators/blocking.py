@@ -43,6 +43,15 @@ class PairStats(NamedTuple):
     n_left: int
     n_right: int
     max_key_pairs: int
+    # Σ length() over each side's pair-row string payload (r11 — left:
+    # every string column incl. the keys, which pair rows emit once from
+    # the left; right: non-key string columns only). Measured in the SAME
+    # aggregation job as the counts (zero extra scans), these feed
+    # :func:`estimate_pair_row_bytes` so an address-heavy / free-text
+    # pass no longer under-derives its pin from the 16-byte short-string
+    # assumption. Default 0 keeps older 4-field constructions valid.
+    str_bytes_l: int = 0
+    str_bytes_r: int = 0
 
 
 def blocked_pairs(
@@ -116,8 +125,30 @@ def estimate_pair_stats(
     :func:`derive_pair_pin`'s explosion gate; ``max_key_pairs`` feeds
     :func:`derive_salt`'s hot-key gate (r9 — the other half of the
     forgotten-knob regime); the aggregated per-key frames are tiny, so
-    the extra aggregates are free."""
+    the extra aggregates are free.
+
+    r11: the same job also sums each side's pair-row STRING payload
+    (``str_bytes_l`` over every left string column — pair rows emit the
+    keys once, from the left — ``str_bytes_r`` over the right's non-key
+    string columns), so :func:`estimate_pair_row_bytes` can use measured
+    average widths instead of assuming 16 bytes per string. NULL strings
+    contribute nothing (``length(NULL)`` is NULL, skipped by ``sum``) —
+    correct, since a NULL occupies no variable-width section."""
     keys = list(block_on)
+
+    def _str_payload(df: DataFrame, *, exclude_keys: bool):
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() == "string"
+            and not (exclude_keys and f.name in keys)
+        ]
+        if not cols:
+            return F.lit(0).cast("long")
+        total = F.coalesce(F.length(cols[0]).cast("long"), F.lit(0))
+        for c in cols[1:]:
+            total = total + F.coalesce(F.length(c).cast("long"), F.lit(0))
+        return total
     # rows NULL in any blocking key never join — exclude them up front so
     # they land in neither the pair total nor the row totals (the NULL
     # group would otherwise survive the FULL OUTER join as an unmatched
@@ -125,8 +156,22 @@ def estimate_pair_stats(
     not_null = F.lit(True)
     for k in keys:
         not_null = not_null & F.col(k).isNotNull()
-    lc = left.filter(not_null).groupBy(*keys).agg(F.count(F.lit(1)).alias("__cl"))
-    rc = right.filter(not_null).groupBy(*keys).agg(F.count(F.lit(1)).alias("__cr"))
+    lc = (
+        left.filter(not_null)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__cl"),
+            F.sum(_str_payload(left, exclude_keys=False)).alias("__sl"),
+        )
+    )
+    rc = (
+        right.filter(not_null)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__cr"),
+            F.sum(_str_payload(right, exclude_keys=True)).alias("__sr"),
+        )
+    )
     key_pairs = F.coalesce("__cl", F.lit(0)) * F.coalesce("__cr", F.lit(0))
     row = (
         lc.join(rc, on=keys, how="full_outer")
@@ -135,6 +180,8 @@ def estimate_pair_stats(
             F.sum("__cl").alias("nl"),
             F.sum("__cr").alias("nr"),
             F.max(key_pairs).alias("maxkp"),
+            F.sum("__sl").alias("sl"),
+            F.sum("__sr").alias("sr"),
         )
         .first()
     )
@@ -143,6 +190,8 @@ def estimate_pair_stats(
         int(row["nl"] or 0),
         int(row["nr"] or 0),
         int(row["maxkp"] or 0),
+        int(row["sl"] or 0),
+        int(row["sr"] or 0),
     )
 
 
@@ -163,6 +212,7 @@ def estimate_pair_row_bytes(
     block_on: Sequence[str],
     *,
     floor: int = 64,
+    stats: PairStats | None = None,
 ) -> int:
     """Estimated in-memory bytes of ONE :func:`blocked_pairs` output row,
     from the join's actual projected schema (r10 — closes the r9 finding
@@ -174,28 +224,42 @@ def estimate_pair_row_bytes(
 
     The pair row is the blocking keys once plus every non-key column of
     both sides, UnsafeRow-shaped: an 8-byte header word, one 8-byte slot
-    per field, plus a variable section for var-width types (strings ~16
-    payload bytes — the linkage columns are short name/date fragments;
-    arrays/maps/binary get a coarse 32). This is a partition-count
-    heuristic, not an allocator: being ~2× off moves the pin by 2× inside
-    a [32, 4096] clamp, which the measured brackets tolerate
-    (SKEW_BENCH_r07-r09 spanned pins 64-679 at the same wall)."""
-    var_extra = {"string": 16}
-    fields = []
+    per field, plus a variable section for var-width types. String
+    payloads default to ~16 bytes (short name/date fragments); pass the
+    pass's :func:`estimate_pair_stats` result as ``stats`` (r11) and the
+    variable section uses each side's MEASURED average string payload
+    instead — an address-heavy or free-text pass no longer silently
+    underestimates (r10 verdict nit). Arrays/maps/binary get a coarse 32.
+    This is a partition-count heuristic, not an allocator: being ~2× off
+    moves the pin by 2× inside a [32, 4096] clamp, which the measured
+    brackets tolerate (SKEW_BENCH_r07-r09 spanned pins 64-679 at the
+    same wall)."""
     keys = set(block_on)
-    for side in (left, right):
-        for f in side.schema.fields:
-            if f.name in keys and side is right:
-                continue  # keys emitted once (from the left side)
-            fields.append(f)
     total = 8  # UnsafeRow header / null bitmap word
-    for f in fields:
-        name = f.dataType.typeName()
-        total += 8  # fixed slot
-        if name in var_extra:
-            total += var_extra[name]
-        elif name in ("array", "map", "struct", "binary"):
-            total += 32
+    n_strings = {True: 0, False: 0}
+    # iterate with an explicit flag, NOT `side is right` — on a
+    # self-join pass left and right are the SAME object and an identity
+    # check would drop the keys from both iterations (r10 advisor)
+    for is_right, side in ((False, left), (True, right)):
+        for f in side.schema.fields:
+            if is_right and f.name in keys:
+                continue  # keys emitted once (from the left side)
+            name = f.dataType.typeName()
+            total += 8  # fixed slot
+            if name == "string":
+                n_strings[is_right] += 1
+            elif name in ("array", "map", "struct", "binary"):
+                total += 32
+    for is_right, n_rows, str_bytes in (
+        (False, stats.n_left if stats else 0, stats.str_bytes_l if stats else 0),
+        (True, stats.n_right if stats else 0, stats.str_bytes_r if stats else 0),
+    ):
+        if n_rows > 0:
+            # measured average payload for the side's string columns as a
+            # whole (the per-key job sums lengths across all of them)
+            total += -(-str_bytes // n_rows)  # ceil
+        else:
+            total += 16 * n_strings[is_right]
     return max(floor, total)
 
 

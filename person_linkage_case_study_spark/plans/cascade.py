@@ -58,6 +58,58 @@ def switch_first_and_last_names(df: DataFrame) -> DataFrame:
     return out
 
 
+#: the schema :meth:`PersonLinkageCascade.build_pass_links` actually emits
+#: (name, typeName) — the checkpoint gate's initial row-width derivation
+#: uses this template before any pass exists; a test pins it against the
+#: real ``build_pass_links`` output so the two can't drift (r11).
+LINKS_FRAME_TEMPLATE: tuple[tuple[str, str], ...] = (
+    ("record_id_census_2030", "string"),
+    ("record_id_reference_file", "string"),
+    ("record_id_raw_input_file", "string"),
+    ("match_weight", "double"),
+    ("match_probability", "double"),
+    ("module_name", "string"),
+    ("pass_name", "string"),
+)
+
+
+def estimate_checkpoint_row_bytes(fields: "object") -> int:
+    """Estimated DESERIALIZED JVM bytes of one checkpointed row — the
+    numerator unit for :func:`derive_checkpoint_storage` (r11: the gate
+    used a constant 350 B/row while the pin/salt derivations had already
+    graduated to schema-derived widths — the same hole-class, reachable
+    via row WIDTH instead of row count: a links frame with many wide
+    columns under-gated; r10 verdict top-next).
+
+    A locally-checkpointed block stores ``GenericInternalRow`` objects,
+    not UnsafeRows, so the model is object-per-field: ~40 B row fixture
+    (row object header + values-array reference + ``Object[]`` header),
+    8 B per element slot, then per field a boxed primitive (~16 B) or a
+    ``UTF8String`` + backing ``byte[]`` (~48 B for the short name/id
+    strings these frames carry); arrays/maps/binary get a coarse 64.
+
+    Calibration: the links template (5 strings + 2 doubles) estimates
+    368 B vs the 512×-ladder's OBSERVED ~330 B/row deserialized — ~11%
+    conservative, and both measured bracket points stay on their sides
+    of the half-heap gate (76.8M × 368 = 28.3 GB ≤ 32 GB on-heap fine;
+    153.6M × 368 = 56.5 GB > 32 GB flips to DISK_ONLY, the rung that
+    OOM'd).
+
+    ``fields`` is a pyspark ``StructType`` (iterating yields
+    ``StructField``) or the template's ``(name, typeName)`` tuples."""
+    total = 40  # row object + values-array ref + Object[] header
+    for f in fields:
+        type_name = f[1] if isinstance(f, tuple) else f.dataType.typeName()
+        total += 8  # Object[] element slot
+        if type_name == "string":
+            total += 48  # UTF8String header + short byte[] payload
+        elif type_name in ("array", "map", "struct", "binary"):
+            total += 64
+        else:
+            total += 16  # boxed primitive
+    return total
+
+
 def derive_checkpoint_storage(
     frame_rows: int | None,
     heap_bytes: int | None,
@@ -75,10 +127,14 @@ def derive_checkpoint_storage(
     76.8M-row links frame (~25 GB deserialized at the observed ~330
     B/row) checkpointed on-heap FINE; the 1024× rung's 153.6M-row frame
     (~51 GB) OOM'd a shuffle writer while 32 tasks unrolled partitions
-    concurrently. ``heap_fraction=0.5`` with ``row_bytes=350`` keeps
-    both measured points on their correct sides: flip to DISK_ONLY when
-    the frame's estimated deserialized bytes exceed half the executor
-    heap. On a multi-executor cluster the comparison (TOTAL rows vs ONE
+    concurrently. ``heap_fraction=0.5`` keeps both measured points on
+    their correct sides: flip to DISK_ONLY when the frame's estimated
+    deserialized bytes exceed half the executor heap. ``row_bytes``
+    defaults to the bracket's calibrated constant, but the cascade now
+    passes :func:`estimate_checkpoint_row_bytes` of the links frame's
+    ACTUAL schema (r11 — a wide links frame flips at proportionally
+    fewer rows; the template schema derives 368, within 11% of the
+    observed 330). On a multi-executor cluster the comparison (TOTAL rows vs ONE
     executor's heap) is conservative — it flips to disk sooner than
     strictly needed, which at 100 TB is the posture you want anyway
     (node-local-disk checkpoints, zero MemoryStore pressure).
@@ -257,6 +313,8 @@ class PersonLinkageCascade:
         self._ckpt_level: StorageLevel | None = None
         self._ckpt_level_resolved = False
         self._ckpt_rows = 0  # largest frame-row bound fed to the gate
+        self._ckpt_bytes = 0  # largest rows x row_bytes bound fed to it
+        self._row_bytes = estimate_checkpoint_row_bytes(LINKS_FRAME_TEMPLATE)
         self._heap_bytes: int | None = None
         self.auto_pin = auto_pin
         self.spark = spark
@@ -324,13 +382,19 @@ class PersonLinkageCascade:
 
             self._ckpt_rows = self.census.count()
             self._heap_bytes = executor_heap_bytes(self.spark)
+            # initial width: the links-frame template (set in __init__ —
+            # the frame whose unroll actually OOM'd the 1024x bracket; a
+            # drift test pins it to build_pass_links' real output schema)
+            self._ckpt_bytes = self._ckpt_rows * self._row_bytes
             self._ckpt_level = derive_checkpoint_storage(
-                self._ckpt_rows, self._heap_bytes
+                self._ckpt_rows, self._heap_bytes, row_bytes=self._row_bytes
             )
         self._ckpt_level_resolved = True
         return self._ckpt_level
 
-    def _note_frame_rows(self, rows: int | None) -> None:
+    def _note_frame_rows(
+        self, rows: int | None, row_bytes: int | None = None
+    ) -> None:
         """Escalate the derived checkpoint level when a pass's K8 pair
         estimate bounds a bigger links frame than the census-row proxy
         (r10, advisor: a pass emitting MULTIPLES of census rows —
@@ -339,7 +403,13 @@ class PersonLinkageCascade:
         failure reached via row explosion instead of corpus size). The
         pair estimate upper-bounds the links frame, so this only flips
         EARLY, and only one way: an auto-derived level never downgrades
-        mid-run. Explicit levels and ``auto_pin=False`` are untouched."""
+        mid-run. Explicit levels and ``auto_pin=False`` are untouched.
+
+        r11: takes the frame's schema-derived ``row_bytes`` (the caller
+        passes :func:`estimate_checkpoint_row_bytes` of the actual links
+        plan) and compares estimated BYTES, not rows — a wide pass
+        escalates at fewer rows than a narrow one (r10 verdict
+        top-next); ``None`` falls back to the template width."""
         if (
             not rows
             or self.checkpoint != "local"  # only 'local' consults the level
@@ -350,10 +420,12 @@ class PersonLinkageCascade:
         # in 'local' mode start_module's first _truncate already resolved
         # the level, so this seeds _ckpt_rows / _heap_bytes for free
         self._resolve_ckpt_level()
-        if rows <= self._ckpt_rows:
+        rb = row_bytes if row_bytes else self._row_bytes
+        est_bytes = rows * rb
+        if est_bytes <= self._ckpt_bytes:
             return
-        self._ckpt_rows = rows
-        lvl = derive_checkpoint_storage(rows, self._heap_bytes)
+        self._ckpt_bytes = est_bytes
+        lvl = derive_checkpoint_storage(rows, self._heap_bytes, row_bytes=rb)
         if lvl is not None:
             self._ckpt_level = lvl
 
@@ -490,8 +562,12 @@ class PersonLinkageCascade:
         if self.auto_pin:
             # size the derivations from the pass's ACTUAL pair-row schema
             # (r10 — the r9 constant 256 under-pinned wide passes and
-            # over-pinned narrow ones; schema inspection is free)
-            row_bytes = estimate_pair_row_bytes(census_side, ref_side, block_on)
+            # over-pinned narrow ones; schema inspection is free) and the
+            # MEASURED string widths the estimate job just aggregated
+            # (r11 — address-heavy passes beat the 16-byte assumption)
+            row_bytes = estimate_pair_row_bytes(
+                census_side, ref_side, block_on, stats=stats
+            )
             if pin is None:
                 pin = derive_pair_pin(
                     stats.pairs,
@@ -514,17 +590,20 @@ class PersonLinkageCascade:
         cfg = self._module
         plan = self.resolve_pass_plan(pass_cfg, force_estimate=self.collect_stats)
         n_pairs = plan.stats.pairs if plan.stats is not None else -1
-        # escalate the checkpoint storage gate BEFORE this pass's links
-        # frame is checkpointed — the pair estimate bounds its rows
-        self._note_frame_rows(plan.stats.pairs if plan.stats is not None else None)
-
-        new_links = self._truncate(
-            self.build_pass_links(
-                pass_cfg,
-                num_partitions=plan.num_partitions,
-                salt_partitions=plan.salt_partitions,
-            )
+        links_plan = self.build_pass_links(
+            pass_cfg,
+            num_partitions=plan.num_partitions,
+            salt_partitions=plan.salt_partitions,
         )
+        # escalate the checkpoint storage gate BEFORE this pass's links
+        # frame is checkpointed — the pair estimate bounds its rows, and
+        # the lazy plan's ACTUAL schema sizes its row width (r11)
+        self._note_frame_rows(
+            plan.stats.pairs if plan.stats is not None else None,
+            row_bytes=estimate_checkpoint_row_bytes(links_plan.schema),
+        )
+
+        new_links = self._truncate(links_plan)
         # with the eager checkpoint above the count is free, but under a
         # non-eager checkpoint mode it would be a whole extra job — only
         # pay it when stats were asked for

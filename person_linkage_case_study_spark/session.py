@@ -81,7 +81,15 @@ def executor_heap_bytes(spark: SparkSession, default: int = 8 << 30) -> int:
     :func:`shuffle_partitions`, a sizing heuristic must never turn a
     platform quirk into a crash."""
     try:
-        is_local = str(spark.sparkContext.master).startswith("local")
+        master = str(spark.sparkContext.master)
+        # 'local-cluster[n,c,m]' spawns REAL separate executor JVMs
+        # (Spark's multi-JVM test master) — there spark.executor.memory
+        # is meaningful and the driver's maxMemory is the wrong heap
+        # denominator, so only bare local[*] masters take the driver
+        # shortcut (r10 advisor)
+        is_local = master.startswith("local") and not master.startswith(
+            "local-cluster"
+        )
     except Exception:
         is_local = False
     if not is_local:

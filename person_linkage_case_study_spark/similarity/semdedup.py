@@ -105,7 +105,17 @@ def derive_max_bucket(
     keeps tasks at ≥ ~10 ms of BLAS so grid fan-out stays noise. The
     derived cap feeds the SAME chunk count the ``max_grid_tasks``
     refusal reasons over, so the degenerate-input economics shrink
-    with it automatically."""
+    with it automatically.
+
+    The OUTPUT term (r11, verdict): the measured-safe point also
+    carried ~25 MB of output per task — up to ``cap²/2`` above-threshold
+    pairs of ~25 B (two ids + a score; dim-independent). That term
+    needs no budget of its own because it is bounded by the cap CLAMP,
+    not the dim: output bytes ~ ``cap² × 25 / 2``, maximized at the
+    clamp's ``cap=1024`` → exactly the proven ~25 MB, and every
+    dim-derived cap below 1024 shrinks it QUADRATICALLY (8192 → 512 →
+    ~6 MB) while the input term stays ~flat — so total batch bytes per
+    task are ≤ the measured ~92 MB point at every dim."""
     if not dim or dim <= 0:
         return cap
     return max(floor, min(cap, batch_budget_bytes // (int(dim) * 16)))

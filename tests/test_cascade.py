@@ -367,6 +367,14 @@ def test_checkpoint_storage_derivation(spark, fixture):
         executor_heap_bytes(_fake_spark("spark://h:7077", "64gb", 999))
         == 64 << 30
     )
+    # r11 (advisor): 'local-cluster[n,c,m]' spawns REAL separate executor
+    # JVMs — spark.executor.memory is meaningful there and the driver's
+    # maxMemory is the wrong denominator, so it must NOT take the bare
+    # local[*] shortcut
+    assert (
+        executor_heap_bytes(_fake_spark("local-cluster[2,2,4096]", "4g", 999))
+        == 4 << 30
+    )
 
     census, geobase, name_dob, fake_names, dod = fixture
     prepped = preprocess_census(census, fake_names, gq_threshold=99)
@@ -418,6 +426,112 @@ def test_pair_row_bytes_schema_derivation(spark):
     salt_n = derive_salt(2_000_000, pair_row_bytes=nb)
     salt_w = derive_salt(2_000_000, pair_row_bytes=wb)
     assert salt_w > salt_n >= 2
+
+
+def test_pair_row_bytes_measured_string_widths(spark):
+    """r11 (verdict): the estimate job's string-payload sums replace the
+    16-byte short-string assumption — an address-heavy pass derives a
+    LARGER row estimate than the constant; a short-fragment pass a
+    smaller one. And the r10 advisor's self-join identity bug: when left
+    IS right, the blocking keys must still be counted once, not zero
+    times."""
+    from person_linkage_case_study_spark.operators.blocking import (
+        estimate_pair_row_bytes,
+        estimate_pair_stats,
+    )
+
+    addr = "1600 PENNSYLVANIA AVENUE NORTHWEST APARTMENT 12B"  # 48 chars
+    long_l = spark.createDataFrame([("k", addr)] * 4, ["blk", "address"])
+    long_r = spark.createDataFrame([("k", addr)] * 4, ["blk", "address"])
+    stats = estimate_pair_stats(long_l, long_r, ["blk"])
+    assert stats.str_bytes_l == 4 * (1 + len(addr))  # key counted on left
+    assert stats.str_bytes_r == 4 * len(addr)  # key excluded on right
+    assumed = estimate_pair_row_bytes(long_l, long_r, ["blk"])
+    measured = estimate_pair_row_bytes(long_l, long_r, ["blk"], stats=stats)
+    # 3 string fields -> 16x3 = 48 assumed payload; measured is
+    # ceil(49)+ceil(48) = 97 — the address pass no longer under-derives
+    assert measured > assumed
+    assert measured - assumed == 97 - 48
+
+    # self-join pass: same OBJECT on both sides — keys counted once
+    self_bytes = estimate_pair_row_bytes(long_l, long_l, ["blk"])
+    two_obj = estimate_pair_row_bytes(
+        long_l, spark.createDataFrame([("k", addr)] * 4, ["blk", "address"]),
+        ["blk"],
+    )
+    assert self_bytes == two_obj
+
+
+def test_checkpoint_row_bytes_schema_derivation(spark, fixture):
+    """r11 (verdict top-next): the checkpoint gate's row width is
+    schema-derived, not the constant 350 — a WIDE links frame flips to
+    DISK_ONLY at fewer rows than a narrow one; the links template pins
+    build_pass_links' real output schema so the initial derivation can't
+    drift; and the 512x/1024x measured bracket points stay on their
+    correct sides at the template's derived width."""
+    from pyspark.sql import types as T
+
+    from person_linkage_case_study_spark.plans.cascade import (
+        LINKS_FRAME_TEMPLATE,
+        derive_checkpoint_storage,
+        estimate_checkpoint_row_bytes,
+    )
+
+    # deserialized-object model: template = 40 + 7x8 + 5x48 + 2x16 = 368,
+    # within ~11% of the 512x ladder's OBSERVED ~330 B/row
+    tmpl_bytes = estimate_checkpoint_row_bytes(LINKS_FRAME_TEMPLATE)
+    assert tmpl_bytes == 368
+
+    # measured bracket at the derived width (was calibrated at 350):
+    heap64 = 64 << 30
+    assert derive_checkpoint_storage(76_800_000, heap64, row_bytes=tmpl_bytes) is None
+    lvl = derive_checkpoint_storage(153_600_000, heap64, row_bytes=tmpl_bytes)
+    assert lvl is not None and lvl.useDisk and not lvl.useMemory
+
+    # a wide frame flips at FEWER rows than a narrow one
+    wide = T.StructType(
+        [T.StructField(f"m{i}", T.StringType()) for i in range(40)]
+    )
+    wide_bytes = estimate_checkpoint_row_bytes(wide)
+    assert wide_bytes > tmpl_bytes
+    rows_between = heap64 // 2 // wide_bytes + 1  # over wide gate, under narrow
+    assert rows_between * tmpl_bytes <= heap64 // 2
+    assert derive_checkpoint_storage(rows_between, heap64, row_bytes=wide_bytes)
+    assert (
+        derive_checkpoint_storage(rows_between, heap64, row_bytes=tmpl_bytes)
+        is None
+    )
+
+    # template drift pin: the REAL build_pass_links output schema must
+    # match LINKS_FRAME_TEMPLATE name-for-name, type-for-type
+    census, geobase, name_dob, fake_names, dod = fixture
+    prepped = preprocess_census(census, fake_names, gq_threshold=99)
+    refs = {"geobase_reference_file": preprocess_reference_file(geobase)}
+    c = PersonLinkageCascade(spark, prepped, refs, make_model())
+    c.start_module(
+        ModuleConfig(
+            name="geosearch",
+            reference_file_name="geobase_reference_file",
+            cut_columns=["zip3"],
+            matching_columns=[
+                "first_name_15", "last_name_12", "middle_initial",
+                "day_of_birth", "month_of_birth", "year_of_birth", "geokey",
+            ],
+            passes=[],
+        )
+    )
+    links = c.build_pass_links(PassConfig("p", ["geokey_for_blocking"], 0.9))
+    actual = tuple((f.name, f.dataType.typeName()) for f in links.schema.fields)
+    assert actual == LINKS_FRAME_TEMPLATE
+    # and the gate escalation uses the ACTUAL schema width: a wide
+    # row_bytes flips the same row count the template width tolerates
+    c._resolve_ckpt_level()
+    assert c._ckpt_level is None
+    c._heap_bytes = heap64  # pin the denominator to the bracket's heap
+    c._note_frame_rows(rows_between, row_bytes=tmpl_bytes)
+    assert c._ckpt_level is None
+    c._note_frame_rows(rows_between, row_bytes=wide_bytes)
+    assert c._ckpt_level is not None and c._ckpt_level.useDisk
 
 
 def test_checkpoint_gate_escalates_on_pair_estimate(spark, fixture):
@@ -552,11 +666,24 @@ def test_auto_pin_resolution(spark):
     partitioning still sends a single hot key's every pair to one task);
     a normal pass resolves to (None, None) (exact prior plan); explicit
     values always win; auto_pin=False restores the manual contract.
-    1024x1024 = 1,048,576 pairs from 2,048 rows sits exactly at the r9
+    1024x1024 = 1,048,576 pairs from 2,048 rows sits just over the r9
     absolute-output floor (4 x 64MB of pair bytes) so the pin still
-    fires, and over the salt gate (2 tasks' worth = 524,288 pairs)."""
+    fires, and over the salt gate (2 tasks' worth of pairs).
+
+    r11: the derivations size from MEASURED string widths (the estimate
+    job's payload sums), not the 16-byte assumption — so the fixture
+    carries realistic full-width values (15/12-char names, a 60-char
+    geokey): measured left payload 99 B + right 36 B + 144 B fixed
+    slots = 279 B/row. With the old short strings ("A" names) the
+    measured payload was ~21 B -> 165 B/row and the SAME pass correctly
+    fell below the output floor — the accuracy the r10 verdict asked
+    for cuts both ways."""
     # one hot block: 1024 x 1024 pairs from 2,048 input rows
-    hot = [("Z", "B1", f"c{i}", "A", "A", "A", 1, 1, 1980) for i in range(1024)]
+    geokey = "B1" + "X" * 58
+    hot = [
+        ("Z12", geokey, f"c{i}", "A" * 15, "A" * 12, "M", 1, 1, 1980)
+        for i in range(1024)
+    ]
     census = spark.createDataFrame(
         hot,
         "zip3 string, geokey_for_blocking string, record_id string, "
@@ -564,7 +691,10 @@ def test_auto_pin_resolution(spark):
         "day_of_birth int, month_of_birth int, year_of_birth int",
     ).withColumn("record_id_raw_input_file", F.col("record_id"))
     ref = spark.createDataFrame(
-        [("Z", "B1", f"r{i}", "A", "A", "A", 1, 1, 1980, f"P{i}") for i in range(1024)],
+        [
+            ("Z12", geokey, f"r{i}", "A" * 15, "A" * 12, "M", 1, 1, 1980, f"P{i}")
+            for i in range(1024)
+        ],
         "zip3 string, geokey_for_blocking string, record_id string, "
         "first_name_15 string, last_name_12 string, middle_initial string, "
         "day_of_birth int, month_of_birth int, year_of_birth int, pik string",
@@ -594,14 +724,14 @@ def test_auto_pin_resolution(spark):
     hot_pass = PassConfig("p", ["geokey_for_blocking"], 0.9)
     # exploding pass: derived pin (1M pairs >> 8x2k rows; byte sizing is
     # below shuffle_partitions so the clamp floor applies) AND derived
-    # salt (the single B1 key carries all 1M pairs > the 2-task gate).
-    # r10: pair_row_bytes comes from the pass's actual schema — 17
-    # fields, 11 strings -> 8 + 17*8 + 11*16 = 320 B/row, so one task's
-    # worth is 64MB/320 = 209,715 pairs and the hot key needs
-    # ceil(1,048,576 / 209,715) = 6 lanes (the r9 constant 256 derived 4)
+    # salt (the single hot key carries all 1M pairs > the 2-task gate).
+    # r11: pair_row_bytes = 144 fixed (8 + 17 fields x 8) + MEASURED
+    # string payloads (left 101,204/1,024 -> 99; right 36,692/1,024 ->
+    # 36) = 279 B/row, so one task's worth is 64MB/279 = 240,533 pairs
+    # and the hot key needs ceil(1,048,576 / 240,533) = 5 lanes
     plan = mk(census, ref).resolve_pass_plan(hot_pass)
     assert plan.num_partitions == shuffle_parts
-    assert plan.salt_partitions == 6
+    assert plan.salt_partitions == 5
     assert plan.stats is not None and plan.stats.max_key_pairs == 1024 * 1024
     # spread pass: below both gates -> exact prior plan
     spread = mk(spread_census, spread_ref).resolve_pass_plan(hot_pass)

@@ -136,10 +136,13 @@ def test_estimate_pair_stats(spark):
 
     l = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], ["blk"])
     r = spark.createDataFrame([("a",), ("b",), ("b",), ("c",)], ["blk"])
-    # r9: 4th field is the hottest key's pair product (a: 2x1, b: 1x2)
-    assert estimate_pair_stats(l, r, ["blk"]) == (4, 3, 4, 2)
+    # r9: 4th field is the hottest key's pair product (a: 2x1, b: 1x2).
+    # r11: fields 5/6 are the sides' pair-row string payload sums — left
+    # counts the key (emitted once from the left, 3 non-NULL 1-char
+    # values); right's ONLY string column is the key, so it sums nothing
+    assert estimate_pair_stats(l, r, ["blk"]) == (4, 3, 4, 2, 3, 0)
     empty = spark.createDataFrame([], "blk string")
-    assert estimate_pair_stats(empty, r, ["blk"]) == (0, 0, 4, 0)
+    assert estimate_pair_stats(empty, r, ["blk"]) == (0, 0, 4, 0, 0, 0)
 
 
 def test_derive_pair_pin():

@@ -373,20 +373,24 @@ def synthesize_widedim(
 
 
 def main_widedim() -> None:
-    """r10: the dim-derived ``max_bucket`` rehearsal. At dim 4096 the
-    derived cap is 256 (batch bytes ~flat vs the 64-dim path); the
-    ``r8cap`` variant forces the old constant 1024, whose chunk-pair
-    input batches are ~67 MB each (2048 rows × 32 KB) — 2.7× the budget
-    the r8 fix was sized for. Decisions must be identical either way
-    (cap is a work-shape knob); the artifact records whether the old
-    constant merely bloats batches at this heap or re-enters the
-    allocator cliff.
+    """The dim-derived ``max_bucket`` rehearsal, against the SHIPPED
+    64 MB-budget derivation (r11 — the r10 docstring described the
+    superseded 16 MB sketch whose dim-4096 cap was 256; the shipped
+    ``derive_max_bucket(4096)`` returns 1024, identical to the r8
+    constant, so at dim 4096 derived-vs-r8cap is a NO-OP A/B). The
+    default dim is therefore 8192, where the derivation first bites:
+    derived cap 512 (input batches ~64 MB) vs the ``r8cap`` variant's
+    forced 1024 (~134 MB input batches, 2× the proven point). Decisions
+    must be identical either way (cap is a work-shape knob); the
+    artifact records whether the old constant merely bloats batches at
+    this heap or re-enters the allocator cliff. SEMDEDUP_BENCH_r10 ran
+    dim 8192 derived live: recall 1.0, checksum identical to r8cap.
 
     Usage: python tools/bench_semdedup.py widedim [n_base] [block_rows]
            [dim] [variant: derived|r8cap]"""
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     block_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000
-    dim = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
+    dim = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
     variant = sys.argv[5] if len(sys.argv) > 5 else "derived"
 
     from person_linkage_case_study_spark.similarity.semdedup import (
