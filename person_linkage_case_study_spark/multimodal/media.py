@@ -209,6 +209,12 @@ def parse_png(payload: bytes) -> dict:
         or not idat
         or channels is None
         or (color_type == 3 and plte is None)
+        # degenerate width/height 0: a legal-looking IHDR but nothing to
+        # decode — pixels.mean() over an empty array would emit a numpy
+        # RuntimeWarning and a NaN pixel_mean (r10 advisor); mirror
+        # parse_wav's degenerate-fmt guards and stay metadata-only
+        or width == 0
+        or height == 0
     ):
         return meta  # metadata-only tier
     raw = zlib.decompress(bytes(idat))
@@ -292,10 +298,14 @@ _SOF_MARKERS = frozenset(
 
 
 def parse_jpeg(payload: bytes) -> dict:
-    """JPEG header parse: walk the marker segments to the first SOFn and
-    read precision / dimensions / component count. Pixel decode (huffman
-    + DCT) is deliberately NOT reimplemented — metadata is what the
-    curation pipeline consumes; wire PIL for pixels on a real cluster."""
+    """JPEG parse: walk the marker segments to the first SOFn and read
+    precision / dimensions / component count; for BASELINE sequential
+    Huffman JPEGs (SOF0/SOF1, 8-bit) also the full pixel array and its
+    mean via the pure-Python decoder below (r11 — the r10 verdict's most
+    user-visible boundary: crawls are JPEG-heavy and the PNG/WAV tiers
+    were already real). Progressive (SOF2), arithmetic-coded, 12-bit,
+    CMYK and other exotic layouts stay metadata-only (``pixels`` /
+    ``pixel_mean`` None) — wire PIL for those on a real cluster."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (bad SOI)")
     i = 2
@@ -308,7 +318,7 @@ def parse_jpeg(payload: bytes) -> dict:
             i += 1
             continue
         if marker in _SOF_MARKERS:
-            return {
+            meta = {
                 "format": "jpeg",
                 "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
                 "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
@@ -317,6 +327,13 @@ def parse_jpeg(payload: bytes) -> dict:
                 "pixels": None,
                 "pixel_mean": None,
             }
+            try:
+                pixels = decode_jpeg_pixels(payload)
+            except ValueError:
+                return meta  # metadata-only tier (non-baseline / corrupt scan)
+            meta["pixels"] = pixels
+            meta["pixel_mean"] = float(pixels.mean())
+            return meta
         if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
             break
         (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
@@ -324,27 +341,631 @@ def parse_jpeg(payload: bytes) -> dict:
     raise ValueError("JPEG missing SOF header")
 
 
+# natural-order index for each zigzag scan position (computed, not
+# transcribed: diagonal s runs bottom-left->top-right when s is even)
+_ZIGZAG = tuple(
+    8 * y + x
+    for s in range(15)
+    for y, x in sorted(
+        ((y, s - y) for y in range(8) if 0 <= s - y < 8),
+        reverse=(s % 2 == 0),
+    )
+)
+
+_DCT_BASIS = None
+
+
+def _dct_basis():
+    """8x8 DCT-II basis matrix A with A[u, x] = c(u)/2 · cos((2x+1)uπ/16)
+    (c(0) = 1/√2, else 1): forward F = A·f·Aᵀ, inverse f = Aᵀ·F·A — the
+    matrix form lets numpy batch the IDCT over every block of an image
+    at once (einsum), the same vectorization move as the r10 PNG
+    Sub-filter work."""
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        import numpy as np
+
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        a[0] /= np.sqrt(2.0)
+        _DCT_BASIS = a
+    return _DCT_BASIS
+
+
+# the standard Huffman tables from ITU T.81 Annex K §K.3.3 (the tables
+# virtually every baseline encoder emits): (bits[1..16], values)
+_STD_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_STD_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_STD_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+_STD_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+
+
+def _canonical_codes(bits):
+    """Canonical Huffman (code, length) assignment per T.81 Annex C:
+    codes of each length count up from twice the previous length's end."""
+    out = []
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("JPEG huffman BITS overflow")
+            out.append((length, code))
+            code += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_lut(bits, vals):
+    """(length, code) → symbol for the bit-serial decoder."""
+    codes = _canonical_codes(bits)
+    if len(codes) != len(vals):
+        raise ValueError("JPEG huffman BITS/HUFFVAL mismatch")
+    return {lc: v for lc, v in zip(codes, vals)}
+
+
+def _huff_encode_lut(bits, vals):
+    """symbol → (code, length) for the encoder."""
+    codes = _canonical_codes(bits)
+    return {v: (c, l) for (l, c), v in zip(codes, vals)}
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, byte-aligns across
+    RSTn markers, raises ValueError on truncation or marker desync."""
+
+    __slots__ = ("data", "pos", "cur", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            d, p = self.data, self.pos
+            if p >= len(d):
+                raise ValueError("JPEG entropy stream truncated")
+            b = d[p]
+            p += 1
+            if b == 0xFF:
+                if p >= len(d):
+                    raise ValueError("JPEG entropy stream truncated at 0xFF")
+                if d[p] == 0x00:
+                    p += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("JPEG marker inside entropy stream")
+            self.pos = p
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (skipping fill
+        0xFF bytes), per T.81 §B.2.1.2 / F.2.2.5."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p + 1 >= len(d) or d[p] != 0xFF or not 0xD0 <= d[p + 1] <= 0xD7:
+            raise ValueError("JPEG expected restart marker")
+        self.pos = p + 2
+
+
+def _huff_decode(reader: _JpegBitReader, lut: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG invalid huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    """Sign-extend an n-bit magnitude value per T.81 F.2.2.1 EXTEND."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Pure-Python baseline-sequential JPEG pixel decode (T.81: Huffman
+    entropy coding per §F.2, dequantize, 8x8 IDCT, chroma upsample,
+    YCbCr→RGB per JFIF 1.02 §7). Returns a uint8 numpy array — (h, w)
+    for single-component images, (h, w, 3) RGB otherwise.
+
+    Scope (everything else raises ValueError, which parse_jpeg maps to
+    the metadata-only tier): SOF0/SOF1 frames, 8-bit precision, 1 or 3
+    components, one interleaved scan, sampling factors where the max
+    divides each component's (the 4:4:4 / 4:2:2 / 4:2:0 layouts real
+    crawls contain), optional restart intervals. Progressive (SOF2) and
+    arithmetic coding are out of scope by design.
+
+    The per-block Huffman loop is Python (inherently bit-serial); the
+    IDCT — the arithmetic bulk — is one batched einsum over ALL of a
+    component's blocks (see :func:`_dct_basis`), and upsample / color
+    convert are whole-plane numpy ops."""
+    import numpy as np
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG (bad SOI)")
+    n = len(payload)
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> lut
+    frame = None  # (height, width, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    scan = None  # ([(cid, dc_id, ac_id), ...], entropy_start)
+    i = 2
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[p : p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(
+                        body[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+                if len(tbl) != 64:
+                    raise ValueError("JPEG DQT truncated")
+                # store in NATURAL order (DQT bodies are zigzag)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[list(_ZIGZAG)] = tbl
+                quant[tq] = nat
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = tuple(body[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = tuple(body[p + 17 : p + 17 + nvals])
+                if len(vals) != nvals:
+                    raise ValueError("JPEG DHT truncated")
+                huff[(tc, th)] = _huff_decode_lut(bits, vals)
+                p += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if body[0] != 8:
+                raise ValueError("JPEG precision != 8 unsupported")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"JPEG {ncomp}-component unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * ci]))
+            frame = (height, width, comps)
+        elif marker in _SOF_MARKERS:  # progressive / arithmetic / ...
+            raise ValueError("JPEG non-baseline frame (metadata tier)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = []
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                tbls = body[2 + 2 * si]
+                sel.append((cid, tbls >> 4, tbls & 0x0F))
+            scan = (sel, i + 2 + seglen)
+            break  # entropy-coded data follows
+        i += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    height, width, comps = frame
+    if height == 0 or width == 0:
+        raise ValueError("JPEG degenerate dimensions")
+    sel, entropy_start = scan
+    if len(sel) != len(comps):
+        raise ValueError("JPEG non-interleaved multi-scan unsupported")
+    by_cid = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    hmax = max(h for _, h, v, _ in comps)
+    vmax = max(v for _, h, v, _ in comps)
+    for _, h, v, _ in comps:
+        if h < 1 or v < 1 or hmax % h or vmax % v:
+            raise ValueError("JPEG non-integer chroma subsampling")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    # decode each component's quantized coefficients (zigzag order)
+    coefs: dict[int, "np.ndarray"] = {}
+    dequants: dict[int, "np.ndarray"] = {}
+    for cid, dc_id, ac_id in sel:
+        if cid not in by_cid:
+            raise ValueError("JPEG scan references unknown component")
+        h, v, tq = by_cid[cid]
+        if tq not in quant or (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG missing quant/huffman table")
+        coefs[cid] = np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
+        dequants[cid] = quant[tq]
+
+    reader = _JpegBitReader(payload, entropy_start)
+    pred = {cid: 0 for cid, _, _ in sel}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = {cid: 0 for cid, _, _ in sel}
+            for cid, dc_id, ac_id in sel:
+                h, v, _ = by_cid[cid]
+                dc_lut, ac_lut = huff[(0, dc_id)], huff[(1, ac_id)]
+                blocks = coefs[cid]
+                for bv in range(v):
+                    for bh in range(h):
+                        zz = blocks[my * v + bv, mx * h + bh]
+                        t = _huff_decode(reader, dc_lut)
+                        if t > 11:
+                            raise ValueError("JPEG DC category out of range")
+                        pred[cid] += _extend(reader.receive(t), t)
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_lut)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+            mcu_count += 1
+
+    # dequantize + batched IDCT + plane assembly per component
+    basis = _dct_basis()
+    inv_zz = np.argsort(np.asarray(_ZIGZAG))
+    planes = []
+    for cid, _, _ in sel:
+        h, v, _ = by_cid[cid]
+        by, bx = mcuy * v, mcux * h
+        nat = (coefs[cid] * dequants[cid][np.asarray(_ZIGZAG)]).reshape(
+            by * bx, 64
+        )[:, inv_zz].reshape(by * bx, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", basis, nat, basis)
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        plane = np.clip(np.round(plane) + 128, 0, 255)
+        # crop to the component's true dims, then sample-replicate up
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        plane = plane[:ch, :cw]
+        if h != hmax or v != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+            )
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """Entropy-segment bit writer: MSB-first, stuffs 0x00 after any
+    emitted 0xFF data byte, pads the final byte with 1-bits (T.81
+    §B.1.1.5 / F.1.2.3)."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        nbits = self.nbits + length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_category(v: int) -> int:
+    """Magnitude category (bit length of |v|) per T.81 F.1.2.1.1."""
+    return abs(v).bit_length()
+
+
+def encode_jpeg_baseline(
+    pixels,
+    *,
+    quant=None,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal, spec-correct baseline JPEG writer — the fixture /
+    round-trip counterpart of :func:`decode_jpeg_pixels`, exactly as
+    :func:`encode_png` is to :func:`parse_png` (no imaging library in
+    this container). ``pixels`` is a uint8 numpy array: (h, w) grayscale
+    or (h, w, 3) RGB. Emits SOF0 with the standard T.81 Annex K Huffman
+    tables; one quant table shared by all components, NATURAL order,
+    default all-ones — with unit quantization a DC-only image (constant
+    8x8 blocks) round-trips bit-exactly, which is what the closed-form
+    oracles lean on. ``subsample``: '4:4:4', '4:2:2' or '4:2:0' (chroma
+    box-averaged along the subsampled axes). ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    h0, w0 = px.shape[:2]
+    if h0 == 0 or w0 == 0:
+        raise ValueError("empty image")
+    if quant is None:
+        q_nat = np.ones(64, dtype=np.int64)
+    else:
+        q_nat = np.asarray(quant, dtype=np.int64).reshape(64)
+        if (q_nat < 1).any() or (q_nat > 255).any():
+            raise ValueError("quant entries must be in [1, 255]")
+    try:
+        sh, sv = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[subsample]
+    except KeyError:
+        raise ValueError("subsample must be '4:4:4', '4:2:2' or '4:2:0'")
+    if gray:
+        sh = sv = 1
+
+    f = px.astype(np.float64)
+    if gray:
+        planes = [f - 128.0]
+        comps = [(1, 1, 1)]  # (cid, h, v)
+    else:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sh > 1 or sv > 1:
+            # pad to the sampling multiple with edge replication, then
+            # box-average along the subsampled axes
+            def down(p):
+                ph = np.pad(
+                    p,
+                    ((0, -p.shape[0] % sv), (0, -p.shape[1] % sh)),
+                    mode="edge",
+                )
+                return (
+                    ph.reshape(ph.shape[0] // sv, sv, ph.shape[1] // sh, sh)
+                    .mean(axis=(1, 3))
+                )
+
+            cb, cr = down(cb), down(cr)
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        comps = [(1, sh, sv), (2, 1, 1), (3, 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w0 // (8 * hmax))
+    mcuy = -(-h0 // (8 * vmax))
+
+    # forward DCT every block of every plane (batched), quantize
+    basis = _dct_basis()
+    zz = np.asarray(_ZIGZAG)
+    blocks_by_comp = []
+    for (cid, ch, cv), plane in zip(comps, planes):
+        tw, th = mcux * ch * 8, mcuy * cv * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        by, bx = th // 8, tw // 8
+        f8 = (
+            plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = np.einsum("ux,nxy,yv->nuv", basis, f8, basis.T)
+        qz = np.round(coef.reshape(-1, 64) / q_nat).astype(np.int64)
+        # baseline magnitude bounds: DC diffs fit category <= 11 by
+        # construction at unit quant; clamp AC to the 10-bit envelope
+        qz[:, 1:] = np.clip(qz[:, 1:], -1023, 1023)
+        blocks_by_comp.append(qz[:, zz].reshape(by, bx, 64))
+
+    # entropy-code the interleaved scan
+    luts = {
+        (0, 0): _huff_encode_lut(*_STD_DC_LUMA),
+        (1, 0): _huff_encode_lut(*_STD_AC_LUMA),
+        (0, 1): _huff_encode_lut(*_STD_DC_CHROMA),
+        (1, 1): _huff_encode_lut(*_STD_AC_CHROMA),
+    }
+    writer = _JpegBitWriter()
+    pred = {cid: 0 for cid, _, _ in comps}
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.buf.extend((0xFF, 0xD0 + rst_n))
+                rst_n = (rst_n + 1) % 8
+                pred = {cid: 0 for cid, _, _ in comps}
+            for ci, (cid, ch, cv) in enumerate(comps):
+                tid = 0 if ci == 0 else 1
+                dc_lut, ac_lut = luts[(0, tid)], luts[(1, tid)]
+                for bv in range(cv):
+                    for bh in range(ch):
+                        blk = blocks_by_comp[ci][my * cv + bv, mx * ch + bh]
+                        diff = int(blk[0]) - pred[cid]
+                        pred[cid] = int(blk[0])
+                        t = _jpeg_category(diff)
+                        code, ln = dc_lut[t]
+                        writer.write(code, ln)
+                        if t:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_lut[0xF0]  # ZRL
+                                writer.write(code, ln)
+                                run -= 16
+                            s = _jpeg_category(v)
+                            code, ln = ac_lut[(run << 4) | s]
+                            writer.write(code, ln)
+                            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            code, ln = ac_lut[0x00]  # EOB
+                            writer.write(code, ln)
+            mcu_count += 1
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(q_nat[i]) for i in _ZIGZAG))
+    sof_comps = b"".join(
+        bytes((cid, (ch << 4) | cv, 0)) for cid, ch, cv in comps
+    )
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h0, w0) + bytes([len(comps)]) + sof_comps,
+    )
+
+    def dht(tc: int, th: int, table) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dhts = dht(0, 0, _STD_DC_LUMA) + dht(1, 0, _STD_AC_LUMA)
+    if not gray:
+        dhts += dht(0, 1, _STD_DC_CHROMA) + dht(1, 1, _STD_AC_CHROMA)
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos_comps = b"".join(
+        bytes((cid, 0 if ci == 0 else 0x11))
+        for ci, (cid, _, _) in enumerate(comps)
+    )
+    sos = seg(0xDA, bytes([len(comps)]) + sos_comps + bytes((0, 63, 0)))
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dhts
+        + dri
+        + sos
+        + bytes(writer.buf)
+        + b"\xff\xd9"
+    )
+
+
 def decode_image(payload: bytes):
     """Decode an image payload.
 
     PNG decodes for REAL in pure Python (r9 — see :func:`parse_png`):
     returns the (h, w, c) uint8 numpy array for 8-bit non-interlaced
-    images, including indexed/PLTE images expanded to RGB (r10). JPEG and
-    anything else fall through to PIL when importable; otherwise
-    NotImplementedError (a pure-Python huffman+DCT decoder is out of
-    scope — JPEG *metadata* is available via :func:`parse_jpeg`).
+    images, including indexed/PLTE images expanded to RGB (r10).
+    Baseline-sequential JPEG also decodes for real (r11 — see
+    :func:`decode_jpeg_pixels`). Progressive/arithmetic JPEG, 16-bit or
+    interlaced PNG, and anything else fall through to PIL when
+    importable; otherwise NotImplementedError (metadata for those tiers
+    is still available via :func:`parse_jpeg` / :func:`parse_png`).
     """
     if payload[:8] == _PNG_SIG:
         meta = parse_png(payload)
         if meta["pixels"] is not None:
             return meta["pixels"]
+    if payload[:3] == b"\xff\xd8\xff":
+        try:
+            return decode_jpeg_pixels(payload)
+        except ValueError:
+            pass  # non-baseline tier: fall through to PIL
     try:
         import io
 
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG (or 16-bit/interlaced PNG) pixel decode "
+            "non-baseline-JPEG / 16-bit / interlaced pixel decode "
             "requires PIL/pillow, not available in this environment; "
             "parse_png/parse_jpeg provide metadata and "
             "extract_media_features byte-level features"
@@ -367,10 +988,12 @@ IMAGE_META_SCHEMA = T.StructType(
 
 def extract_image_meta(media: DataFrame) -> DataFrame:
     """mapInPandas image decode over payload batches: PNG → full decode
-    (dims + channels + true pixel mean), JPEG → header metadata, other /
-    corrupt payloads → NULL columns (a 100 TB crawl always contains
-    garbage bytes; a decode kernel that throws on them kills the stage).
-    Same Arrow-batched shape as :func:`extract_media_features`."""
+    (dims + channels + true pixel mean), JPEG → full decode for baseline
+    sequential (r11, :func:`decode_jpeg_pixels`) / header metadata for
+    progressive+exotic tiers, other / corrupt payloads → NULL columns (a
+    100 TB crawl always contains garbage bytes; a decode kernel that
+    throws on them kills the stage). Same Arrow-batched shape as
+    :func:`extract_media_features`."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

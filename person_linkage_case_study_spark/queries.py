@@ -2337,6 +2337,29 @@ def _mm_features_oracle() -> str:
     -- peak = A with no float ambiguity (A^2 and its mean are exact in
     -- float64; IEEE sqrt of an exact square is exact); n = 8*(1+id%16)
     -- frames at 8 kHz gives duration n/8000 by the same IEEE division.
+    -- r11: the JPEG tier. The Spark side encodes a REAL baseline JPEG
+    -- per document (encode_jpeg_baseline, unit quant) of 8x8-constant
+    -- blocks — block k (row-major) holds v0 + 16k with v0 = id % 97 and
+    -- NB = (1 + id%3) x (1 + id%2) <= 6 blocks (max value 176, no wrap)
+    -- — and decodes it back through the pure-Python huffman+IDCT path
+    -- (decode_jpeg_pixels): a lone DC coefficient reconstructs its
+    -- constant exactly at unit quant, so the image mean collapses to
+    -- v0 + 8*(NB-1), an integer. restart_interval rotates over id % 4
+    -- (0 = none), so the RSTn reader path is exercised on live rows
+    -- too. A value-hash match proves the huffman encode -> decode loop
+    -- bit-faithful per row.
+    jpg AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             'jpeg' AS jpg_format,
+             CAST(8 * (1 + CAST(doc_id AS BIGINT) % 3) AS INT) AS jpg_width,
+             CAST(8 * (1 + CAST(doc_id AS BIGINT) % 2) AS INT) AS jpg_height,
+             CAST(1 AS INT) AS jpg_channels,
+             CAST(CAST(doc_id AS BIGINT) % 97
+                  + 8 * ((1 + CAST(doc_id AS BIGINT) % 3)
+                         * (1 + CAST(doc_id AS BIGINT) % 2) - 1)
+                  AS DOUBLE) AS jpg_pixel_mean
+      FROM documents
+    ),
     aud AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
              CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
@@ -2358,6 +2381,8 @@ def _mm_features_oracle() -> str:
            rsz.rsz_pixel_mean,
            plt.plt_width, plt.plt_height, plt.plt_channels,
            plt.plt_pixel_mean,
+           jpg.jpg_format, jpg.jpg_width, jpg.jpg_height, jpg.jpg_channels,
+           jpg.jpg_pixel_mean,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
            aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
@@ -2366,6 +2391,7 @@ def _mm_features_oracle() -> str:
     JOIN img USING (media_id)
     JOIN rsz USING (media_id)
     JOIN plt USING (media_id)
+    JOIN jpg USING (media_id)
     JOIN aud USING (media_id)
     """
 
@@ -2390,7 +2416,10 @@ def _mm_features_oracle() -> str:
 # Closed-form expectations for both are derived in _mm_features_oracle's
 # rsz/aud CTE comments. r10 folds in the PALETTE tier (indexed/PLTE PNG
 # encode → PLTE-expanded decode, closed form in the plt CTE comment) the
-# same way — six real-codec loops, one catalog entry.
+# same way; r11 folds in the JPEG tier (baseline huffman+IDCT encode →
+# pure-Python decode_jpeg_pixels, rotating restart intervals, closed
+# form in the jpg CTE comment) — seven real-codec loops, one catalog
+# entry, catalog stays at the driver's 50-entry window.
 @query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -2509,6 +2538,37 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pixel_mean").alias("plt_pixel_mean"),
     )
 
+    def mk_jpg(it):
+        # r11 JPEG tier: 8x8-constant blocks (block k holds v0 + 16k,
+        # v0 = mid % 97, <= 6 blocks so max 176 < 256) are DC-only at
+        # unit quant and decode bit-exactly; restart_interval rotates
+        # over mid % 4 so live rows exercise the RSTn reader path too
+        from .multimodal.media import encode_jpeg_baseline
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                wb, hb = 1 + mid % 3, 1 + mid % 2
+                v0 = mid % 97
+                vals = (v0 + 16 * np.arange(wb * hb)).reshape(hb, wb)
+                px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                payloads.append(
+                    encode_jpeg_baseline(px, restart_interval=mid % 4)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    jpg = extract_image_meta(
+        media.select("media_id").mapInPandas(mk_jpg, payload_schema)
+    ).select(
+        "media_id",
+        F.col("format").alias("jpg_format"),
+        F.col("width").alias("jpg_width"),
+        F.col("height").alias("jpg_height"),
+        F.col("channels").alias("jpg_channels"),
+        F.round("pixel_mean", 6).alias("jpg_pixel_mean"),
+    )
+
     def mk_wav(it):
         # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
@@ -2539,6 +2599,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.join(img, on="media_id")
         .join(rsz, on="media_id")
         .join(plt, on="media_id")
+        .join(jpg, on="media_id")
         .join(aud, on="media_id")
         .select(
             "media_id",
@@ -2559,6 +2620,11 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plt_height",
             "plt_channels",
             "plt_pixel_mean",
+            "jpg_format",
+            "jpg_width",
+            "jpg_height",
+            "jpg_channels",
+            "jpg_pixel_mean",
             "audio_channels",
             "sample_rate",
             "n_frames",

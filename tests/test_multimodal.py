@@ -120,6 +120,24 @@ def test_png_metadata_only_tiers():
     assert (m["width"], m["height"], m["channels"], m["bit_depth"]) == (9, 4, 3, 16)
     assert m["pixels"] is None and m["pixel_mean"] is None
 
+    # r11 (advisor): a legal-looking width=0 (or height=0) IHDR with IDAT
+    # data must stay metadata-only — pixels.mean() over an empty array
+    # would emit a numpy RuntimeWarning and a NaN pixel_mean
+    import warnings
+
+    for w, h in ((0, 4), (9, 0), (0, 0)):
+        degenerate = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            m = parse_png(degenerate)
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["pixels"] is None and m["pixel_mean"] is None
+
 
 def _jpeg_header(width, height, ncomp=3, precision=8):
     """Minimal JPEG byte stream: SOI, APP0, SOF0 (no scan data needed
@@ -146,6 +164,189 @@ def test_jpeg_header_parse():
     assert m["format"] == "jpeg" and m["pixels"] is None
     with pytest.raises(ValueError, match="SOI"):
         parse_jpeg(b"not a jpeg")
+
+
+def _ref_idct(coef):
+    """Independent textbook IDCT (T.81 A.3.3 double sum, no matrix
+    tricks) — the oracle the decoder's batched einsum is checked
+    against."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4
+    return out
+
+
+def test_jpeg_baseline_round_trip_gray():
+    """r11: pure-Python baseline JPEG decode. With unit quantization a
+    piecewise-constant image is DC-only and round-trips bit-exactly
+    (IDCT of a lone DC coefficient d is the constant d/8, closed form);
+    arbitrary content round-trips within coefficient-rounding (±2)."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(11)
+    # block-constant at awkward (pad + crop) dims: exact
+    vals = rng.integers(0, 256, (3, 4))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)[:17, :27].astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_baseline(img))
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    assert np.array_equal(out, img)
+    # arbitrary content: rounding-bounded
+    noisy = rng.integers(0, 256, (24, 31)).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_baseline(noisy))
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 2
+
+
+def test_jpeg_single_ac_coefficient_against_textbook_idct():
+    """A hand-built single-AC-coefficient block must decode to the T.81
+    double-sum IDCT evaluated independently (no shared matrix code) —
+    pins the einsum orientation, the zigzag inverse, and dequantize."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    coef = np.zeros((8, 8))
+    coef[1, 2] = 96.0  # one AC basis function
+    coef[0, 0] = 64.0  # DC offset to keep values in range
+    spatial = np.clip(np.round(_ref_idct(coef)) + 128, 0, 255).astype(np.uint8)
+    # encode the spatial block; unit quant makes the coefficients exact
+    out = decode_jpeg_pixels(encode_jpeg_baseline(spatial))
+    assert np.abs(out.astype(int) - spatial.astype(int)).max() <= 1
+
+
+def test_jpeg_color_subsampling_layouts():
+    """4:4:4 / 4:2:2 / 4:2:0: constant color is invariant under chroma
+    box-averaging so every layout reproduces it within YCbCr rounding;
+    random content keeps the whole-image mean (what the curation
+    pipeline consumes) within 0.5."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(12)
+    const = np.zeros((24, 24, 3), np.uint8)
+    const[...] = (12, 200, 99)
+    noisy = rng.integers(0, 256, (19, 22, 3)).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        out = decode_jpeg_pixels(encode_jpeg_baseline(const, subsample=sub))
+        assert out.shape == const.shape
+        assert np.abs(out.astype(int) - const.astype(int)).max() <= 1
+        out = decode_jpeg_pixels(encode_jpeg_baseline(noisy, subsample=sub))
+        assert abs(float(out.mean()) - float(noisy.mean())) < 0.5
+
+
+def test_jpeg_restart_intervals():
+    """DRI + RSTn markers: predictors reset, the reader re-aligns across
+    every marker, and the image round-trips like the unrestarted one."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    payload = encode_jpeg_baseline(img, restart_interval=2)
+    assert any(
+        bytes((0xFF, 0xD0 + k)) in payload for k in range(8)
+    )  # markers actually emitted
+    out = decode_jpeg_pixels(payload)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # interop: restart and non-restart encodings decode identically
+    assert np.array_equal(out, decode_jpeg_pixels(encode_jpeg_baseline(img)))
+
+
+def test_jpeg_quantization_closed_form():
+    """A non-unit quant table actually quantizes: a constant-v image's
+    reconstruction is round((v-128)·8 / q0)·q0 / 8 + 128 (the lone DC
+    path, closed form); and a 16-bit (Pq=1) DQT parses to the same
+    decode as the 8-bit one."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    q = np.full(64, 17, dtype=np.int64)
+    img = np.full((8, 8), 77, np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_baseline(img, quant=q))
+    expected = round(round((77 - 128) * 8 / 17) * 17 / 8) + 128
+    assert np.array_equal(out, np.full((8, 8), expected, np.uint8))
+
+    # Pq=1 (16-bit) DQT: splice the encoder's 8-bit table segment into
+    # the equivalent 16-bit encoding; decode must be identical
+    payload = encode_jpeg_baseline(img, quant=q)
+    dqt8 = b"\xff\xdb" + struct.pack(">H", 67) + bytes([0])
+    i = payload.index(dqt8)
+    zz_vals = payload[i + 5 : i + 5 + 64]
+    dqt16 = (
+        b"\xff\xdb"
+        + struct.pack(">H", 131)
+        + bytes([0x10])
+        + b"".join(struct.pack(">H", b) for b in zz_vals)
+    )
+    spliced = payload[:i] + dqt16 + payload[i + 69 :]
+    assert np.array_equal(decode_jpeg_pixels(spliced), out)
+
+
+def test_jpeg_non_baseline_and_garbage_tiers():
+    """Progressive (SOF2) stays metadata-only through parse_jpeg; a
+    truncated entropy stream degrades to metadata; decode_image falls
+    through to the documented PIL gate for the non-baseline tier."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((8, 8), 50, np.uint8)
+    payload = encode_jpeg_baseline(img)
+    progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    m = parse_jpeg(progressive)
+    assert (m["width"], m["height"]) == (8, 8)
+    assert m["pixels"] is None and m["pixel_mean"] is None
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(progressive)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(progressive)
+
+    # SOS header is 10 bytes (marker + len + 1-component body); +11
+    # cuts mid-DC-magnitude — one entropy byte where the lone block
+    # needs three
+    truncated = payload[: payload.index(b"\xff\xda") + 11]
+    m = parse_jpeg(truncated)
+    assert (m["width"], m["height"]) == (8, 8) and m["pixels"] is None
+
+    # baseline payloads now decode for real through the generic gate
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_jpeg_parse_pixel_mean_closed_form():
+    """parse_jpeg's pixel tier: a DC-only (block-constant) JPEG's
+    pixel_mean equals the constant map's mean exactly — the same
+    closed-form contract the PNG tiers give mm_media_features."""
+    vals = np.array([[10, 250], [128, 33]])
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_jpeg_baseline,
+    )
+
+    m = parse_jpeg(encode_jpeg_baseline(img))
+    assert m["format"] == "jpeg" and m["channels"] == 1
+    assert m["pixel_mean"] == pytest.approx(float(img.mean()))
+    assert np.array_equal(m["pixels"], img)
 
 
 def test_extract_image_meta_spark(spark):
