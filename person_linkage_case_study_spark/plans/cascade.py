@@ -29,6 +29,7 @@ from ..operators.blocking import (
     PairStats,
     blocked_pairs,
     derive_pair_pin,
+    derive_pin_cap,
     derive_salt,
     estimate_pair_row_bytes,
     estimate_pair_stats,
@@ -575,6 +576,11 @@ class PersonLinkageCascade:
                     stats.n_right,
                     shuffle_partitions(self.spark),
                     pair_row_bytes=row_bytes,
+                    # the cap scales with the fleet (r11): 4096 on this
+                    # box, 32x slots on a real cluster
+                    cap=derive_pin_cap(
+                        self.spark.sparkContext.defaultParallelism
+                    ),
                 )
             if salt is None:
                 salt = derive_salt(stats.max_key_pairs, pair_row_bytes=row_bytes)

@@ -428,6 +428,28 @@ def test_pair_row_bytes_schema_derivation(spark):
     assert salt_w > salt_n >= 2
 
 
+def test_derive_pin_cap():
+    """r11: the pin's partition-count ceiling derives from the fleet —
+    floored at the measured 4096 so every local[32] measurement keeps
+    its exact values, scaling as 32x slots so a 1000-executor cluster
+    doesn't get 3.6 GB tasks out of a hard-coded constant."""
+    from person_linkage_case_study_spark.operators.blocking import (
+        derive_pair_pin,
+        derive_pin_cap,
+    )
+
+    assert derive_pin_cap(32) == 4096  # this box: floor binds, unchanged
+    assert derive_pin_cap(128) == 4096
+    assert derive_pin_cap(8000) == 256_000  # 1000 x 8-core fleet
+    assert derive_pin_cap(0) == 4096  # degenerate input: floor
+    # at the cap the pin saturates instead of growing
+    pin = derive_pair_pin(
+        50_000_000_000, 10**6, 10**6, 32, pair_row_bytes=320,
+        cap=derive_pin_cap(32),
+    )
+    assert pin == 4096
+
+
 def test_pair_row_bytes_measured_string_widths(spark):
     """r11 (verdict): the estimate job's string-payload sums replace the
     16-byte short-string assumption — an address-heavy pass derives a

@@ -48,7 +48,7 @@ LAST = ["SMITH", "JOHNSON", "WILLIAMS", "BROWN", "JONES", "GARCIA", "MILLER",
         "WILSON", "ANDERSON", "THOMAS", "TAYLOR", "MOORE", "JACKSON", "MARTIN"]
 
 
-def synthesize(spark, sf_dir, scale_mult: int = 1):
+def synthesize(spark, sf_dir, scale_mult: int = 1, moduli_mult: int | None = None):
     """Deterministic person records from orders: names drawn by key mod,
     DOB parts from the order date, zip3/geokey from custkey buckets.
 
@@ -57,10 +57,17 @@ def synthesize(spark, sf_dir, scale_mult: int = 1):
     rehearsal (more people ⇒ more zips/addresses): block COUNT grows N×,
     block sizes stay constant, total pairs grow ~N×. Keeping the moduli
     fixed instead would grow every block N× and pairs N²× — a skew stress,
-    not a scale test (measured: 4× with fixed moduli = 16× pairs, >10min)."""
+    not a scale test (measured: 4× with fixed moduli = 16× pairs, >10min).
+
+    ``moduli_mult`` (r11) overrides the moduli scaling independently:
+    the capbind mode passes 1 to get exactly that N²-pair density stress
+    on purpose — the cheapest corpus whose pass-1 pin DERIVES PAST the
+    4096 cap (pairs grow quadratically while records grow linearly, so
+    the cap binds at ~1/200th the records the 2048× rung would need)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    zip_mod = 100 * scale_mult
-    geo_mod = 1000 * scale_mult
+    mm = scale_mult if moduli_mult is None else moduli_mult
+    zip_mod = 100 * mm
+    geo_mod = 1000 * mm
     if scale_mult > 1:
         base_max = 10_000_000
         copies = [o]
@@ -229,6 +236,11 @@ def main() -> None:
     # the data grows — the local analog of adding executors.
     heap_g = min(64, max(8, scale_mult // 2))
     shuffle_parts = max(32, 2 * scale_mult)
+    if mode == "capbind":
+        # pair volume, not record count, is the stress here: give the
+        # 32 concurrent scoring tasks room and let the derived pin (not
+        # the session conf) shape the pair stage
+        heap_g = 32
     spark = get_spark(
         "bench-linkage",
         extra_conf={
@@ -236,7 +248,10 @@ def main() -> None:
             "spark.sql.shuffle.partitions": str(shuffle_parts),
         },
     )
-    census, ref = synthesize(spark, sf_dir, scale_mult)
+    census, ref = synthesize(
+        spark, sf_dir, scale_mult,
+        moduli_mult=1 if mode == "capbind" else None,
+    )
     salt = pin = None
     if mode in ("skew", "skew-salted", "skew-full-auto"):
         # cascade-path skew rehearsal: same hot-block shape as
@@ -281,6 +296,87 @@ def main() -> None:
         "first_name_15", "last_name_12", "middle_initial",
         "day_of_birth", "month_of_birth", "year_of_birth",
     ]
+    if mode == "capbind":
+        # r11 (verdict): run a pass with derive_pair_pin's cap BINDING —
+        # the 2048× rung derived pin=4096-at-cap but never RAN (walled
+        # off at ~27 ks); a fixed-moduli corpus reaches the binding
+        # point at ~1/200th the records because pairs grow with mult²
+        # while records grow with mult. One module, one pass (the
+        # explosion is pass 1's; the ladder already proves the rest).
+        from person_linkage_case_study_spark.operators.blocking import (
+            derive_pair_pin,
+            derive_pin_cap,
+            derive_salt,
+            estimate_pair_row_bytes,
+            estimate_pair_stats,
+        )
+        from person_linkage_case_study_spark.session import (
+            shuffle_partitions as _shuffle_parts,
+        )
+
+        keys = ["zip3", "geokey_for_blocking"]
+        cols = list(dict.fromkeys(["record_id", *keys, *matching]))
+        cside = census.select(
+            *[c for c in cols if c in census.columns],
+            "record_id_raw_input_file",
+        )
+        rside = ref.select(*[c for c in cols if c in ref.columns])
+        st = estimate_pair_stats(cside, rside, keys)
+        rb = estimate_pair_row_bytes(cside, rside, keys, stats=st)
+        cap = derive_pin_cap(spark.sparkContext.defaultParallelism)
+        uncapped = derive_pair_pin(
+            st.pairs, st.n_left, st.n_right, _shuffle_parts(spark),
+            pair_row_bytes=rb, cap=1 << 30,
+        )
+        derived = derive_pair_pin(
+            st.pairs, st.n_left, st.n_right, _shuffle_parts(spark),
+            pair_row_bytes=rb, cap=cap,
+        )
+        t0 = time.time()
+        cascade = PersonLinkageCascade(
+            spark, census, {"ref": ref}, make_model(), collect_stats=False
+        )
+        confirmed = cascade.run(
+            CascadeConfig(
+                modules=[
+                    ModuleConfig(
+                        name="capbind",
+                        reference_file_name="ref",
+                        cut_columns=["zip3"],
+                        matching_columns=matching,
+                        passes=[
+                            PassConfig("geokey", ["geokey_for_blocking"], 0.9)
+                        ],
+                    )
+                ]
+            )
+        )
+        n_links = confirmed.count()
+        wall = round(time.time() - t0, 3)
+        print(json.dumps({
+            "metric": "cascade_capbind_wall",
+            "value": wall,
+            "unit": "sec",
+            "records": n_records,
+            "links": n_links,
+            "est_pairs_pass1": st.pairs,
+            "max_key_pairs_pass1": st.max_key_pairs,
+            "pair_row_bytes_pass1": rb,
+            "pin_cap": cap,
+            "derived_pin_pass1": derived,
+            "uncapped_pin_pass1": uncapped,
+            "cap_binding": bool(uncapped is not None and uncapped > cap),
+            "pair_mb_per_task_at_cap": round(
+                st.pairs * rb / max(1, derived or 1) / 1e6, 1
+            ),
+            "derived_salt_pass1": derive_salt(
+                st.max_key_pairs, pair_row_bytes=rb
+            ),
+            "mult": scale_mult,
+            "sf": sf,
+        }))
+        return
+
     config = CascadeConfig(
         modules=[
             ModuleConfig(
@@ -391,19 +487,20 @@ def main() -> None:
             )
 
             keys = ["zip3", "geokey_for_blocking"]
-            st = estimate_pair_stats(
-                census.select(*keys), ref.select(*keys), keys
-            )
             # replicate the cascade's _pass_sides projection so the
             # recorded derivation uses the SAME schema-derived row bytes
-            # (r10) the zero-knob run actually derived with
+            # (r10) and MEASURED string widths (r11) the zero-knob run
+            # actually derived with — the stats job must run over the
+            # projected sides, not a keys-only frame, for the payload
+            # sums to match
             cols = list(dict.fromkeys(["record_id", *keys, *matching]))
             cside = census.select(
                 *[c for c in cols if c in census.columns],
                 "record_id_raw_input_file",
             )
             rside = ref.select(*[c for c in cols if c in ref.columns])
-            rb = estimate_pair_row_bytes(cside, rside, keys)
+            st = estimate_pair_stats(cside, rside, keys)
+            rb = estimate_pair_row_bytes(cside, rside, keys, stats=st)
             payload.update(
                 est_pairs_pass1=st.pairs,
                 max_key_pairs_pass1=st.max_key_pairs,
