@@ -513,6 +513,40 @@ def test_png_round_trip_property(h, w, c, seed):
     assert np.array_equal(m["pixels"], px)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    color=st.booleans(),
+    sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    ri=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_round_trip_property(h, w, color, sub, ri, seed):
+    """r11: arbitrary content through encode_jpeg_baseline →
+    decode_jpeg_pixels at unit quant. Gray and 4:4:4 color are bounded
+    by coefficient/color-transform rounding (≤2 / ≤3 per pixel);
+    subsampled chroma is lossy per-pixel by design, so those layouts
+    assert the luma-weighted whole-image mean instead (the statistic
+    the curation pipeline consumes)."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_baseline(px, subsample=sub, restart_interval=ri))
+    assert out.shape == shape and out.dtype == np.uint8
+    if not color:
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+    elif sub == "4:4:4":
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+    else:
+        assert abs(float(out.mean()) - float(px.mean())) < 1.5
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     n=st.integers(0, 64),
