@@ -956,9 +956,12 @@ def decode_image(payload: bytes):
             return meta["pixels"]
     if payload[:3] == b"\xff\xd8\xff":
         try:
-            return decode_jpeg_pixels(payload)
-        except ValueError:
-            pass  # non-baseline tier: fall through to PIL
+            import PIL  # noqa: F401 — libjpeg is ~100x the pure tier
+        except ImportError:
+            try:
+                return decode_jpeg_pixels(payload)
+            except ValueError:
+                pass  # non-baseline tier: fall through to the PIL gate
     try:
         import io
 
