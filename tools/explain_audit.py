@@ -180,12 +180,13 @@ def main() -> None:
         PersonLinkageCascade,
     )
 
-    # 1536x1536 = 2,359,296 hot pairs: at the r10 schema-derived
-    # 176 B/row (7 string fields) that is ~415 MB of pair output, over
-    # the 4x64MB absolute floor (the r9 fixture's 1024^2 pairs sat at
-    # the floor only under the old constant 256 B/row)
+    # 2048x2048 = 4,194,304 hot pairs: at the r11 MEASURED string widths
+    # these 1-5 char fixture strings derive ~92 B/row, so ~386 MB of
+    # pair output — over the 4x64MB absolute floor (the r10 fixture's
+    # 1536^2 pairs cleared the floor only under the 16-byte-per-string
+    # assumption; the measured widths correctly shrank its estimate)
     def person_frame(prefix: str, spread: bool):
-        df = spark.range(1536).select(
+        df = spark.range(2048).select(
             F.lit("Z").alias("zip3"),
             (
                 F.concat(F.lit("B"), F.col("id")) if spread else F.lit("B1")
