@@ -75,7 +75,7 @@ def _project(corpus, id_col, vec_col, block_col):
 def derive_max_bucket(
     dim: int | None,
     *,
-    batch_budget_bytes: int = 64 << 20,
+    batch_budget_bytes: int = 128 << 20,
     floor: int = 64,
     cap: int = 1024,
 ) -> int:
@@ -90,22 +90,25 @@ def derive_max_bucket(
     ``batch_budget_bytes / (dim × 16)`` (two chunks of ``dim``-wide
     float64 rows per chunk-pair task), clamped to ``[floor, cap]``.
 
-    The 64 MB budget is the MEASURED bracket, both sides
-    (SEMDEDUP_BENCH_r10): at dim 4096 / cap 1024 the ~67 MB input +
-    ~25 MB output batches ran 32-concurrent without allocator distress
-    (23.6s on a planted full-quadratic 8k block), while shrinking the
-    cap to 256 there bought no safety and cost 4.2× wall (98.7s) in
-    grid replication — each oversized-block row ships ``n_chunks``
-    times, and a wide row is expensive to ship. So the budget pins
-    every dim's input batch at ≤ the proven ~67 MB point: dims ≤ 4096
-    keep cap 1024 exactly (the production 64-dim path and every
-    r8/r9 measurement untouched, 4096 sits exactly at the boundary);
-    8192 → 512, 16384 → 256 — batch bytes stay ~flat past the proven
-    point instead of growing toward the r8 cliff (~400 MB). The floor
-    keeps tasks at ≥ ~10 ms of BLAS so grid fan-out stays noise. The
-    derived cap feeds the SAME chunk count the ``max_grid_tasks``
-    refusal reasons over, so the degenerate-input economics shrink
-    with it automatically.
+    The 128 MB budget is the MEASURED bracket, both sides, re-measured
+    each time the boundary moved. r10 (SEMDEDUP_BENCH_r10): at dim 4096
+    / cap 1024 the ~67 MB input + ~25 MB output batches ran
+    32-concurrent without allocator distress (23.6s on a planted
+    full-quadratic 8k block), while shrinking the cap to 256 there
+    bought no safety and cost 4.2× wall (98.7s) in grid replication —
+    each oversized-block row ships ``n_chunks`` times, and a wide row
+    is expensive to ship. r11 moved the proven point one octave up
+    (SEMDEDUP_BENCH_r11): the same planted block at dim 8192 ran cap
+    1024 (~134 MB input batches) at 83.0s vs the 64 MB-budget cap 512
+    at 205.6s — identical decisions and recall 1.0 both ways, i.e. the
+    smaller cap again bought zero safety for 2.5× wall. So the budget
+    pins every dim's input batch at ≤ the proven ~134 MB point — still
+    3× under the r8 cliff (~400 MB batches): dims ≤ 8192 keep cap 1024
+    exactly (the production 64-dim path and every r8-r10 measurement
+    untouched), 16384 → 512, 32768 → 256. The floor keeps tasks at
+    ≥ ~10 ms of BLAS so grid fan-out stays noise. The derived cap feeds
+    the SAME chunk count the ``max_grid_tasks`` refusal reasons over,
+    so the degenerate-input economics shrink with it automatically.
 
     The OUTPUT term (r11, verdict): the measured-safe point also
     carried ~25 MB of output per task — up to ``cap²/2`` above-threshold
@@ -113,9 +116,9 @@ def derive_max_bucket(
     needs no budget of its own because it is bounded by the cap CLAMP,
     not the dim: output bytes ~ ``cap² × 25 / 2``, maximized at the
     clamp's ``cap=1024`` → exactly the proven ~25 MB, and every
-    dim-derived cap below 1024 shrinks it QUADRATICALLY (8192 → 512 →
+    dim-derived cap below 1024 shrinks it QUADRATICALLY (16384 → 512 →
     ~6 MB) while the input term stays ~flat — so total batch bytes per
-    task are ≤ the measured ~92 MB point at every dim."""
+    task are ≤ the r11-measured ~159 MB point at every dim."""
     if not dim or dim <= 0:
         return cap
     return max(floor, min(cap, batch_budget_bytes // (int(dim) * 16)))

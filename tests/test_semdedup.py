@@ -284,10 +284,11 @@ def test_max_bucket_derives_from_embedding_dim(spark, planted):
     )
 
     assert derive_max_bucket(64) == 1024  # production path: r8 cap exactly
-    assert derive_max_bucket(1536) == 1024  # ≤ 4096: measured-safe batch
-    assert derive_max_bucket(4096) == 1024  # the measured boundary exactly
-    assert derive_max_bucket(8192) == 512
-    assert derive_max_bucket(16384) == 256
+    assert derive_max_bucket(1536) == 1024  # ≤ 8192: measured-safe batch
+    assert derive_max_bucket(4096) == 1024
+    assert derive_max_bucket(8192) == 1024  # r11 measured boundary exactly
+    assert derive_max_bucket(16384) == 512
+    assert derive_max_bucket(32768) == 256
     assert derive_max_bucket(10**7) == 64  # floor: tasks stay BLAS-sized
     assert derive_max_bucket(None) == 1024  # unprobeable dim: r8 constant
 

@@ -373,24 +373,25 @@ def synthesize_widedim(
 
 
 def main_widedim() -> None:
-    """The dim-derived ``max_bucket`` rehearsal, against the SHIPPED
-    64 MB-budget derivation (r11 — the r10 docstring described the
-    superseded 16 MB sketch whose dim-4096 cap was 256; the shipped
-    ``derive_max_bucket(4096)`` returns 1024, identical to the r8
-    constant, so at dim 4096 derived-vs-r8cap is a NO-OP A/B). The
-    default dim is therefore 8192, where the derivation first bites:
-    derived cap 512 (input batches ~64 MB) vs the ``r8cap`` variant's
-    forced 1024 (~134 MB input batches, 2× the proven point). Decisions
-    must be identical either way (cap is a work-shape knob); the
-    artifact records whether the old constant merely bloats batches at
-    this heap or re-enters the allocator cliff. SEMDEDUP_BENCH_r10 ran
-    dim 8192 derived live: recall 1.0, checksum identical to r8cap.
+    """The dim-derived ``max_bucket`` rehearsal, run at the first dim
+    where the SHIPPED derivation bites (the A/B at a dim whose derived
+    cap equals the r8 constant is a no-op — the r10 docstring made that
+    mistake at 4096, and the r11 budget move to 128 MB re-makes it at
+    8192). With the 128 MB budget the boundary is 16384: derived cap
+    512 (~134 MB input batches, the r11-proven point) vs the ``r8cap``
+    variant's forced 1024 (~268 MB batches, approaching the r8 ~400 MB
+    cliff). Decisions must be identical either way (cap is a work-shape
+    knob); the artifact records whether the old constant merely bloats
+    batches at this heap or re-enters the allocator cliff.
+    SEMDEDUP_BENCH_r11 measured the PREVIOUS boundary head-to-head at
+    dim 8192 — cap 1024 83.0s vs cap 512 205.6s, checksum identical,
+    recall 1.0 both — which is the measurement that moved the budget.
 
     Usage: python tools/bench_semdedup.py widedim [n_base] [block_rows]
            [dim] [variant: derived|r8cap]"""
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     block_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000
-    dim = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
+    dim = int(sys.argv[4]) if len(sys.argv) > 4 else 16384
     variant = sys.argv[5] if len(sys.argv) > 5 else "derived"
 
     from person_linkage_case_study_spark.similarity.semdedup import (
