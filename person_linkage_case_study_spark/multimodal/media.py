@@ -1131,6 +1131,157 @@ def parse_wav(payload: bytes) -> dict:
     return meta
 
 
+# MPEG audio (ISO/IEC 11172-3 / 13818-3) frame-header tables: bitrate
+# kbps by [version-class][layer][index] and sample rate by version.
+_MP3_BITRATES = {
+    # MPEG-1: layer 1 / 2 / 3
+    1: {
+        1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+        2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    },
+    # MPEG-2 / 2.5 (lower-rate extensions share tables)
+    2: {
+        1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+        2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    },
+}
+_MP3_RATES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """MPEG-audio (MP3 and Layer I/II siblings) FRAME-HEADER parse: skip
+    an ID3v2 tag if present, then walk the frame sequence — each 4-byte
+    header carries version / layer / bitrate index / sample rate index /
+    padding / channel mode, and the frame length formula
+    (``samples_per_frame/8 × bitrate / sample_rate + padding``) jumps to
+    the next header — summing exact per-frame durations (r11: the
+    compressed-audio analog of the pre-r11 JPEG tier: metadata a
+    curation pipeline filters on — duration, rate, channels, mean
+    bitrate, VBR flag — without reimplementing the subband/MDCT decoder;
+    PCM sample recovery stays the documented import-gated boundary, so
+    ``samples``/``rms``/``peak`` are always None here).
+
+    Returns ``{format, version, layer, channels, sample_rate, bit_depth
+    (None), n_frames, duration_sec, bitrate_kbps (mean), vbr, samples,
+    rms, peak}``. Raises ValueError when no valid frame exists;
+    free-format frames (bitrate index 0) stop the walk (their length is
+    undefined without decoding). Trailing garbage / ID3v1 tails end the
+    walk silently — a crawl MP3 is rarely pristine."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:  # syncsafe 7-bit bytes
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    duration = 0.0
+    bitrate_sum = 0
+    bitrates = set()
+    version = layer = channels = sample_rate = None
+    while pos + 4 <= len(payload):
+        h = payload[pos : pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            break
+        ver_bits = (h[1] >> 3) & 0x3
+        layer_bits = (h[1] >> 1) & 0x3
+        if ver_bits == 1 or layer_bits == 0:
+            break  # reserved version/layer
+        ver = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+        lay = 4 - layer_bits  # 11->Layer I, 10->II, 01->III
+        br_idx = (h[2] >> 4) & 0xF
+        sr_idx = (h[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break  # free-format / invalid
+        pad = (h[2] >> 1) & 0x1
+        mode = (h[3] >> 6) & 0x3
+        br = _MP3_BITRATES[1 if ver == "1" else 2][lay][br_idx] * 1000
+        sr = _MP3_RATES[ver][sr_idx]
+        if lay == 1:
+            samples, frame_len = 384, (12 * br // sr + pad) * 4
+        elif lay == 2:
+            samples, frame_len = 1152, 144 * br // sr + pad
+        else:  # Layer III: MPEG-2/2.5 frames halve to 576 samples
+            samples = 1152 if ver == "1" else 576
+            frame_len = samples // 8 * br // sr + pad
+        if frame_len <= 4 or pos + frame_len > len(payload):
+            break  # truncated final frame: don't count it
+        if n_frames == 0:
+            version, layer = ver, lay
+            channels = 1 if mode == 3 else 2
+            sample_rate = sr
+        elif (ver, lay, sr) != (version, layer, sample_rate):
+            break  # stream changed shape: stop at the consistent prefix
+        n_frames += 1
+        duration += samples / sr
+        bitrate_sum += br
+        bitrates.add(br)
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no valid MPEG audio frame")
+    return {
+        "format": "mp3",
+        "version": version,
+        "layer": layer,
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bit_depth": None,
+        "n_frames": n_frames,
+        "duration_sec": duration,
+        "bitrate_kbps": round(bitrate_sum / n_frames / 1000, 3),
+        "vbr": len(bitrates) > 1,
+        "samples": None,
+        "rms": None,
+        "peak": None,
+    }
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    *,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    version: str = "1",
+    layer: int = 3,
+    id3_bytes: int = 0,
+) -> bytes:
+    """Header-valid MPEG-audio fixture stream: ``n_frames`` frames with
+    correct 4-byte headers and zeroed payloads (the parser never reads
+    payload bits), optionally preceded by an ID3v2 tag of
+    ``id3_bytes``. The test counterpart of :func:`parse_mp3` — nothing
+    here produces decodable audio."""
+    vclass = 1 if version == "1" else 2
+    br_idx = _MP3_BITRATES[vclass][layer].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[version].index(sample_rate)
+    ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    layer_bits = 4 - layer
+    h1 = 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1  # no CRC
+    h2 = (br_idx << 4) | (sr_idx << 2)  # no padding
+    h3 = (0x3 if channels == 1 else 0x0) << 6
+    br, sr = bitrate_kbps * 1000, sample_rate
+    if layer == 1:
+        frame_len = (12 * br // sr) * 4
+    elif layer == 2:
+        frame_len = 144 * br // sr
+    else:
+        frame_len = (1152 if version == "1" else 576) // 8 * br // sr
+    frame = bytes((0xFF, h1, h2, h3)) + b"\x00" * (frame_len - 4)
+    id3 = b""
+    if id3_bytes:
+        body = b"\x00" * id3_bytes
+        size = id3_bytes
+        ss = bytes(((size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F))
+        id3 = b"ID3\x04\x00\x00" + ss + body
+    return id3 + frame * n_frames
+
+
 AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -1149,7 +1300,9 @@ AUDIO_META_SCHEMA = T.StructType(
 def extract_audio_meta(media: DataFrame) -> DataFrame:
     """mapInPandas audio decode over payload batches: WAV/PCM16 → full
     decode (frames, duration, RMS, peak), non-PCM16 WAV → header
-    metadata, garbage → NULL columns (same crawl-garbage contract as
+    metadata, MPEG audio (r11) → frame-walk metadata (duration / rate /
+    channels via :func:`parse_mp3`; sample tier stays import-gated),
+    garbage → NULL columns (same crawl-garbage contract as
     :func:`extract_image_meta`)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1158,7 +1311,14 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 try:
-                    m = parse_wav(b) if b[:4] == b"RIFF" else None
+                    if b[:4] == b"RIFF":
+                        m = parse_wav(b)
+                    elif b[:3] == b"ID3" or (
+                        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                    ):
+                        m = parse_mp3(b)
+                    else:
+                        m = None
                 except Exception:
                     # same crawl-garbage contract as extract_image_meta: a
                     # RIFF header with corrupt innards can raise beyond

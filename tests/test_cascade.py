@@ -483,6 +483,18 @@ def test_pair_row_bytes_measured_string_widths(spark):
     )
     assert self_bytes == two_obj
 
+    # NULL strings contribute nothing; an empty side falls back to the
+    # 16-byte assumption rather than dividing by zero
+    with_nulls = spark.createDataFrame(
+        [("k", None), ("k", addr)], ["blk", "address"]
+    )
+    st2 = estimate_pair_stats(with_nulls, long_r, ["blk"])
+    assert st2.str_bytes_l == 2 * 1 + len(addr)  # 2 keys + 1 non-null addr
+    empty = spark.createDataFrame([], "blk string, address string")
+    st3 = estimate_pair_stats(empty, long_r, ["blk"])
+    assert (st3.n_left, st3.str_bytes_l) == (0, 0)
+    assert estimate_pair_row_bytes(empty, long_r, ["blk"], stats=st3) >= 64
+
 
 def test_checkpoint_row_bytes_schema_derivation(spark, fixture):
     """r11 (verdict top-next): the checkpoint gate's row width is

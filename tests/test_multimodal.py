@@ -474,12 +474,66 @@ def test_wav_chunk_padding_and_tiers():
         parse_wav(b"not audio at all")
 
 
+def test_mp3_frame_walk():
+    """r11: MPEG-audio frame-header parse — exact per-frame duration
+    arithmetic across versions and layers, ID3v2 skip, VBR detection,
+    truncated-tail tolerance, free-format and garbage stops."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp3_frames,
+        parse_mp3,
+    )
+
+    m = parse_mp3(encode_mp3_frames(38, bitrate_kbps=128, sample_rate=44100))
+    assert (m["format"], m["n_frames"], m["channels"], m["layer"]) == (
+        "mp3", 38, 2, 3,
+    )
+    assert m["duration_sec"] == pytest.approx(38 * 1152 / 44100)
+    assert m["bitrate_kbps"] == 128.0 and not m["vbr"]
+    assert m["samples"] is None and m["rms"] is None  # documented tier
+
+    # MPEG-2 Layer III halves samples/frame to 576; ID3v2 tag skipped
+    m = parse_mp3(
+        encode_mp3_frames(
+            10, bitrate_kbps=64, sample_rate=22050, channels=1,
+            version="2", id3_bytes=333,
+        )
+    )
+    assert (m["version"], m["channels"], m["n_frames"]) == ("2", 1, 10)
+    assert m["duration_sec"] == pytest.approx(10 * 576 / 22050)
+
+    # Layers I and II frame-length formulas
+    for lay, samples in ((1, 384), (2, 1152)):
+        m = parse_mp3(encode_mp3_frames(5, bitrate_kbps=192, layer=lay))
+        assert m["layer"] == lay
+        assert m["duration_sec"] == pytest.approx(5 * samples / 44100)
+
+    # VBR: two concatenated bitrates -> mean bitrate + vbr flag
+    vbr = parse_mp3(
+        encode_mp3_frames(3, bitrate_kbps=128)
+        + encode_mp3_frames(3, bitrate_kbps=192)
+    )
+    assert vbr["vbr"] and vbr["n_frames"] == 6
+    assert vbr["bitrate_kbps"] == pytest.approx(160.0)
+
+    # a truncated final frame is not counted; pure garbage raises
+    assert parse_mp3(encode_mp3_frames(4)[:-10])["n_frames"] == 3
+    with pytest.raises(ValueError, match="MPEG"):
+        parse_mp3(b"\x00\x01 not audio")
+
+
 def test_extract_audio_meta_spark(spark):
-    """The audio decode kernel over Spark: WAV fully decoded, garbage /
-    NULL payloads -> NULL columns, never a stage kill."""
+    """The audio decode kernel over Spark: WAV fully decoded, MPEG audio
+    frame-walked to metadata (r11), garbage / NULL payloads -> NULL
+    columns, never a stage kill."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp3_frames,
+    )
+
     wav = encode_wav(np.full(80, 5, dtype=np.int16), sample_rate=8000)
+    mp3 = encode_mp3_frames(20, bitrate_kbps=128, sample_rate=44100)
     df = spark.createDataFrame(
-        [(1, bytearray(wav)), (2, bytearray(b"RIFFjunk")), (3, None)],
+        [(1, bytearray(wav)), (2, bytearray(b"RIFFjunk")), (3, None),
+         (4, bytearray(mp3)), (5, bytearray(b"\xff\xfbgarbage-after-sync"))],
         "media_id long, payload binary",
     )
     media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
@@ -490,6 +544,14 @@ def test_extract_audio_meta_spark(spark):
     assert rows[1]["duration_sec"] == pytest.approx(0.01)
     assert rows[1]["rms"] == pytest.approx(5.0) and rows[1]["peak"] == 5
     assert rows[2]["format"] is None and rows[3]["format"] is None
+    # r11: MPEG audio rides the same kernel at the metadata tier
+    assert (rows[4]["format"], rows[4]["channels"], rows[4]["n_frames"]) == (
+        "mp3", 2, 20,
+    )
+    assert rows[4]["duration_sec"] == pytest.approx(20 * 1152 / 44100)
+    assert rows[4]["rms"] is None and rows[4]["peak"] is None
+    # a sync byte followed by garbage NULLs out, never a stage kill
+    assert rows[5]["format"] is None
 
 
 # --- property tests: the codecs must round-trip ANY payload of their
