@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +30,13 @@ from person_linkage_case_study_spark.session import get_spark
 # the contract fields (brief: metric/value/unit/queries/sf — ~1k chars
 # for 19 queries) and the full diagnostics live in BENCH_summary.json.
 _DIAG_KEYS = ("raw_runs", "queries_per_calib", "calibration_runs")
+
+
+def median(reps: list[float], ndigits: int = 2) -> float:
+    """True median (r12 — the r11 ``sorted(reps)[n//2]`` was the
+    upper-middle element for even ``--reps``, biasing ``value_median``
+    high; harmless at the default 3, mislabeled at 4+)."""
+    return round(statistics.median(reps), ndigits)
 
 
 def emit(payload: dict) -> None:
@@ -184,11 +192,11 @@ def main() -> None:
             reps.append(round(time.time() - t0, 3))
         raw_runs[name] = reps
         timings[name] = min(reps)
-        medians[name] = round(sorted(reps)[len(reps) // 2], 2)
+        medians[name] = median(reps)
         if i == len(HEADLINE) // 2:
             calib_runs.append(round(calibration(), 3))
     calib_runs.append(round(calibration(), 3))
-    calib = sorted(calib_runs)[len(calib_runs) // 2]
+    calib = median(calib_runs, 3)
 
     total = round(sum(timings.values()), 3)
     emit(

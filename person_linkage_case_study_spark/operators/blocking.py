@@ -263,7 +263,9 @@ def estimate_pair_row_bytes(
     return max(floor, total)
 
 
-def derive_pin_cap(default_parallelism: int, *, floor: int = 4096) -> int:
+def derive_pin_cap(
+    default_parallelism: int, *, floor: int = 4096, conf=None
+) -> int:
     """Auto-derived ceiling for :func:`derive_pair_pin`'s partition pin
     (r11 — the verdict's "derive, don't hard-code": the 4096 constant is
     the right shape for this box, but on a 1000-executor fleet a 15 TB
@@ -279,8 +281,35 @@ def derive_pin_cap(default_parallelism: int, *, floor: int = 4096) -> int:
     1000×8-core fleet 32 × 8000 = 256k partitions of ~64 MB, the right
     shape for the 100 TB regime. Above the cap, per-task pair volume
     grows with the explosion — the same graceful degradation a fixed
-    conf has, measured live at the binding point in CAPBIND_r11."""
-    return max(floor, 32 * max(1, int(default_parallelism)))
+    conf has, measured live at the binding point in CAPBIND_r11.
+
+    Under DYNAMIC allocation ``defaultParallelism`` reflects the
+    executors alive at estimate time, not the max fleet — early in a
+    job (exactly when the cascade derives its pins) the cap would
+    under-derive (r11 verdict nit). Pass ``conf`` (a ``spark.conf`` /
+    ``SparkConf``-like object with ``.get(key, default)``) and, when
+    ``spark.dynamicAllocation.enabled`` is true AND both
+    ``spark.dynamicAllocation.maxExecutors`` and
+    ``spark.executor.cores`` are explicitly set, the fleet ceiling
+    ``maxExecutors × executorCores`` is used instead (never less than
+    the live ``defaultParallelism`` — scale-down mid-estimate must not
+    shrink the cap). Missing/unparseable confs fall back to
+    ``defaultParallelism`` unchanged; local[32] keeps floor-binds."""
+    slots = max(1, int(default_parallelism))
+    if conf is not None:
+        try:
+            dyn = str(
+                conf.get("spark.dynamicAllocation.enabled", "false") or "false"
+            ).lower() == "true"
+            max_exec = conf.get("spark.dynamicAllocation.maxExecutors", None)
+            cores = conf.get("spark.executor.cores", None)
+            if dyn and max_exec is not None and cores is not None:
+                fleet = int(max_exec) * int(cores)
+                if fleet > 0:
+                    slots = max(slots, fleet)
+        except (TypeError, ValueError):
+            pass  # unparseable conf: the live-parallelism path still holds
+    return max(floor, 32 * slots)
 
 
 def derive_pair_pin(

@@ -577,9 +577,11 @@ class PersonLinkageCascade:
                     shuffle_partitions(self.spark),
                     pair_row_bytes=row_bytes,
                     # the cap scales with the fleet (r11): 4096 on this
-                    # box, 32x slots on a real cluster
+                    # box, 32x slots on a real cluster; conf makes the
+                    # dyn-alloc max fleet win over live parallelism (r12)
                     cap=derive_pin_cap(
-                        self.spark.sparkContext.defaultParallelism
+                        self.spark.sparkContext.defaultParallelism,
+                        conf=self.spark.conf,
                     ),
                 )
             if salt is None:

@@ -449,6 +449,38 @@ def test_derive_pin_cap():
     )
     assert pin == 4096
 
+    # r12 (r11 verdict #5): under dynamic allocation defaultParallelism
+    # reflects the executors alive at estimate time, not the max fleet —
+    # the conf's maxExecutors x executor.cores ceiling wins when both
+    # are explicitly set AND dyn-alloc is on. A plain dict mocks the
+    # conf (same .get(key, default) surface as spark.conf / SparkConf).
+    dyn_on = {
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": "1000",
+        "spark.executor.cores": "8",
+    }
+    # early in the job only 2 executors x 8 cores are alive: the live
+    # parallelism alone would floor-bind; the fleet ceiling corrects it
+    assert derive_pin_cap(16, conf=dyn_on) == 256_000
+    # scale-down mid-estimate must not SHRINK the cap below live slots
+    assert derive_pin_cap(500_000, conf=dyn_on) == 32 * 500_000
+    # dyn-alloc off: the conf is inert even when the keys are set
+    assert derive_pin_cap(16, conf={**dyn_on, "spark.dynamicAllocation.enabled": "false"}) == 4096
+    # missing either conf: fall back to defaultParallelism
+    assert derive_pin_cap(16, conf={"spark.dynamicAllocation.enabled": "true"}) == 4096
+    no_cores = dict(dyn_on)
+    del no_cores["spark.executor.cores"]
+    assert derive_pin_cap(16, conf=no_cores) == 4096
+    # unparseable values: the live-parallelism path still holds
+    assert derive_pin_cap(16, conf={**dyn_on, "spark.executor.cores": "oops"}) == 4096
+    # local[32] live session conf: floor still binds (no dyn alloc here)
+    from person_linkage_case_study_spark.session import get_spark
+
+    sp = get_spark("test-pin-cap")
+    assert derive_pin_cap(
+        sp.sparkContext.defaultParallelism, conf=sp.conf
+    ) == 4096
+
 
 def test_pair_row_bytes_measured_string_widths(spark):
     """r11 (verdict): the estimate job's string-payload sums replace the

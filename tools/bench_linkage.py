@@ -323,7 +323,9 @@ def main() -> None:
         rside = ref.select(*[c for c in cols if c in ref.columns])
         st = estimate_pair_stats(cside, rside, keys)
         rb = estimate_pair_row_bytes(cside, rside, keys, stats=st)
-        cap = derive_pin_cap(spark.sparkContext.defaultParallelism)
+        cap = derive_pin_cap(
+            spark.sparkContext.defaultParallelism, conf=spark.conf
+        )
         uncapped = derive_pair_pin(
             st.pairs, st.n_left, st.n_right, _shuffle_parts(spark),
             pair_row_bytes=rb, cap=1 << 30,
