@@ -299,12 +299,12 @@ _SOF_MARKERS = frozenset(
 
 def parse_jpeg(payload: bytes) -> dict:
     """JPEG parse: walk the marker segments to the first SOFn and read
-    precision / dimensions / component count; for BASELINE sequential
-    Huffman JPEGs (SOF0/SOF1, 8-bit) also the full pixel array and its
-    mean via the pure-Python decoder below (r11 — the r10 verdict's most
-    user-visible boundary: crawls are JPEG-heavy and the PNG/WAV tiers
-    were already real). Progressive (SOF2), arithmetic-coded, 12-bit,
-    CMYK and other exotic layouts stay metadata-only (``pixels`` /
+    precision / dimensions / component count; for Huffman-coded JPEGs
+    (8-bit SOF0/SOF1 baseline, r11; SOF2 PROGRESSIVE, r12 — closing the
+    r11 verdict's top user-visible boundary, a large share of crawl
+    JPEGs are progressive) also the full pixel array and its mean via
+    the pure-Python decoder below. Arithmetic-coded, 12-bit, CMYK and
+    other exotic layouts stay metadata-only (``pixels`` /
     ``pixel_mean`` None) — wire PIL for those on a real cluster."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (bad SOI)")
@@ -327,10 +327,11 @@ def parse_jpeg(payload: bytes) -> dict:
                 "pixels": None,
                 "pixel_mean": None,
             }
-            try:
-                pixels = decode_jpeg_pixels(payload)
-            except ValueError:
-                return meta  # metadata-only tier (non-baseline / corrupt scan)
+            pixels = _jpeg_pixel_tier(
+                payload, meta["width"] * meta["height"]
+            )
+            if pixels is None:
+                return meta  # metadata-only tier (non-baseline / corrupt / huge)
             meta["pixels"] = pixels
             meta["pixel_mean"] = float(pixels.mean())
             return meta
@@ -339,6 +340,49 @@ def parse_jpeg(payload: bytes) -> dict:
         (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
         i += 2 + seglen
     raise ValueError("JPEG missing SOF header")
+
+
+# parse_jpeg's pure-Python pixel tier is bit-serial Huffman (~seconds per
+# megapixel): above this pixel count the CRAWL path (parse_jpeg /
+# extract_image_meta, where one megapixel photo must not stall a whole
+# Arrow batch) degrades to the metadata tier instead of decoding.
+# decode_image — the explicit per-image API — still decodes any size.
+PURE_JPEG_PIXEL_LIMIT = 1 << 21  # ~2.1 MP
+
+
+def _jpeg_pixel_tier(payload: bytes, n_pixels: int):
+    """Pixel decode for the crawl path: prefer PIL when importable
+    (libjpeg is ~100× the pure tier — mirrors :func:`decode_image`'s
+    gate, which parse_jpeg previously lacked, r11 advisor), else the
+    pure-Python baseline/progressive decode capped at
+    :data:`PURE_JPEG_PIXEL_LIMIT` pixels. Returns the uint8 array or ``None`` for the metadata-only
+    tier. ANY decoder error degrades to ``None`` — truncated segment
+    bodies raise struct.error (short DRI) or IndexError (short SOS
+    component list), and before r12 those escaped parse_jpeg and nulled
+    rows whose header metadata was perfectly readable (r11 advisor)."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        if img.mode not in ("L", "RGB"):
+            img = img.convert("RGB")
+        return np.asarray(img)
+    except ImportError:
+        pass  # no PIL in this environment: pure tier below
+    except Exception:
+        # PIL rejected the payload (corrupt scan, exotic layout) — the
+        # pure tier is strictly narrower, so this is the metadata tier
+        return None
+    if n_pixels > PURE_JPEG_PIXEL_LIMIT:
+        return None
+    try:
+        return decode_jpeg_pixels(payload)
+    except (ValueError, struct.error, IndexError):
+        return None
 
 
 # natural-order index for each zigzag scan position (computed, not
@@ -521,18 +565,178 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _decode_scan(
+    payload: bytes,
+    pos: int,
+    *,
+    sel,
+    by_cid,
+    huff,
+    coefs,
+    mcux: int,
+    mcuy: int,
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode ONE entropy-coded scan into the per-component quantized
+    coefficient arrays and return the offset just past its entropy data.
+
+    Unified sequential + progressive decoder: baseline is the
+    ``ss=0, se=63, ah=al=0`` special case of the general T.81 machinery
+    (§F.2.2 sequential; §G.2 progressive — spectral-selection bands,
+    successive-approximation first and refinement passes, EOB-run
+    coding). A single-component scan is NON-interleaved (§A.2.2): it
+    walks the component's OWN block grid and sampling factors are
+    ignored; multi-component scans walk MCUs. Restart markers reset the
+    DC predictors AND the EOB run (§G.1.2.2, the encoder must flush
+    both)."""
+    reader = _JpegBitReader(payload, pos)
+    interleaved = len(sel) > 1
+    if interleaved:
+        nunits, bw = mcux * mcuy, 0
+    else:
+        cid0, _, _ = sel[0]
+        h0_, v0_, _ = by_cid[cid0]
+        bw = -(-(-(-width * h0_ // hmax)) // 8)
+        bh_ = -(-(-(-height * v0_ // vmax)) // 8)
+        nunits = bw * bh_
+    pred = {cid: 0 for cid, _, _ in sel}
+    eobrun = 0
+    first = ah == 0
+    p1, m1 = 1 << al, -(1 << al)
+    k0 = max(ss, 1)
+
+    def decode_block(zz, dc_lut, ac_lut, cid) -> None:
+        nonlocal eobrun
+        if ss == 0:
+            if first:
+                t = _huff_decode(reader, dc_lut)
+                if t > 11:
+                    raise ValueError("JPEG DC category out of range")
+                pred[cid] += _extend(reader.receive(t), t)
+                zz[0] = pred[cid] << al
+            elif reader.read_bit():
+                zz[0] |= p1  # DC refinement: one bit per block (§G.1.2.1)
+        if se == 0:
+            return
+        k = k0
+        if first:
+            if eobrun:
+                eobrun -= 1  # block is inside an EOB run: band stays 0
+                return
+            while k <= se:
+                rs = _huff_decode(reader, ac_lut)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    # EOBn: this block ends; the next (1<<r)-1+ext
+                    # blocks are all-zero in this band (§G.1.2.2)
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                zz[k] = _extend(reader.receive(s), s) << al
+                k += 1
+            return
+        # refinement pass (§G.1.2.3): coefficients already nonzero from
+        # earlier passes take ONE correction bit each as the scan passes
+        # them; newly-significant coefficients appear as +-(1 << al)
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(reader, ac_lut)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break  # rest of the block via the EOB-run pass
+                    val = 0  # ZRL: pass 16 zero-HISTORY coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG refinement magnitude != 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    c = int(zz[k])
+                    if c != 0:
+                        if reader.read_bit() and not (c & p1):
+                            zz[k] = c + (p1 if c > 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun:
+            # EOB-run completion: correction bits for the remaining
+            # nonzero-history coefficients of the band
+            while k <= se:
+                c = int(zz[k])
+                if c != 0 and reader.read_bit() and not (c & p1):
+                    zz[k] = c + (p1 if c > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    for unit in range(nunits):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart()
+            for c in pred:
+                pred[c] = 0
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for cid, dc_id, ac_id in sel:
+                h, v, _ = by_cid[cid]
+                dc_lut, ac_lut = huff.get((0, dc_id)), huff.get((1, ac_id))
+                blocks = coefs[cid]
+                for bv in range(v):
+                    for bh in range(h):
+                        decode_block(
+                            blocks[my * v + bv, mx * h + bh],
+                            dc_lut,
+                            ac_lut,
+                            cid,
+                        )
+        else:
+            cid, dc_id, ac_id = sel[0]
+            byi, bxi = divmod(unit, bw)
+            decode_block(
+                coefs[cid][byi, bxi],
+                huff.get((0, dc_id)),
+                huff.get((1, ac_id)),
+                cid,
+            )
+    return reader.pos
+
+
 def decode_jpeg_pixels(payload: bytes):
-    """Pure-Python baseline-sequential JPEG pixel decode (T.81: Huffman
-    entropy coding per §F.2, dequantize, 8x8 IDCT, chroma upsample,
-    YCbCr→RGB per JFIF 1.02 §7). Returns a uint8 numpy array — (h, w)
-    for single-component images, (h, w, 3) RGB otherwise.
+    """Pure-Python JPEG pixel decode (T.81: Huffman entropy coding per
+    §F.2, progressive multi-scan per §G.2, dequantize, 8x8 IDCT, chroma
+    upsample, YCbCr→RGB per JFIF 1.02 §7). Returns a uint8 numpy array —
+    (h, w) for single-component images, (h, w, 3) RGB otherwise.
 
     Scope (everything else raises ValueError, which parse_jpeg maps to
-    the metadata-only tier): SOF0/SOF1 frames, 8-bit precision, 1 or 3
-    components, one interleaved scan, sampling factors where the max
-    divides each component's (the 4:4:4 / 4:2:2 / 4:2:0 layouts real
-    crawls contain), optional restart intervals. Progressive (SOF2) and
-    arithmetic coding are out of scope by design.
+    the metadata-only tier): SOF0/SOF1 sequential and SOF2 PROGRESSIVE
+    frames (r12 — spectral selection, successive approximation, EOB-run
+    coding, interleaved and non-interleaved scans), 8-bit precision, 1
+    or 3 components, sampling factors where the max divides each
+    component's (the 4:4:4 / 4:2:2 / 4:2:0 layouts real crawls
+    contain), optional restart intervals, tables redefined between
+    scans. Arithmetic coding (SOF9+) and 12-bit stay out of scope.
 
     The per-block Huffman loop is Python (inherently bit-serial); the
     IDCT — the arithmetic bulk — is one batched einsum over ALL of a
@@ -546,8 +750,12 @@ def decode_jpeg_pixels(payload: bytes):
     quant: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> lut
     frame = None  # (height, width, [(cid, h, v, tq), ...])
+    progressive = False
     restart_interval = 0
-    scan = None  # ([(cid, dc_id, ac_id), ...], entropy_start)
+    nscans = 0
+    coefs: dict[int, "np.ndarray"] = {}
+    by_cid: dict[int, tuple] = {}
+    hmax = vmax = mcux = mcuy = 0
     i = 2
     while i + 4 <= n:
         if payload[i] != 0xFF:
@@ -590,10 +798,15 @@ def decode_jpeg_pixels(payload: bytes):
                     raise ValueError("JPEG DHT truncated")
                 huff[(tc, th)] = _huff_decode_lut(bits, vals)
                 p += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if frame is not None:
+                raise ValueError("JPEG multiple frames unsupported")
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise ValueError("JPEG precision != 8 unsupported")
             height, width = struct.unpack(">HH", body[1:5])
+            if height == 0 or width == 0:
+                raise ValueError("JPEG degenerate dimensions")
             ncomp = body[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"JPEG {ncomp}-component unsupported")
@@ -603,93 +816,95 @@ def decode_jpeg_pixels(payload: bytes):
                 hv = body[7 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * ci]))
             frame = (height, width, comps)
-        elif marker in _SOF_MARKERS:  # progressive / arithmetic / ...
-            raise ValueError("JPEG non-baseline frame (metadata tier)")
+            by_cid = {cid: (h, v, tq) for cid, h, v, tq in comps}
+            hmax = max(h for _, h, v, _ in comps)
+            vmax = max(v for _, h, v, _ in comps)
+            for _, h, v, _ in comps:
+                if h < 1 or v < 1 or hmax % h or vmax % v:
+                    raise ValueError("JPEG non-integer chroma subsampling")
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for cid, h, v, _ in comps:
+                coefs[cid] = np.zeros((mcuy * v, mcux * h, 64), np.int32)
+        elif marker in _SOF_MARKERS:  # arithmetic / lossless / 12-bit...
+            raise ValueError("JPEG non-Huffman frame (metadata tier)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             sel = []
             for si in range(ns):
                 cid = body[1 + 2 * si]
                 tbls = body[2 + 2 * si]
+                if cid not in by_cid:
+                    raise ValueError("JPEG scan references unknown component")
                 sel.append((cid, tbls >> 4, tbls & 0x0F))
-            scan = (sel, i + 2 + seglen)
-            break  # entropy-coded data follows
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if progressive:
+                # §G.1: a DC scan is the 0..0 band; AC scans carry ONE
+                # component; refinement steps one bit at a time
+                if (
+                    se > 63
+                    or (ss == 0) != (se == 0)
+                    or (ss > 0 and ns != 1)
+                    or (ah and ah != al + 1)
+                ):
+                    raise ValueError("JPEG bad progressive scan header")
+            elif (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("JPEG bad sequential scan header")
+            for cid, dc_id, ac_id in sel:
+                if ss == 0 and ah == 0 and (0, dc_id) not in huff:
+                    raise ValueError("JPEG missing huffman table")
+                if se > 0 and (1, ac_id) not in huff:
+                    raise ValueError("JPEG missing huffman table")
+            after = _decode_scan(
+                payload,
+                i + 2 + seglen,
+                sel=sel,
+                by_cid=by_cid,
+                huff=huff,
+                coefs=coefs,
+                mcux=mcux,
+                mcuy=mcuy,
+                width=width,
+                height=height,
+                hmax=hmax,
+                vmax=vmax,
+                restart_interval=restart_interval,
+                ss=ss,
+                se=se,
+                ah=ah,
+                al=al,
+            )
+            nscans += 1
+            # the bit reader stops inside the last entropy byte: walk to
+            # the next true marker (skip stuffed 0xFF00 and stray RSTn)
+            i = after
+            while i + 1 < n and not (
+                payload[i] == 0xFF
+                and payload[i + 1] != 0x00
+                and not 0xD0 <= payload[i + 1] <= 0xD7
+            ):
+                i += 1
+            continue
         i += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or nscans == 0:
         raise ValueError("JPEG missing SOF or SOS")
     height, width, comps = frame
-    if height == 0 or width == 0:
-        raise ValueError("JPEG degenerate dimensions")
-    sel, entropy_start = scan
-    if len(sel) != len(comps):
-        raise ValueError("JPEG non-interleaved multi-scan unsupported")
-    by_cid = {cid: (h, v, tq) for cid, h, v, tq in comps}
-    hmax = max(h for _, h, v, _ in comps)
-    vmax = max(v for _, h, v, _ in comps)
-    for _, h, v, _ in comps:
-        if h < 1 or v < 1 or hmax % h or vmax % v:
-            raise ValueError("JPEG non-integer chroma subsampling")
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
 
-    # decode each component's quantized coefficients (zigzag order)
-    coefs: dict[int, "np.ndarray"] = {}
-    dequants: dict[int, "np.ndarray"] = {}
-    for cid, dc_id, ac_id in sel:
-        if cid not in by_cid:
-            raise ValueError("JPEG scan references unknown component")
-        h, v, tq = by_cid[cid]
-        if tq not in quant or (0, dc_id) not in huff or (1, ac_id) not in huff:
-            raise ValueError("JPEG missing quant/huffman table")
-        coefs[cid] = np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
-        dequants[cid] = quant[tq]
-
-    reader = _JpegBitReader(payload, entropy_start)
-    pred = {cid: 0 for cid, _, _ in sel}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.restart()
-                pred = {cid: 0 for cid, _, _ in sel}
-            for cid, dc_id, ac_id in sel:
-                h, v, _ = by_cid[cid]
-                dc_lut, ac_lut = huff[(0, dc_id)], huff[(1, ac_id)]
-                blocks = coefs[cid]
-                for bv in range(v):
-                    for bh in range(h):
-                        zz = blocks[my * v + bv, mx * h + bh]
-                        t = _huff_decode(reader, dc_lut)
-                        if t > 11:
-                            raise ValueError("JPEG DC category out of range")
-                        pred[cid] += _extend(reader.receive(t), t)
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_lut)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(reader.receive(s), s)
-                            k += 1
-            mcu_count += 1
-
-    # dequantize + batched IDCT + plane assembly per component
+    # dequantize + batched IDCT + plane assembly per component (frame
+    # order, which T.81 B.2.3 requires scans to follow)
     basis = _dct_basis()
     inv_zz = np.argsort(np.asarray(_ZIGZAG))
     planes = []
-    for cid, _, _ in sel:
-        h, v, _ = by_cid[cid]
+    for cid, h, v, tq in comps:
+        if tq not in quant:
+            raise ValueError("JPEG missing quant table")
         by, bx = mcuy * v, mcux * h
-        nat = (coefs[cid] * dequants[cid][np.asarray(_ZIGZAG)]).reshape(
+        nat = (coefs[cid] * quant[tq][np.asarray(_ZIGZAG)]).reshape(
             by * bx, 64
         )[:, inv_zz].reshape(by * bx, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", basis, nat, basis)
@@ -753,24 +968,12 @@ def _jpeg_category(v: int) -> int:
     return abs(v).bit_length()
 
 
-def encode_jpeg_baseline(
-    pixels,
-    *,
-    quant=None,
-    subsample: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Minimal, spec-correct baseline JPEG writer — the fixture /
-    round-trip counterpart of :func:`decode_jpeg_pixels`, exactly as
-    :func:`encode_png` is to :func:`parse_png` (no imaging library in
-    this container). ``pixels`` is a uint8 numpy array: (h, w) grayscale
-    or (h, w, 3) RGB. Emits SOF0 with the standard T.81 Annex K Huffman
-    tables; one quant table shared by all components, NATURAL order,
-    default all-ones — with unit quantization a DC-only image (constant
-    8x8 blocks) round-trips bit-exactly, which is what the closed-form
-    oracles lean on. ``subsample``: '4:4:4', '4:2:2' or '4:2:0' (chroma
-    box-averaged along the subsampled axes). ``restart_interval`` > 0
-    emits DRI + RSTn markers every that many MCUs."""
+def _jpeg_quantized_blocks(pixels, quant, subsample: str):
+    """Shared encoder front half: validate, RGB→YCbCr, box-average
+    chroma subsample, pad to the MCU grid, batched forward DCT,
+    quantize, zigzag. Returns ``(comps, blocks_by_comp, mcux, mcuy,
+    h0, w0, q_nat, gray)`` where ``comps`` is [(cid, h, v)] and each
+    blocks array is (grid_y, grid_x, 64) int64 in zigzag order."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -846,6 +1049,30 @@ def encode_jpeg_baseline(
         # construction at unit quant; clamp AC to the 10-bit envelope
         qz[:, 1:] = np.clip(qz[:, 1:], -1023, 1023)
         blocks_by_comp.append(qz[:, zz].reshape(by, bx, 64))
+    return comps, blocks_by_comp, mcux, mcuy, h0, w0, q_nat, gray
+
+
+def encode_jpeg_baseline(
+    pixels,
+    *,
+    quant=None,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal, spec-correct baseline JPEG writer — the fixture /
+    round-trip counterpart of :func:`decode_jpeg_pixels`, exactly as
+    :func:`encode_png` is to :func:`parse_png` (no imaging library in
+    this container). ``pixels`` is a uint8 numpy array: (h, w) grayscale
+    or (h, w, 3) RGB. Emits SOF0 with the standard T.81 Annex K Huffman
+    tables; one quant table shared by all components, NATURAL order,
+    default all-ones — with unit quantization a DC-only image (constant
+    8x8 blocks) round-trips bit-exactly, which is what the closed-form
+    oracles lean on. ``subsample``: '4:4:4', '4:2:2' or '4:2:0' (chroma
+    box-averaged along the subsampled axes). ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs."""
+    comps, blocks_by_comp, mcux, mcuy, h0, w0, q_nat, gray = (
+        _jpeg_quantized_blocks(pixels, quant, subsample)
+    )
 
     # entropy-code the interleaved scan
     luts = {
@@ -938,17 +1165,321 @@ def encode_jpeg_baseline(
     )
 
 
+# One flat Huffman table for every progressive AC scan: all 176 (run,
+# size) symbols at code length 9 — progressive needs the EOBn symbols
+# (run 1..14, size 0) the standard Annex K tables don't define, and a
+# fixture encoder doesn't care about compression. Canonical-valid: 176
+# codes of one length < 2^9 - 1 (the all-ones prefix stays reserved).
+_FLAT_AC_TABLE = (
+    (0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0),
+    tuple((r << 4) | s for r in range(16) for s in range(11)),
+)
+
+# libjpeg-shaped default progressive scripts (jcparam.c): DC first at
+# Al=1, coarse AC bands, then one successive-approximation refinement
+# ladder per band down to Al=0. Entries are (comp_indices, Ss, Se, Ah,
+# Al); comp indices are positions in the frame component list.
+_PROGRESSIVE_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_PROGRESSIVE_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(
+    pixels,
+    *,
+    quant=None,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Progressive (SOF2) JPEG writer — the fixture / round-trip
+    counterpart of :func:`decode_jpeg_pixels`'s §G.2 path, exactly as
+    :func:`encode_jpeg_baseline` is to its sequential path (no imaging
+    library in this container). Same pixel/quant/subsample surface as
+    the baseline encoder; ``scans`` overrides the libjpeg-shaped default
+    script with (comp_indices, Ss, Se, Ah, Al) tuples. Coefficients are
+    IDENTICAL to what the baseline encoder emits for the same inputs —
+    the successive-approximation ladder must reassemble them bit-exactly
+    (T.81 §G.1.2: DC point transform is an arithmetic shift; AC is a
+    sign-magnitude shift with refinement bits appended low to high), so
+    decode(progressive bytes) == decode(baseline bytes) is the oracle.
+
+    Scan encoders follow §G.1.2.2-3: EOB runs accumulate across blocks
+    (flushed before any non-EOB symbol, restart marker, and at scan
+    end); refinement buffers correction bits for already-significant
+    coefficients and emits them after the next symbol, trailing ones
+    after the EOBn symbol."""
+    comps, blocks_by_comp, mcux, mcuy, h0, w0, q_nat, gray = (
+        _jpeg_quantized_blocks(pixels, quant, subsample)
+    )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if scans is None:
+        scans = _PROGRESSIVE_SCRIPT_GRAY if gray else _PROGRESSIVE_SCRIPT_COLOR
+
+    dc_luts = {
+        0: _huff_encode_lut(*_STD_DC_LUMA),
+        1: _huff_encode_lut(*_STD_DC_CHROMA),
+    }
+    ac_lut = _huff_encode_lut(*_FLAT_AC_TABLE)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(q_nat[i]) for i in _ZIGZAG))
+    out += seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h0, w0)
+        + bytes([len(comps)])
+        + b"".join(bytes((cid, (ch << 4) | cv, 0)) for cid, ch, cv in comps),
+    )
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1])
+    )
+    if not gray:
+        out += seg(
+            0xC4,
+            bytes([0x01]) + bytes(_STD_DC_CHROMA[0]) + bytes(_STD_DC_CHROMA[1]),
+        )
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes(_FLAT_AC_TABLE[0]) + bytes(_FLAT_AC_TABLE[1]),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comp_idx, ss, se, ah, al in scans:
+        sos_comps = b"".join(
+            bytes((comps[ci][0], ((0 if ci == 0 else 1) << 4) | 0))
+            for ci in comp_idx
+        )
+        out += seg(
+            0xDA,
+            bytes([len(comp_idx)])
+            + sos_comps
+            + bytes((ss, se, (ah << 4) | al)),
+        )
+        out += _encode_progressive_scan(
+            comps,
+            blocks_by_comp,
+            comp_idx,
+            ss,
+            se,
+            ah,
+            al,
+            mcux=mcux,
+            mcuy=mcuy,
+            width=w0,
+            height=h0,
+            hmax=hmax,
+            vmax=vmax,
+            restart_interval=restart_interval,
+            dc_luts=dc_luts,
+            ac_lut=ac_lut,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_scan(
+    comps,
+    blocks_by_comp,
+    comp_idx,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    *,
+    mcux: int,
+    mcuy: int,
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+    restart_interval: int,
+    dc_luts,
+    ac_lut,
+) -> bytes:
+    """Entropy-code ONE progressive scan's data (§G.1.2), mirroring
+    :func:`_decode_scan`'s walk: interleaved MCU order for
+    multi-component scans, the component's own block grid otherwise."""
+    writer = _JpegBitWriter()
+    first = ah == 0
+    interleaved = len(comp_idx) > 1
+    eobrun = 0
+    pending_br: list[int] = []  # refinement bits riding the open EOB run
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_lut[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for bit in pending_br:
+                writer.write(bit, 1)
+            pending_br.clear()
+
+    def ac_first_block(blk) -> None:
+        nonlocal eobrun
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            v = -((-v) >> al) if v < 0 else v >> al  # sign-magnitude shift
+            if v == 0:
+                run += 1
+                continue
+            flush_eobrun()
+            while run > 15:
+                code, ln = ac_lut[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            s = _jpeg_category(v)
+            code, ln = ac_lut[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+
+    def ac_refine_block(blk) -> None:
+        nonlocal eobrun
+        absval = []
+        eob = ss - 1  # index of the LAST newly-significant coefficient
+        for k in range(ss, se + 1):
+            t = abs(int(blk[k])) >> al
+            absval.append(t)
+            if t == 1:
+                eob = k
+        run = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absval[k - ss]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                flush_eobrun()
+                code, ln = ac_lut[0xF0]
+                writer.write(code, ln)
+                run -= 16
+                for bit in br:
+                    writer.write(bit, 1)
+                br = []
+            if t > 1:
+                # already significant: one correction bit, buffered
+                br.append(t & 1)
+                continue
+            # newly significant (|coef| >> al == 1): run-length + sign
+            flush_eobrun()
+            code, ln = ac_lut[(run << 4) | 1]
+            writer.write(code, ln)
+            writer.write(0 if int(blk[k]) < 0 else 1, 1)
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+            run = 0
+        if run or br:
+            eobrun += 1
+            pending_br.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+
+    def encode_block(blk, dc_lut, pred_key) -> None:
+        if ss == 0:
+            v0 = int(blk[0]) >> al  # DC point transform: arithmetic shift
+            if first:
+                diff = v0 - pred[pred_key]
+                pred[pred_key] = v0
+                t = _jpeg_category(diff)
+                code, ln = dc_lut[t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            else:
+                writer.write(v0 & 1, 1)
+            return
+        if first:
+            ac_first_block(blk)
+        else:
+            ac_refine_block(blk)
+
+    if interleaved:
+        nunits, bw = mcux * mcuy, 0
+    else:
+        ci = comp_idx[0]
+        _, h, v = comps[ci]
+        bw = -(-(-(-width * h // hmax)) // 8)
+        bh2 = -(-(-(-height * v // vmax)) // 8)
+        nunits = bw * bh2
+    pred = {ci: 0 for ci in comp_idx}
+    rst_n = 0
+    for unit in range(nunits):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eobrun()
+            writer.flush()
+            writer.buf.extend((0xFF, 0xD0 + rst_n))
+            rst_n = (rst_n + 1) % 8
+            for c in pred:
+                pred[c] = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci in comp_idx:
+                _, h, v = comps[ci]
+                dc_lut = dc_luts[0 if ci == 0 else 1]
+                for bv in range(v):
+                    for bh in range(h):
+                        encode_block(
+                            blocks_by_comp[ci][my * v + bv, mx * h + bh],
+                            dc_lut,
+                            ci,
+                        )
+        else:
+            ci = comp_idx[0]
+            byi, bxi = divmod(unit, bw)
+            encode_block(
+                blocks_by_comp[ci][byi, bxi], dc_luts[0 if ci == 0 else 1], ci
+            )
+    flush_eobrun()
+    writer.flush()
+    return bytes(writer.buf)
+
+
 def decode_image(payload: bytes):
     """Decode an image payload.
 
     PNG decodes for REAL in pure Python (r9 — see :func:`parse_png`):
     returns the (h, w, c) uint8 numpy array for 8-bit non-interlaced
     images, including indexed/PLTE images expanded to RGB (r10).
-    Baseline-sequential JPEG also decodes for real (r11 — see
-    :func:`decode_jpeg_pixels`). Progressive/arithmetic JPEG, 16-bit or
-    interlaced PNG, and anything else fall through to PIL when
-    importable; otherwise NotImplementedError (metadata for those tiers
-    is still available via :func:`parse_jpeg` / :func:`parse_png`).
+    Baseline-sequential JPEG decodes for real too (r11), and r12 adds
+    PROGRESSIVE (SOF2) — see :func:`decode_jpeg_pixels`. Arithmetic /
+    12-bit JPEG, 16-bit or interlaced PNG, and anything else fall
+    through to PIL when importable; otherwise NotImplementedError
+    (metadata for those tiers is still available via :func:`parse_jpeg`
+    / :func:`parse_png`).
     """
     if payload[:8] == _PNG_SIG:
         meta = parse_png(payload)
@@ -960,15 +1491,15 @@ def decode_image(payload: bytes):
         except ImportError:
             try:
                 return decode_jpeg_pixels(payload)
-            except ValueError:
-                pass  # non-baseline tier: fall through to the PIL gate
+            except (ValueError, struct.error, IndexError):
+                pass  # arithmetic/12-bit/truncated: fall to the PIL gate
     try:
         import io
 
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "non-baseline-JPEG / 16-bit / interlaced pixel decode "
+            "arithmetic-JPEG / 16-bit / interlaced pixel decode "
             "requires PIL/pillow, not available in this environment; "
             "parse_png/parse_jpeg provide metadata and "
             "extract_media_features byte-level features"
@@ -992,8 +1523,9 @@ IMAGE_META_SCHEMA = T.StructType(
 def extract_image_meta(media: DataFrame) -> DataFrame:
     """mapInPandas image decode over payload batches: PNG → full decode
     (dims + channels + true pixel mean), JPEG → full decode for baseline
-    sequential (r11, :func:`decode_jpeg_pixels`) / header metadata for
-    progressive+exotic tiers, other / corrupt payloads → NULL columns (a
+    sequential (r11) AND progressive SOF2 (r12, :func:`decode_jpeg_pixels`)
+    / header metadata for arithmetic+exotic tiers, other / corrupt
+    payloads → NULL columns (a
     100 TB crawl always contains garbage bytes; a decode kernel that
     throws on them kills the stage). Same Arrow-batched shape as
     :func:`extract_media_features`."""
@@ -1153,6 +1685,12 @@ _MP3_RATES = {
     "2.5": (11025, 12000, 8000),
 }
 
+# bounded resync (r12): after a broken frame, scan at most this many
+# bytes for the next shape-consistent sync word. 64 KiB spans any real
+# junk run (an APEv2 tag, a glitched frame, an embedded image fragment)
+# while keeping the worst case linear for a payload that is ALL junk.
+_MP3_RESYNC_WINDOW = 1 << 16
+
 
 def parse_mp3(payload: bytes) -> dict:
     """MPEG-audio (MP3 and Layer I/II siblings) FRAME-HEADER parse: skip
@@ -1170,34 +1708,52 @@ def parse_mp3(payload: bytes) -> dict:
     Returns ``{format, version, layer, channels, sample_rate, bit_depth
     (None), n_frames, duration_sec, bitrate_kbps (mean), vbr, samples,
     rms, peak}``. Raises ValueError when no valid frame exists;
-    free-format frames (bitrate index 0) stop the walk (their length is
-    undefined without decoding). Trailing garbage / ID3v1 tails end the
-    walk silently — a crawl MP3 is rarely pristine."""
+    free-format frames (bitrate index 0) end the walk (their length is
+    undefined without decoding).
+
+    Crawl-dirty hardening (r12, the r11 verdict's #3): an ID3v2.4 tag
+    with the FOOTER flag (header byte 5 bit 4) is followed by a 10-byte
+    ``3DI`` footer the size field does not cover — skip it; a VBR
+    file's Xing/Info (and Fraunhofer VBRI) header frame is excluded
+    from the audio frame count, its frame-count field (when present)
+    supplies the duration, and ``Xing``/``VBRI`` set the ``vbr`` flag
+    even when the walked frames happen to share one bitrate; mid-stream
+    junk triggers a BOUNDED resync scan (:data:`_MP3_RESYNC_WINDOW`
+    bytes) for the next shape-consistent, double-checked sync word
+    instead of silently truncating at the junk. A trailing ID3v1
+    ``TAG`` block is excluded from the walk so its bytes can't alias a
+    sync word."""
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         size = 0
         for b in payload[6:10]:  # syncsafe 7-bit bytes
             size = (size << 7) | (b & 0x7F)
         pos = 10 + size
-    n_frames = 0
-    duration = 0.0
-    bitrate_sum = 0
-    bitrates = set()
-    version = layer = channels = sample_rate = None
-    while pos + 4 <= len(payload):
-        h = payload[pos : pos + 4]
+        if payload[5] & 0x10:
+            pos += 10  # ID3v2.4 footer: 10-byte '3DI' block after the tag
+    end = len(payload)
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 tail is metadata, not frame data
+
+    def try_frame(p: int):
+        """Validated frame header at ``p`` → ``(ver, lay, br, sr, mode,
+        samples, frame_len)``, or None (bad sync / reserved fields /
+        free-format / length overruns the payload)."""
+        if p + 4 > end:
+            return None
+        h = payload[p : p + 4]
         if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
-            break
+            return None
         ver_bits = (h[1] >> 3) & 0x3
         layer_bits = (h[1] >> 1) & 0x3
         if ver_bits == 1 or layer_bits == 0:
-            break  # reserved version/layer
+            return None  # reserved version/layer
         ver = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
         lay = 4 - layer_bits  # 11->Layer I, 10->II, 01->III
         br_idx = (h[2] >> 4) & 0xF
         sr_idx = (h[2] >> 2) & 0x3
         if br_idx in (0, 15) or sr_idx == 3:
-            break  # free-format / invalid
+            return None  # free-format / invalid
         pad = (h[2] >> 1) & 0x1
         mode = (h[3] >> 6) & 0x3
         br = _MP3_BITRATES[1 if ver == "1" else 2][lay][br_idx] * 1000
@@ -1209,14 +1765,94 @@ def parse_mp3(payload: bytes) -> dict:
         else:  # Layer III: MPEG-2/2.5 frames halve to 576 samples
             samples = 1152 if ver == "1" else 576
             frame_len = samples // 8 * br // sr + pad
-        if frame_len <= 4 or pos + frame_len > len(payload):
-            break  # truncated final frame: don't count it
+        if frame_len <= 4 or p + frame_len > end:
+            return None  # truncated final frame: don't count it
+        return ver, lay, br, sr, mode, samples, frame_len
+
+    def vbr_header(p: int, fr) -> tuple | None:
+        """``(tag, frame_count|None)`` when the Layer III frame at ``p``
+        is a Xing/Info/VBRI header frame, else None. Xing/Info sit right
+        after the side info (MPEG-1: 32 B stereo / 17 B mono; MPEG-2/2.5:
+        17/9); the frame-count field rides when flags bit 0 is set. VBRI
+        sits at a fixed 32 bytes past the header, frames at +14."""
+        ver, lay, _, _, mode, _, _ = fr
+        if lay != 3:
+            return None
+        if ver == "1":
+            side = 17 if mode == 3 else 32
+        else:
+            side = 9 if mode == 3 else 17
+        q = p + 4 + side
+        tag = payload[q : q + 4]
+        if tag in (b"Xing", b"Info"):
+            frames = None
+            if q + 8 <= end:
+                flags = int.from_bytes(payload[q + 4 : q + 8], "big")
+                if flags & 0x1 and q + 12 <= end:
+                    frames = int.from_bytes(payload[q + 8 : q + 12], "big")
+            return ("xing" if tag == b"Xing" else "info", frames)
+        q = p + 4 + 32
+        if payload[q : q + 4] == b"VBRI":
+            frames = None
+            if q + 18 <= end:
+                frames = int.from_bytes(payload[q + 14 : q + 18], "big")
+            return ("vbri", frames)
+        return None
+
+    n_frames = 0
+    duration = 0.0
+    bitrate_sum = 0
+    bitrates = set()
+    version = layer = channels = sample_rate = None
+    spf = None  # samples per frame (constant across a consistent stream)
+    vbr_tag: str | None = None
+    vbr_frames = None
+
+    def resync(p: int) -> int | None:
+        """Bounded forward scan for the next plausible frame start: the
+        candidate must validate, match the established stream shape, and
+        be FOLLOWED by another sync word (or end the payload) — the
+        double-check rejects the spurious 0xFFEx bytes junk contains."""
+        limit = min(end - 4, p + _MP3_RESYNC_WINDOW)
+        q = payload.find(b"\xff", p, limit + 1)
+        while q != -1:
+            fr = try_frame(q)
+            if fr is not None and (
+                n_frames == 0
+                or (fr[0], fr[1], fr[3]) == (version, layer, sample_rate)
+            ):
+                nxt = q + fr[6]
+                if nxt + 2 > end or (
+                    payload[nxt] == 0xFF and (payload[nxt + 1] & 0xE0) == 0xE0
+                ):
+                    return q
+            q = payload.find(b"\xff", q + 1, limit + 1)
+        return None
+
+    while pos + 4 <= end:
+        fr = try_frame(pos)
+        if fr is not None and n_frames > 0 and (
+            (fr[0], fr[1], fr[3]) != (version, layer, sample_rate)
+        ):
+            fr = None  # stream changed shape mid-walk: junk, try resync
+        if fr is None:
+            nxt = resync(pos + 1)
+            if nxt is None:
+                break  # no shape-consistent sync within the window: stop
+            pos = nxt
+            continue
+        ver, lay, br, sr, mode, samples, frame_len = fr
         if n_frames == 0:
             version, layer = ver, lay
             channels = 1 if mode == 3 else 2
             sample_rate = sr
-        elif (ver, lay, sr) != (version, layer, sample_rate):
-            break  # stream changed shape: stop at the consistent prefix
+            spf = samples
+            if vbr_tag is None:
+                vh = vbr_header(pos, fr)
+                if vh is not None:
+                    vbr_tag, vbr_frames = vh
+                    pos += frame_len  # header frame: not audio, don't count
+                    continue
         n_frames += 1
         duration += samples / sr
         bitrate_sum += br
@@ -1224,6 +1860,10 @@ def parse_mp3(payload: bytes) -> dict:
         pos += frame_len
     if n_frames == 0:
         raise ValueError("no valid MPEG audio frame")
+    if vbr_frames:
+        # the encoder's own frame count is exact even when the walk lost
+        # frames to mid-stream junk; the walked count stays in n_frames
+        duration = vbr_frames * spf / sample_rate
     return {
         "format": "mp3",
         "version": version,
@@ -1234,7 +1874,7 @@ def parse_mp3(payload: bytes) -> dict:
         "n_frames": n_frames,
         "duration_sec": duration,
         "bitrate_kbps": round(bitrate_sum / n_frames / 1000, 3),
-        "vbr": len(bitrates) > 1,
+        "vbr": len(bitrates) > 1 or vbr_tag in ("xing", "vbri"),
         "samples": None,
         "rms": None,
         "peak": None,
@@ -1250,12 +1890,22 @@ def encode_mp3_frames(
     version: str = "1",
     layer: int = 3,
     id3_bytes: int = 0,
+    id3_footer: bool = False,
+    vbr_tag: str | None = None,
+    vbr_frame_count: int | None = None,
 ) -> bytes:
     """Header-valid MPEG-audio fixture stream: ``n_frames`` frames with
     correct 4-byte headers and zeroed payloads (the parser never reads
     payload bits), optionally preceded by an ID3v2 tag of
     ``id3_bytes``. The test counterpart of :func:`parse_mp3` — nothing
-    here produces decodable audio."""
+    here produces decodable audio.
+
+    r12 crawl-shape knobs: ``id3_footer`` sets the ID3v2.4 footer flag
+    and appends the 10-byte ``3DI`` footer (the size field, per spec,
+    covers neither header nor footer); ``vbr_tag`` ("xing" / "info" /
+    "vbri") prepends one HEADER frame carrying that tag at its correct
+    offset — with the frame-count field when ``vbr_frame_count`` is
+    given — which parse_mp3 must exclude from the audio frame count."""
     vclass = 1 if version == "1" else 2
     br_idx = _MP3_BITRATES[vclass][layer].index(bitrate_kbps)
     sr_idx = _MP3_RATES[version].index(sample_rate)
@@ -1272,14 +1922,39 @@ def encode_mp3_frames(
     else:
         frame_len = (1152 if version == "1" else 576) // 8 * br // sr
     frame = bytes((0xFF, h1, h2, h3)) + b"\x00" * (frame_len - 4)
+    header_frame = b""
+    if vbr_tag is not None:
+        buf = bytearray(frame)
+        if vbr_tag in ("xing", "info"):
+            # Xing/Info rides right after the Layer III side info
+            if version == "1":
+                side = 17 if channels == 1 else 32
+            else:
+                side = 9 if channels == 1 else 17
+            q = 4 + side
+            buf[q : q + 4] = b"Xing" if vbr_tag == "xing" else b"Info"
+            if vbr_frame_count is not None:
+                buf[q + 4 : q + 8] = (1).to_bytes(4, "big")  # FRAMES flag
+                buf[q + 8 : q + 12] = int(vbr_frame_count).to_bytes(4, "big")
+        elif vbr_tag == "vbri":
+            q = 4 + 32
+            buf[q : q + 4] = b"VBRI"
+            if vbr_frame_count is not None:
+                buf[q + 14 : q + 18] = int(vbr_frame_count).to_bytes(4, "big")
+        else:
+            raise ValueError(f"unknown vbr_tag {vbr_tag!r}")
+        header_frame = bytes(buf)
     id3 = b""
-    if id3_bytes:
+    if id3_bytes or id3_footer:
         body = b"\x00" * id3_bytes
         size = id3_bytes
         ss = bytes(((size >> 21) & 0x7F, (size >> 14) & 0x7F,
                     (size >> 7) & 0x7F, size & 0x7F))
-        id3 = b"ID3\x04\x00\x00" + ss + body
-    return id3 + frame * n_frames
+        flags = 0x10 if id3_footer else 0x00
+        id3 = b"ID3\x04\x00" + bytes((flags,)) + ss + body
+        if id3_footer:
+            id3 += b"3DI\x04\x00" + bytes((flags,)) + ss
+    return id3 + header_frame + frame * n_frames
 
 
 AUDIO_META_SCHEMA = T.StructType(

@@ -2419,7 +2419,12 @@ def _mm_features_oracle() -> str:
 # same way; r11 folds in the JPEG tier (baseline huffman+IDCT encode →
 # pure-Python decode_jpeg_pixels, rotating restart intervals, closed
 # form in the jpg CTE comment) — seven real-codec loops, one catalog
-# entry, catalog stays at the driver's 50-entry window.
+# entry, catalog stays at the driver's 50-entry window. r12 rotates the
+# JPEG tier between BASELINE (even ids) and PROGRESSIVE SOF2 (odd ids,
+# encode_jpeg_progressive: multi-scan spectral selection + successive
+# approximation + EOB-run coding) — both reconstruct the same constant
+# blocks exactly, so the same closed form proves the §G.2 decode path
+# on live rows.
 @query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -2542,8 +2547,13 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r11 JPEG tier: 8x8-constant blocks (block k holds v0 + 16k,
         # v0 = mid % 97, <= 6 blocks so max 176 < 256) are DC-only at
         # unit quant and decode bit-exactly; restart_interval rotates
-        # over mid % 4 so live rows exercise the RSTn reader path too
-        from .multimodal.media import encode_jpeg_baseline
+        # over mid % 4 so live rows exercise the RSTn reader path too.
+        # r12: odd ids encode PROGRESSIVE (SOF2) instead — same pixels,
+        # same closed form, so the hash proves the §G.2 multi-scan path
+        from .multimodal.media import (
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
 
         for pdf in it:
             payloads = []
@@ -2553,9 +2563,8 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v0 = mid % 97
                 vals = (v0 + 16 * np.arange(wb * hb)).reshape(hb, wb)
                 px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
-                payloads.append(
-                    encode_jpeg_baseline(px, restart_interval=mid % 4)
-                )
+                enc = encode_jpeg_progressive if mid % 2 else encode_jpeg_baseline
+                payloads.append(enc(px, restart_interval=mid % 4))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     jpg = extract_image_meta(

@@ -303,9 +303,11 @@ def test_jpeg_quantization_closed_form():
 
 
 def test_jpeg_non_baseline_and_garbage_tiers():
-    """Progressive (SOF2) stays metadata-only through parse_jpeg; a
-    truncated entropy stream degrades to metadata; decode_image falls
-    through to the documented PIL gate for the non-baseline tier."""
+    """Arithmetic-coded (SOF9) stays metadata-only through parse_jpeg;
+    a SOF2 frame whose scan header is sequential-shaped (marker-swap
+    corruption) degrades too; a truncated entropy stream degrades to
+    metadata; decode_image falls through to the documented PIL gate for
+    the unsupported tier."""
     from person_linkage_case_study_spark.multimodal.media import (
         decode_jpeg_pixels,
         encode_jpeg_baseline,
@@ -313,14 +315,22 @@ def test_jpeg_non_baseline_and_garbage_tiers():
 
     img = np.full((8, 8), 50, np.uint8)
     payload = encode_jpeg_baseline(img)
-    progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    m = parse_jpeg(progressive)
+    arithmetic = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    m = parse_jpeg(arithmetic)
     assert (m["width"], m["height"]) == (8, 8)
     assert m["pixels"] is None and m["pixel_mean"] is None
     with pytest.raises(ValueError):
-        decode_jpeg_pixels(progressive)
+        decode_jpeg_pixels(arithmetic)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(progressive)
+        decode_image(arithmetic)
+
+    # SOF2 with a sequential (0..63 interleaved) scan header is NOT a
+    # valid progressive stream (T.81 §G.1): metadata tier, not a crash
+    fake_progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    m = parse_jpeg(fake_progressive)
+    assert (m["width"], m["height"]) == (8, 8) and m["pixels"] is None
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(fake_progressive)
 
     # SOS header is 10 bytes (marker + len + 1-component body); +11
     # cuts mid-DC-magnitude — one entropy byte where the lone block
@@ -521,6 +531,105 @@ def test_mp3_frame_walk():
         parse_mp3(b"\x00\x01 not audio")
 
 
+def test_mp3_crawl_hardening():
+    """r12 (r11 verdict #3 / advisor): footer-bearing ID3v2.4 tags,
+    Xing/Info/VBRI header frames, mid-stream junk resync, and ID3v1
+    tails — the shapes real crawl MP3s actually have."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp3_frames,
+        parse_mp3,
+    )
+
+    # ID3v2.4 FOOTER flag: the 10-byte '3DI' block after the tag is NOT
+    # covered by the size field — pre-r12 the walk landed on it, found
+    # no sync, and a valid MP3 raised 'no valid MPEG audio frame'
+    m = parse_mp3(encode_mp3_frames(5, id3_bytes=100, id3_footer=True))
+    assert m["n_frames"] == 5
+    assert m["duration_sec"] == pytest.approx(5 * 1152 / 44100)
+    # footer flag with a zero-length body is still a valid tag shape
+    assert parse_mp3(encode_mp3_frames(3, id3_footer=True))["n_frames"] == 3
+
+    # Xing header frame: excluded from the audio frame count, its
+    # frame-count field supplies the duration, and it flags VBR even
+    # when every walked frame shares one bitrate
+    m = parse_mp3(encode_mp3_frames(10, vbr_tag="xing", vbr_frame_count=10))
+    assert m["n_frames"] == 10  # 11 frames on the wire, 1 is the header
+    assert m["vbr"] is True
+    assert m["duration_sec"] == pytest.approx(10 * 1152 / 44100)
+
+    # Info tag = the CBR variant of the same header: excluded from the
+    # count but NOT a VBR signal
+    m = parse_mp3(encode_mp3_frames(10, vbr_tag="info"))
+    assert m["n_frames"] == 10 and m["vbr"] is False
+
+    # Fraunhofer VBRI: frame count at its fixed offset wins the duration
+    # arithmetic even when the walk saw fewer frames (truncated file)
+    m = parse_mp3(encode_mp3_frames(7, vbr_tag="vbri", vbr_frame_count=9))
+    assert m["n_frames"] == 7 and m["vbr"] is True
+    assert m["duration_sec"] == pytest.approx(9 * 1152 / 44100)
+
+    # mid-stream junk (including a spurious 0xFFEx sync word) is skipped
+    # by the bounded resync — pre-r12 the walk truncated at the junk
+    junk = b"\x01junkjunk\xff\xe3junk\xff"
+    m = parse_mp3(encode_mp3_frames(3) + junk + encode_mp3_frames(4))
+    assert m["n_frames"] == 7
+    assert m["duration_sec"] == pytest.approx(7 * 1152 / 44100)
+
+    # resync must NOT leap into a shape-inconsistent stream: a 44100 Hz
+    # prefix followed by junk and a 32000 Hz stream stops at the prefix
+    m = parse_mp3(
+        encode_mp3_frames(3) + junk + encode_mp3_frames(4, sample_rate=32000)
+    )
+    assert m["n_frames"] == 3 and m["sample_rate"] == 44100
+
+    # ID3v1 'TAG' tail is excluded so its bytes can't alias a sync word
+    m = parse_mp3(encode_mp3_frames(4) + b"TAG" + b"\xff\xfb" + b"\x00" * 123)
+    assert m["n_frames"] == 4
+
+    # a payload that is ALL junk past the first frame stays bounded and
+    # returns the consistent prefix
+    m = parse_mp3(encode_mp3_frames(2) + b"\xff\x00" * 40000)
+    assert m["n_frames"] == 2
+
+
+def test_jpeg_pixel_tier_degradation():
+    """r12 (r11 advisor): truncated segment bodies (short DRI →
+    struct.error, short SOS component list → IndexError) degrade
+    parse_jpeg to the metadata tier instead of escaping and nulling
+    rows whose header metadata is perfectly readable; megapixel
+    payloads skip the bit-serial pure decode on the crawl path."""
+    import person_linkage_case_study_spark.multimodal.media as media_mod
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((8, 8), 77, np.uint8)
+    payload = encode_jpeg_baseline(img)
+    i = payload.index(b"\xff\xda")
+
+    # DRI marker whose 4-byte body is cut by EOF: struct.error pre-r12
+    m = parse_jpeg(payload[:i] + b"\xff\xdd\x00\x04\x00")
+    assert (m["width"], m["height"]) == (8, 8) and m["pixels"] is None
+
+    # SOS with the component list cut mid-body: IndexError pre-r12
+    m = parse_jpeg(payload[: i + 5])
+    assert (m["width"], m["height"]) == (8, 8) and m["pixels"] is None
+
+    # the crawl path skips the pure bit-serial decode above the pixel
+    # cap (metadata tier, not a multi-second stall per image) — the
+    # explicit decode_image API is NOT capped
+    orig = media_mod.PURE_JPEG_PIXEL_LIMIT
+    try:
+        media_mod.PURE_JPEG_PIXEL_LIMIT = 16
+        m = parse_jpeg(payload)
+        assert (m["width"], m["height"]) == (8, 8) and m["pixels"] is None
+        assert np.array_equal(decode_image(payload), img)
+    finally:
+        media_mod.PURE_JPEG_PIXEL_LIMIT = orig
+    m = parse_jpeg(payload)
+    assert m["pixel_mean"] == pytest.approx(77.0)
+
+
 def test_extract_audio_meta_spark(spark):
     """The audio decode kernel over Spark: WAV fully decoded, MPEG audio
     frame-walked to metadata (r11), garbage / NULL payloads -> NULL
@@ -607,6 +716,236 @@ def test_jpeg_round_trip_property(h, w, color, sub, ri, seed):
         assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
     else:
         assert abs(float(out.mean()) - float(px.mean())) < 1.5
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    color=st.booleans(),
+    sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    ri=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_matches_baseline_property(h, w, color, sub, ri, seed):
+    """r12: the SOF2 multi-scan decode must reconstruct EXACTLY the
+    pixels the sequential path produces for the same image — both
+    encoders emit identical quantized coefficients, and the
+    successive-approximation ladder reassembles them bit-for-bit, so
+    any drift in either the §G.2 decoder or the fixture encoder shows
+    as a pixel diff."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = decode_jpeg_pixels(
+        encode_jpeg_baseline(px, subsample=sub, restart_interval=ri)
+    )
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(px, subsample=sub, restart_interval=ri)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_corner_streams():
+    """r12 deterministic corners of the §G.2 machinery: long EOB runs
+    (constant images), refinement ZRL (sparse impulse), the highest-
+    frequency-only block (checkerboard), non-unit quant, a spectral-
+    selection-only script (no successive approximation), a deep 4-level
+    SA ladder, and restart intervals interleaving EOB-run flushes."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def check(img, **kw):
+        base = decode_jpeg_pixels(
+            encode_jpeg_baseline(
+                img, **{k: v for k, v in kw.items() if k != "scans"}
+            )
+        )
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img, **kw))
+        assert np.array_equal(base, prog)
+
+    # EOB runs spanning many blocks, incl. across restart boundaries
+    check(np.full((64, 64), 130, np.uint8))
+    check(np.full((48, 80, 3), 200, np.uint8), subsample="4:2:0")
+    check(np.full((64, 96), 55, np.uint8), restart_interval=2)
+    # sparse AC -> ZRL in both first and refinement passes
+    img = np.zeros((32, 32), np.uint8)
+    img[17, 23] = 255
+    check(img)
+    # only the (7,7) coefficient: 62 zeros before the lone AC value
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    check(((xx + yy) % 2 * 255).astype(np.uint8))
+    # non-unit quant + subsampling
+    q = np.clip(np.arange(1, 65) * 2, 1, 255)
+    check(
+        rng.integers(0, 256, (24, 40, 3), np.uint8),
+        quant=q,
+        subsample="4:2:2",
+    )
+    # spectral selection only (Ah=Al=0 everywhere) is valid progressive
+    check(
+        rng.integers(0, 256, (20, 20, 3), np.uint8),
+        scans=(
+            ((0, 1, 2), 0, 0, 0, 0),
+            ((0,), 1, 5, 0, 0),
+            ((0,), 6, 63, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+        ),
+    )
+    # 4-level successive-approximation ladder, split AC bands
+    check(
+        rng.integers(0, 256, (33, 17), np.uint8),
+        scans=(
+            ((0,), 0, 0, 0, 3),
+            ((0,), 0, 0, 3, 2),
+            ((0,), 0, 0, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 2, 0, 3),
+            ((0,), 3, 63, 0, 3),
+            ((0,), 1, 63, 3, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 1, 63, 1, 0),
+        ),
+    )
+    # restart interval 1 (a marker between every MCU) under the default
+    # SA script: eobrun/pred reset at every boundary on both sides
+    check(
+        rng.integers(0, 256, (40, 56, 3), np.uint8),
+        restart_interval=1,
+        subsample="4:2:0",
+    )
+
+
+def test_jpeg_progressive_refinement_hand_built_bits():
+    """r12: the AC refinement decoder against HAND-COMPUTED bitstreams
+    (T.81 §G.1.2.3 worked by hand), independent of the fixture encoder —
+    a shared encoder/decoder misunderstanding cannot cancel here.
+    Covers: correction bits read while skipping zero-history runs,
+    newly-significant insertion after a run, EOB-run completion bits
+    for the current block, and pending correction bits consumed by
+    later blocks inside the run."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        _FLAT_AC_TABLE,
+        _JpegBitWriter,
+        _decode_scan,
+        _huff_decode_lut,
+        _huff_encode_lut,
+    )
+
+    ac_dec = {(1, 0): _huff_decode_lut(*_FLAT_AC_TABLE)}
+    enc = _huff_encode_lut(*_FLAT_AC_TABLE)
+
+    def sym(w, rs):
+        code, ln = enc[rs]
+        w.write(code, ln)
+
+    # Scenario A — one 8x8 block, band 1..8, ah=1 al=0. History (from
+    # the al=1 pass): zz[2]=4, zz[4]=-2. Refinement target: zz[2]->5
+    # (correction bit 1), zz[4] stays -2 (bit 0), NEW zz[5]=-1 after a
+    # run of 2 zero-history slots (k=1, k=3 — k=2 and k=4 are nonzero
+    # history and do NOT count toward the run), NEW zz[7]=+1 after a
+    # run of 1 (k=6), then EOB0 covering k=8.
+    w = _JpegBitWriter()
+    sym(w, 0x21)      # run=2, size=1 (newly significant at k=5)
+    w.write(0, 1)     # sign: negative
+    w.write(1, 1)     # correction bit for zz[2] (passed during advance)
+    w.write(0, 1)     # correction bit for zz[4]
+    sym(w, 0x11)      # run=1, size=1 (newly significant at k=7)
+    w.write(1, 1)     # sign: positive
+    sym(w, 0x00)      # EOB0: rest of block (k=8) via completion pass
+    w.flush()
+    coefs = {1: np.zeros((1, 1, 64), np.int32)}
+    coefs[1][0, 0, 2] = 4
+    coefs[1][0, 0, 4] = -2
+    _decode_scan(
+        bytes(w.buf), 0, sel=[(1, 0, 0)], by_cid={1: (1, 1, 0)},
+        huff=ac_dec, coefs=coefs, mcux=1, mcuy=1, width=8, height=8,
+        hmax=1, vmax=1, restart_interval=0, ss=1, se=8, ah=1, al=0,
+    )
+    assert coefs[1][0, 0, :9].tolist() == [0, 0, 5, 0, -2, -1, 0, 1, 0]
+
+    # Scenario B — two blocks (16x8), band 1..8, ah=1 al=0. History:
+    # blk0 zz[2]=2, blk1 zz[3]=-2. One EOB2 symbol (r=1, ext bit 0 ->
+    # run of 2 blocks) followed by the PENDING correction bits: blk0's
+    # completion reads its k=2 bit, blk1's completion reads its k=3 bit.
+    w = _JpegBitWriter()
+    sym(w, 0x10)      # EOBn, r=1
+    w.write(0, 1)     # extension: eobrun = 2 + 0
+    w.write(1, 1)     # correction bit for blk0 zz[2] -> 3
+    w.write(1, 1)     # correction bit for blk1 zz[3] -> -3
+    w.flush()
+    coefs = {1: np.zeros((1, 2, 64), np.int32)}
+    coefs[1][0, 0, 2] = 2
+    coefs[1][0, 1, 3] = -2
+    _decode_scan(
+        bytes(w.buf), 0, sel=[(1, 0, 0)], by_cid={1: (1, 1, 0)},
+        huff=ac_dec, coefs=coefs, mcux=2, mcuy=1, width=16, height=8,
+        hmax=1, vmax=1, restart_interval=0, ss=1, se=8, ah=1, al=0,
+    )
+    assert coefs[1][0, 0, 2] == 3 and coefs[1][0, 1, 3] == -3
+
+    # Scenario C — AC FIRST pass (ah=0) EOB-run spanning blocks: three
+    # blocks (24x8), blk0 has zz[1]=7, everything else zero. Stream:
+    # (run 0, size 3) + magnitude 7, then EOBn r=1 ext 1 -> the run
+    # covers blk0's remainder and both empty blocks.
+    w = _JpegBitWriter()
+    sym(w, 0x03)
+    w.write(7, 3)
+    sym(w, 0x10)
+    w.write(1, 1)     # eobrun = (1<<1) - 1 + 1 = 2 more blocks
+    w.flush()
+    coefs = {1: np.zeros((1, 3, 64), np.int32)}
+    _decode_scan(
+        bytes(w.buf), 0, sel=[(1, 0, 0)], by_cid={1: (1, 1, 0)},
+        huff=ac_dec, coefs=coefs, mcux=3, mcuy=1, width=24, height=8,
+        hmax=1, vmax=1, restart_interval=0, ss=1, se=8, ah=0, al=0,
+    )
+    assert coefs[1][0, 0, 1] == 7
+    assert not coefs[1][0, 1].any() and not coefs[1][0, 2].any()
+
+
+def test_jpeg_progressive_parse_tier_and_truncation():
+    """r12: parse_jpeg's pixel tier decodes REAL progressive payloads
+    (closed-form mean, same contract as the baseline tier); a stream
+    truncated mid-scan degrades to the metadata tier; a DC-only
+    progressive (no AC scans ever sent — legal, viewers render it)
+    reconstructs a block-constant image exactly."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    vals = np.array([[10, 250], [128, 33]])
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    payload = encode_jpeg_progressive(img)
+    m = parse_jpeg(payload)
+    assert m["format"] == "jpeg" and m["channels"] == 1
+    assert m["pixel_mean"] == pytest.approx(float(img.mean()))
+    assert np.array_equal(m["pixels"], img)
+    assert np.array_equal(decode_image(payload), img)
+
+    # cut inside the LAST scan's entropy data: metadata survives
+    m = parse_jpeg(payload[: len(payload) - 6])
+    assert (m["width"], m["height"]) == (16, 16) and m["pixels"] is None
+
+    # DC-only script: block-constant content has no AC energy, so the
+    # two DC passes alone reconstruct it exactly
+    dc_only = encode_jpeg_progressive(
+        img, scans=(((0,), 0, 0, 0, 1), ((0,), 0, 0, 1, 0))
+    )
+    assert np.array_equal(decode_jpeg_pixels(dc_only), img)
 
 
 @settings(max_examples=60, deadline=None)
