@@ -7,6 +7,12 @@ Prints ONE JSON line:
 Each query is forced end-to-end with a noop-format write (full execution,
 no driver collect bottleneck, no disk write) — the closest local analog of
 "run the query on the cluster and discard results".
+
+Modes (``--mode=`` / ``SPARK_GRAFT_BENCH_MODE``): ``headline`` (default,
+multi-rep suite), ``cascade_ri_scale`` (the 1.2M-record baseline
+head-to-head), ``ab`` (``--base=<git ref>``: alternating same-host A/B
+against a throwaway worktree of the base ref — the one-command answer to
+"did this round regress, or did the host?").
 """
 
 from __future__ import annotations
@@ -114,6 +120,117 @@ def run_cascade_ri_scale(sf_dir: str) -> None:
     emit(payload)
 
 
+def run_ab(sf_dir: str) -> None:
+    """Same-host A/B (``--mode=ab --base=<git ref> [--rounds=N]``): did
+    THIS code change the suite, or did the host weather change under it?
+
+    r10 and r11 both needed a hand-built worktree A/B to answer that
+    (host walls vary 1.5-2.5× across sessions on this shared microVM —
+    BENCH_AB_r10/r11); this mode is that discipline as one command. The
+    base ref is checked out into a throwaway git worktree and the two
+    trees' bench suites run ALTERNATING (base, head, base, head, ...),
+    each as a fresh subprocess with ``--reps=1``, so slow host phases
+    hit both sides symmetrically instead of whichever tree ran second.
+    Per-query floors (min over rounds) are the comparable, same as the
+    headline mode; the subtotal compares only the queries BOTH trees
+    have, so suite membership changes can't masquerade as regressions."""
+    import subprocess
+    import tempfile
+
+    base_ref = None
+    rounds = 2
+    for a in sys.argv[1:]:
+        if a.startswith("--base="):
+            base_ref = a.split("=", 1)[1]
+        elif a.startswith("--rounds="):
+            rounds = max(1, int(a.split("=", 1)[1]))
+    if not base_ref:
+        raise SystemExit("--mode=ab requires --base=<git ref>")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", base_ref],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    wt = tempfile.mkdtemp(prefix=f"bench_ab_{sha}_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", "--force", wt, base_ref],
+        cwd=repo, check=True, capture_output=True,
+    )
+
+    def one_suite(cwd: str) -> dict:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, "bench.py", "--reps=1"],
+            cwd=cwd, capture_output=True, text=True, env=env,
+        )
+        line = next(
+            (
+                l for l in reversed(proc.stdout.splitlines())
+                if l.startswith("{") and '"queries"' in l
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(proc.returncode or 1)
+        return json.loads(line)
+
+    try:
+        runs: dict[str, list[dict]] = {"base": [], "head": []}
+        for _ in range(rounds):
+            runs["base"].append(one_suite(wt))
+            runs["head"].append(one_suite(repo))
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
+
+    floors = {
+        side: {
+            q: min(p["queries"][q] for p in payloads)
+            for q in payloads[0]["queries"]
+            if all(q in p["queries"] for p in payloads)
+        }
+        for side, payloads in runs.items()
+    }
+    common = sorted(set(floors["base"]) & set(floors["head"]))
+    sub_base = round(sum(floors["base"][q] for q in common), 3)
+    sub_head = round(sum(floors["head"][q] for q in common), 3)
+    payload = {
+        "metric": "bench_ab",
+        "value": round(sub_head / sub_base, 3) if sub_base else None,
+        "unit": "head_over_base_ratio",
+        "base_ref": base_ref,
+        "base_sha": sha,
+        "rounds": rounds,
+        "common_queries": len(common),
+        "subtotal_base": sub_base,
+        "subtotal_head": sub_head,
+        "per_query": {
+            q: {"base": floors["base"][q], "head": floors["head"][q]}
+            for q in common
+        },
+        "only_in_head": sorted(set(floors["head"]) - set(floors["base"])),
+        "only_in_base": sorted(set(floors["base"]) - set(floors["head"])),
+        "calibration_runs": [
+            p.get("calibration_sec") for side in ("base", "head")
+            for p in runs[side]
+        ],
+        "raw_totals": {
+            side: [p.get("value") for p in runs[side]]
+            for side in ("base", "head")
+        },
+        "sf": runs["head"][0].get("sf"),
+    }
+    print(json.dumps(payload))
+    try:
+        with open(os.path.join(repo, "BENCH_AB_summary.json"), "w") as f:
+            f.write(json.dumps(payload) + "\n")
+    except OSError:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "headline")
@@ -122,6 +239,9 @@ def main() -> None:
             mode = a.split("=", 1)[1]
     if mode == "cascade_ri_scale":
         run_cascade_ri_scale(sf_dir)
+        return
+    if mode == "ab":
+        run_ab(sf_dir)
         return
     # r11 (verdict): the r10 same-host A/B measured a 53% per-query /
     # 7% total same-code noise floor on this host class — single numbers
