@@ -1576,20 +1576,74 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
     )
 
 
-def encode_wav(samples, sample_rate: int = 8000) -> bytes:
-    """Minimal, spec-correct RIFF/WAVE writer for PCM16 (the fixture /
-    round-trip counterpart of :func:`parse_wav` — no audio library in
-    this container). ``samples`` is an int16 numpy array: (n,) mono or
-    (n, ch) interleaved on write."""
+# (encoding -> (format code, bit depth, numpy dtype)); pcm24 packs by hand
+_WAV_ENCODINGS = {
+    "pcm8": (1, 8, "u1"),
+    "pcm16": (1, 16, "<i2"),
+    "pcm24": (1, 24, None),
+    "pcm32": (1, 32, "<i4"),
+    "float32": (3, 32, "<f4"),
+    "float64": (3, 64, "<f8"),
+}
+
+
+def encode_wav(
+    samples,
+    sample_rate: int = 8000,
+    *,
+    encoding: str = "pcm16",
+    extensible: bool = False,
+) -> bytes:
+    """Minimal, spec-correct RIFF/WAVE writer (the fixture / round-trip
+    counterpart of :func:`parse_wav` — no audio library in this
+    container). ``samples`` is a numpy array, (n,) mono or (n, ch)
+    interleaved on write; dtype follows ``encoding``: int16 for pcm16
+    (the default — unchanged from r9), uint8 for pcm8 (unsigned,
+    midpoint 128, per RIFF), int32 within ±2^23 for pcm24 (packed to
+    3-byte little-endian frames), int32 for pcm32, float for
+    float32/float64 (format code 3). ``extensible`` wraps the format in
+    a WAVE_FORMAT_EXTENSIBLE (0xFFFE) header with the matching SubFormat
+    GUID — the shape Windows encoders emit for >2 channels or >16
+    bits (r12)."""
     import numpy as np
 
-    s = np.asarray(samples, dtype=np.int16)
+    try:
+        code, depth, dtype = _WAV_ENCODINGS[encoding]
+    except KeyError:
+        raise ValueError(f"unknown encoding {encoding!r}")
+    if encoding == "pcm24":
+        s = np.asarray(samples, dtype=np.int32)
+    else:
+        s = np.asarray(samples, dtype=dtype)
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    data = s.reshape(-1).tobytes()  # C-order == interleaved frames
-    byte_rate = sample_rate * ch * 2
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    if encoding == "pcm24":
+        if n and int(np.abs(s).max()) >= 1 << 23:
+            raise ValueError("pcm24 samples must fit 24 bits")
+        u = s.reshape(-1).astype("<i4").view("u1").reshape(-1, 4)
+        data = u[:, :3].tobytes()  # little-endian: low 3 bytes
+    else:
+        data = s.reshape(-1).tobytes()  # C-order == interleaved frames
+    block = ch * depth // 8
+    byte_rate = sample_rate * block
+    base = struct.pack(
+        "<HHIIHH",
+        0xFFFE if extensible else code,
+        ch,
+        sample_rate,
+        byte_rate,
+        block,
+        depth,
+    )
+    if extensible:
+        # KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT}: xxxxxxxx-0000-0010-
+        # 8000-00AA00389B71 with Data1 = the plain format code
+        guid = struct.pack("<IHH", code, 0x0000, 0x0010) + bytes.fromhex(
+            "800000aa00389b71"
+        )
+        base += struct.pack("<HHI", 22, depth, (1 << ch) - 1) + guid
+    fmt = base
     return (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
@@ -1601,12 +1655,18 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
 
 def parse_wav(payload: bytes) -> dict:
     """Pure-Python WAV decode: RIFF chunk walk (word-aligned per the
-    spec — odd-length chunks carry a pad byte), fmt metadata always; for
-    PCM16 also the decoded (n_frames, ch) int16 sample array and its
-    RMS / peak (the stats an audio curation pipeline filters on).
-    Returns ``{format, channels, sample_rate, bit_depth, n_frames,
-    duration_sec, samples, rms, peak}`` — sample-tier fields are None
-    for non-PCM16 encodings (float32, ADPCM, …), mirroring
+    spec — odd-length chunks carry a pad byte), fmt metadata always;
+    decoded (n_frames, ch) sample arrays plus RMS / peak (the stats an
+    audio curation pipeline filters on) for every integer-PCM depth and
+    IEEE float (r12 — r9 decoded PCM16 only): PCM 8 (unsigned,
+    midpoint 128 — centered to int16 so silence is 0 like every other
+    tier), 16, 24 (3-byte frames unpacked to int32), 32, and float32/64
+    (format code 3; float RMS/peak stay float). A WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) header is unwrapped to its SubFormat code first — the shape
+    Windows encoders emit for >2 channels or >16 bits. Returns
+    ``{format, channels, sample_rate, bit_depth, n_frames, duration_sec,
+    samples, rms, peak}`` — sample-tier fields are None for compressed
+    encodings (ADPCM, mu-law, …) and degenerate headers, mirroring
     :func:`parse_png`'s metadata-only tier."""
     import numpy as np
 
@@ -1625,6 +1685,9 @@ def parse_wav(payload: bytes) -> dict:
             audio_format, channels, sample_rate, _, _, bit_depth = struct.unpack(
                 "<HHIIHH", body[:16]
             )
+            if audio_format == 0xFFFE and len(body) >= 26:
+                # EXTENSIBLE: the real code is the SubFormat GUID's Data1
+                (audio_format,) = struct.unpack("<H", body[24:26])
         elif tag == b"data":
             data = body
         pos += 8 + length + (length & 1)  # chunks are word-aligned
@@ -1651,15 +1714,36 @@ def parse_wav(payload: bytes) -> dict:
     if frame_bytes and sample_rate:
         meta["n_frames"] = len(data) // frame_bytes
         meta["duration_sec"] = meta["n_frames"] / sample_rate
-    if audio_format != 1 or bit_depth != 16 or meta["n_frames"] is None:
-        return meta  # metadata-only tier (non-PCM16 or degenerate fmt)
-    s = np.frombuffer(data[: meta["n_frames"] * frame_bytes], dtype="<i2").reshape(
-        meta["n_frames"], channels
-    )
+    n = meta["n_frames"]
+    if n is None:
+        return meta
+    raw = data[: n * frame_bytes]
+    is_float = audio_format == 3 and bit_depth in (32, 64)
+    if audio_format == 1 and bit_depth == 8:
+        s = raw_u8 = np.frombuffer(raw, dtype=np.uint8)
+        s = (raw_u8.astype(np.int16) - 128).reshape(n, channels)
+    elif audio_format == 1 and bit_depth == 16:
+        s = np.frombuffer(raw, dtype="<i2").reshape(n, channels)
+    elif audio_format == 1 and bit_depth == 24:
+        u = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        s = (
+            u[:, 0].astype(np.int32)
+            | (u[:, 1].astype(np.int32) << 8)
+            | (u[:, 2].view(np.int8).astype(np.int32) << 16)
+        ).reshape(n, channels)
+    elif audio_format == 1 and bit_depth == 32:
+        s = np.frombuffer(raw, dtype="<i4").reshape(n, channels)
+    elif is_float:
+        s = np.frombuffer(
+            raw, dtype="<f4" if bit_depth == 32 else "<f8"
+        ).reshape(n, channels)
+    else:
+        return meta  # compressed / exotic: metadata-only tier
     meta["samples"] = s
     if s.size:
         meta["rms"] = float(np.sqrt((s.astype(np.float64) ** 2).mean()))
-        meta["peak"] = int(np.abs(s.astype(np.int32)).max())
+        peak = np.abs(s.astype(np.float64)).max()
+        meta["peak"] = float(peak) if is_float else int(peak)
     return meta
 
 
@@ -1967,18 +2051,21 @@ AUDIO_META_SCHEMA = T.StructType(
         T.StructField("n_frames", T.LongType()),
         T.StructField("duration_sec", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
-        T.StructField("peak", T.IntegerType()),
+        # double, not int: float-WAV peaks are floats and a full-scale
+        # PCM32 peak (2^31) overflows int32 (r12)
+        T.StructField("peak", T.DoubleType()),
     ]
 )
 
 
 def extract_audio_meta(media: DataFrame) -> DataFrame:
-    """mapInPandas audio decode over payload batches: WAV/PCM16 → full
-    decode (frames, duration, RMS, peak), non-PCM16 WAV → header
-    metadata, MPEG audio (r11) → frame-walk metadata (duration / rate /
-    channels via :func:`parse_mp3`; sample tier stays import-gated),
-    garbage → NULL columns (same crawl-garbage contract as
-    :func:`extract_image_meta`)."""
+    """mapInPandas audio decode over payload batches: WAV integer-PCM
+    8/16/24/32 and IEEE float32/64 → full decode (frames, duration, RMS,
+    peak; r12 widened from PCM16-only, EXTENSIBLE headers unwrapped),
+    compressed WAV → header metadata, MPEG audio (r11) → frame-walk
+    metadata (duration / rate / channels via :func:`parse_mp3`; sample
+    tier stays import-gated), garbage → NULL columns (same
+    crawl-garbage contract as :func:`extract_image_meta`)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2015,7 +2102,7 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
                             m["n_frames"],
                             m["duration_sec"],
                             m["rms"],
-                            m["peak"],
+                            float(m["peak"]) if m["peak"] is not None else None,
                         )
                     )
             yield pd.DataFrame(

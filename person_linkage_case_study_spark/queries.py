@@ -2369,7 +2369,7 @@ def _mm_features_oracle() -> str:
              CAST(8 * (1 + CAST(doc_id AS BIGINT) % 16) AS DOUBLE) / 8000
                  AS duration_sec,
              CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS DOUBLE) AS rms,
-             CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS INT) AS peak
+             CAST(1 + CAST(doc_id AS BIGINT) % 9999 AS DOUBLE) AS peak
       FROM documents
     )
     SELECT b.media_id, d.source, b.n_bytes,

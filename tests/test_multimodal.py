@@ -462,8 +462,9 @@ def test_wav_round_trip():
 
 def test_wav_chunk_padding_and_tiers():
     """RIFF chunks are word-aligned: an odd-length chunk before `data`
-    carries a pad byte the walker must skip. Non-PCM16 (8-bit) decodes
-    metadata + frame count but not samples (documented tier)."""
+    carries a pad byte the walker must skip. Compressed encodings
+    (ADPCM, format code 2) decode metadata + frame count but not
+    samples (documented tier; 8-bit PCM decodes for real since r12)."""
     body = encode_wav(np.array([100, -100, 7], dtype=np.int16), sample_rate=8000)
     # splice an odd-length LIST chunk between fmt and data
     fmt_end = body.index(b"data")
@@ -473,15 +474,61 @@ def test_wav_chunk_padding_and_tiers():
     assert m["n_frames"] == 3 and np.array_equal(
         m["samples"].reshape(3), [100, -100, 7]
     )
-    # 8-bit tier: rewrite fmt's bit_depth to 8 -> metadata-only
+    # compressed tier: rewrite fmt's format code to 2 (ADPCM) ->
+    # metadata + frame count, no samples
     fmt_pos = body.index(b"fmt ") + 8
     fmt = bytearray(body)
-    struct.pack_into("<H", fmt, fmt_pos + 14, 8)
+    struct.pack_into("<H", fmt, fmt_pos, 2)
     m = parse_wav(bytes(fmt))
-    assert m["bit_depth"] == 8 and m["samples"] is None and m["rms"] is None
-    assert m["n_frames"] == 6  # 6 bytes of data / 1-byte mono frames
+    assert m["bit_depth"] == 16 and m["samples"] is None and m["rms"] is None
+    assert m["n_frames"] == 3
     with pytest.raises(ValueError, match="RIFF"):
         parse_wav(b"not audio at all")
+
+
+def test_wav_depth_and_float_tiers():
+    """r12: every integer-PCM depth and IEEE float decodes for real —
+    8-bit (unsigned midpoint-128, centered so silence is 0), 24-bit
+    (3-byte frames to int32, sign preserved), 32-bit (full-scale peak
+    exceeds int32 — peak is a double now), float32/float64 (float
+    RMS/peak), and the WAVE_FORMAT_EXTENSIBLE header that Windows
+    encoders emit unwraps to its SubFormat."""
+    rng = np.random.default_rng(3)
+
+    s8 = rng.integers(0, 256, (30,), dtype=np.uint8)
+    m = parse_wav(encode_wav(s8, 8000, encoding="pcm8"))
+    assert m["bit_depth"] == 8
+    assert np.array_equal(m["samples"][:, 0], s8.astype(np.int16) - 128)
+
+    s24 = rng.integers(-(1 << 23), 1 << 23, (25, 2), dtype=np.int32)
+    m = parse_wav(encode_wav(s24, 48000, encoding="pcm24"))
+    assert m["bit_depth"] == 24 and np.array_equal(m["samples"], s24)
+    with pytest.raises(ValueError, match="24 bits"):
+        encode_wav(np.array([1 << 23]), encoding="pcm24")
+
+    s32 = np.array([[np.iinfo(np.int32).min], [5]], dtype=np.int32)
+    m = parse_wav(encode_wav(s32, 8000, encoding="pcm32"))
+    assert np.array_equal(m["samples"], s32)
+    assert m["peak"] == 2_147_483_648  # |INT32_MIN| — overflows int32
+
+    f32 = rng.standard_normal((20, 1)).astype(np.float32)
+    m = parse_wav(encode_wav(f32, 16000, encoding="float32"))
+    assert np.array_equal(m["samples"], f32)
+    assert isinstance(m["peak"], float)
+    assert m["rms"] == pytest.approx(
+        float(np.sqrt((f32.astype(np.float64) ** 2).mean()))
+    )
+
+    f64 = rng.standard_normal((11, 2))
+    m = parse_wav(encode_wav(f64, 16000, encoding="float64"))
+    assert np.array_equal(m["samples"], f64) and m["bit_depth"] == 64
+
+    # EXTENSIBLE wrapper: the SubFormat GUID's Data1 is the real code
+    s16 = rng.integers(-32768, 32768, (40, 2), dtype=np.int16)
+    m = parse_wav(encode_wav(s16, 44100, extensible=True))
+    assert np.array_equal(m["samples"], s16)
+    m = parse_wav(encode_wav(f32, 16000, encoding="float32", extensible=True))
+    assert np.array_equal(m["samples"], f32)
 
 
 def test_mp3_frame_walk():
