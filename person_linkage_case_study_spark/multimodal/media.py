@@ -1468,6 +1468,186 @@ def _encode_progressive_scan(
     return bytes(writer.buf)
 
 
+def parse_gif(payload: bytes) -> dict:
+    """GIF87a/89a metadata parse (r12): logical-screen dims, palette
+    depth, and the FRAME COUNT via a full block walk (extensions skip
+    their sub-block chains; each image descriptor skips its local color
+    table and LZW sub-blocks) — the structure is fully walked without
+    LZW-decoding a single pixel, so a million-frame crawl GIF costs
+    microseconds. Pixels stay metadata-tier (``pixels``/``pixel_mean``
+    None; decode LZW via PIL on a real cluster). A truncated tail ends
+    the walk at the consistent prefix, like :func:`parse_mp3`."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    bit_depth = ((packed >> 4) & 0x7) + 1  # color resolution
+    pos = 13
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x7))
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+        return p
+
+    n_frames = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                break  # truncated descriptor: stop at the prefix
+            lpacked = payload[pos + 9]
+            pos += 10
+            if lpacked & 0x80:
+                pos += 3 * (2 << (lpacked & 0x7))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+        else:
+            break  # junk block id: stop at the consistent prefix
+    return {
+        "format": "gif",
+        "width": width,
+        "height": height,
+        "channels": 3,  # palette entries are RGB
+        "bit_depth": bit_depth,
+        "n_frames": n_frames,
+        "pixels": None,
+        "pixel_mean": None,
+    }
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """BMP parse (r12): BITMAPINFOHEADER (and larger V4/V5) metadata,
+    plus REAL pixel decode for the overwhelmingly common uncompressed
+    (BI_RGB) 24/32-bpp case — rows are 4-byte aligned and stored
+    bottom-up (top-down when height is negative), samples are BGR(A)
+    order. Paletted/compressed variants stay metadata-only."""
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP (bad header)")
+    (data_offset,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant unsupported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("BMP degenerate dimensions")
+    channels = 4 if bpp == 32 else (3 if bpp == 24 else 1)
+    meta = {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": min(bpp, 8),
+        "n_frames": 1,
+        "pixels": None,
+        "pixel_mean": None,
+    }
+    if compression != 0 or bpp not in (24, 32):
+        return meta  # paletted / RLE / bitfields: metadata tier
+    stride = (width * (bpp // 8) + 3) & ~3
+    need = data_offset + stride * height
+    if need > len(payload):
+        return meta  # truncated pixel array: metadata tier
+    rows = np.frombuffer(
+        payload[data_offset : data_offset + stride * height], dtype=np.uint8
+    ).reshape(height, stride)[:, : width * (bpp // 8)]
+    px = rows.reshape(height, width, bpp // 8)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB(A)
+    px = px[..., [2, 1, 0] + ([3] if bpp == 32 else [])]
+    meta["pixels"] = np.ascontiguousarray(px)
+    meta["pixel_mean"] = float(px.mean())
+    return meta
+
+
+def encode_bmp(pixels, *, top_down: bool = False) -> bytes:
+    """Minimal BI_RGB BMP writer — the fixture counterpart of
+    :func:`parse_bmp` (r12). ``pixels`` is (h, w, 3) RGB or (h, w, 4)
+    RGBA uint8; rows pad to 4 bytes, bottom-up unless ``top_down``."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("pixels must be (h, w, 3|4)")
+    h, w, ch = px.shape
+    bgr = px[..., [2, 1, 0] + ([3] if ch == 4 else [])]
+    if not top_down:
+        bgr = bgr[::-1]
+    stride = (w * ch + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * ch] = bgr.reshape(h, w * ch)
+    data = rows.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, ch * 8, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    off = 14 + len(dib)
+    head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return head + dib + data
+
+
+def parse_webp(payload: bytes) -> dict:
+    """WebP metadata parse (r12): dims from any of the three container
+    layouts — lossy ``VP8 `` (keyframe start code + 14-bit dims), lossless
+    ``VP8L`` (1+14+14 bit-packed dims, alpha bit), extended ``VP8X``
+    (24-bit dims-minus-one, alpha flag). Pixels stay metadata-tier (the
+    VP8 entropy decoder is a codebook codec, not a header walk)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF/WEBP header)")
+    tag = payload[12:16]
+    body = payload[20:]
+    if tag == b"VP8 " and len(body) >= 10:
+        if body[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("WebP VP8 missing keyframe start code")
+        width = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+        height = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+        channels = 3
+    elif tag == b"VP8L" and len(body) >= 5:
+        if body[0] != 0x2F:
+            raise ValueError("WebP VP8L bad signature byte")
+        bits = struct.unpack("<I", body[1:5])[0]
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+        channels = 4 if (bits >> 28) & 1 else 3
+    elif tag == b"VP8X" and len(body) >= 10:
+        width = int.from_bytes(body[4:7], "little") + 1
+        height = int.from_bytes(body[7:10], "little") + 1
+        channels = 4 if body[0] & 0x10 else 3
+    else:
+        raise ValueError("WebP unknown chunk layout")
+    if width == 0 or height == 0:
+        raise ValueError("WebP degenerate dimensions")
+    return {
+        "format": "webp",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": 8,
+        "n_frames": 1,
+        "pixels": None,
+        "pixel_mean": None,
+    }
+
+
 def decode_image(payload: bytes):
     """Decode an image payload.
 
@@ -1515,6 +1695,7 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
         T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),  # r12: GIFs animate
         T.StructField("pixel_mean", T.DoubleType()),
     ]
 )
@@ -1524,8 +1705,10 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
     """mapInPandas image decode over payload batches: PNG → full decode
     (dims + channels + true pixel mean), JPEG → full decode for baseline
     sequential (r11) AND progressive SOF2 (r12, :func:`decode_jpeg_pixels`)
-    / header metadata for arithmetic+exotic tiers, other / corrupt
-    payloads → NULL columns (a
+    / header metadata for arithmetic+exotic tiers, BMP → full decode for
+    uncompressed 24/32-bpp (r12, :func:`parse_bmp`), GIF → metadata with
+    a real frame count from the block walk, WebP → metadata across all
+    three container layouts, other / corrupt payloads → NULL columns (a
     100 TB crawl always contains garbage bytes; a decode kernel that
     throws on them kills the stage). Same Arrow-batched shape as
     :func:`extract_media_features`."""
@@ -1540,6 +1723,12 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                         m = parse_png(b)
                     elif b[:3] == b"\xff\xd8\xff":
                         m = parse_jpeg(b)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        m = parse_gif(b)
+                    elif b[:2] == b"BM":
+                        m = parse_bmp(b)
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        m = parse_webp(b)
                     else:
                         m = None
                 except Exception:
@@ -1550,7 +1739,9 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                     # never a thrown stage
                     m = None
                 if m is None:
-                    rows.append((media_id, None, None, None, None, None, None))
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None)
+                    )
                 else:
                     rows.append(
                         (
@@ -1560,6 +1751,7 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                             m["height"],
                             m["channels"],
                             m["bit_depth"],
+                            m.get("n_frames", 1),
                             m["pixel_mean"],
                         )
                     )
@@ -1567,7 +1759,7 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                 rows,
                 columns=[
                     "media_id", "format", "width", "height", "channels",
-                    "bit_depth", "pixel_mean",
+                    "bit_depth", "n_frames", "pixel_mean",
                 ],
             )
 
@@ -2041,6 +2233,110 @@ def encode_mp3_frames(
     return id3 + header_frame + frame * n_frames
 
 
+def parse_flac(payload: bytes) -> dict:
+    """FLAC STREAMINFO metadata parse (r12): sample rate (20 bits),
+    channels (3 bits + 1), bits per sample (5 bits + 1) and the 36-bit
+    total-samples count → exact duration, all from the mandatory first
+    metadata block — no frame decoding. Sample recovery stays
+    import-gated like MP3 (the documented compressed-audio tier)."""
+    if payload[:4] != b"fLaC" or len(payload) < 8:
+        raise ValueError("not a FLAC (bad signature)")
+    header = payload[4]
+    if header & 0x7F != 0:  # block type 0 = STREAMINFO, mandatory first
+        raise ValueError("FLAC missing STREAMINFO")
+    b = payload[8:42]
+    if len(b) < 18:
+        raise ValueError("FLAC STREAMINFO truncated")
+    sample_rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x7) + 1
+    bit_depth = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+    total = ((b[13] & 0xF) << 32) | int.from_bytes(b[14:18], "big")
+    if sample_rate == 0:
+        raise ValueError("FLAC degenerate sample rate")
+    return {
+        "format": "flac",
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bit_depth": bit_depth,
+        "n_frames": total or None,  # 0 means 'unknown' per spec
+        "duration_sec": total / sample_rate if total else None,
+        "rms": None,
+        "peak": None,
+    }
+
+
+def parse_ogg(payload: bytes) -> dict:
+    """Ogg container metadata parse (r12): identifies the codec from
+    the first page's payload (OpusHead / \\x01vorbis), reads channels
+    and sample rate from the identification header, and walks the page
+    headers (27 bytes + lacing table each, no payload decode) to the
+    LAST granule position → duration (Opus granules tick at 48 kHz
+    regardless of input rate, minus pre-skip; Vorbis granules tick at
+    the stream rate). A truncated tail keeps the last whole page's
+    granule — the :func:`parse_mp3` consistent-prefix posture."""
+    if payload[:4] != b"OggS" or len(payload) < 28:
+        raise ValueError("not an Ogg (bad capture pattern)")
+
+    def page(p: int):
+        """(granule, payload_start, payload_len, next_page) or None."""
+        if payload[p : p + 4] != b"OggS" or p + 27 > len(payload):
+            return None
+        granule = int.from_bytes(payload[p + 6 : p + 14], "little", signed=True)
+        nseg = payload[p + 26]
+        lace = payload[p + 27 : p + 27 + nseg]
+        if len(lace) < nseg:
+            return None
+        plen = sum(lace)
+        start = p + 27 + nseg
+        if start + plen > len(payload):
+            return None
+        return granule, start, plen, start + plen
+
+    first = page(0)
+    if first is None:
+        raise ValueError("Ogg first page truncated")
+    _, start, plen, nxt = first
+    ident = payload[start : start + plen]
+    if ident[:8] == b"OpusHead" and len(ident) >= 16:
+        codec = "opus"
+        channels = ident[9]
+        pre_skip = struct.unpack("<H", ident[10:12])[0]
+        sample_rate = struct.unpack("<I", ident[12:16])[0]
+        tick = 48000  # Opus granules are 48 kHz by definition
+    elif ident[:7] == b"\x01vorbis" and len(ident) >= 16:
+        codec = "vorbis"
+        channels = ident[11]
+        sample_rate = struct.unpack("<I", ident[12:16])[0]
+        pre_skip = 0
+        tick = sample_rate
+    else:
+        raise ValueError("Ogg unknown codec identification header")
+    last_granule = None
+    p = nxt
+    while p < len(payload):
+        pg = page(p)
+        if pg is None:
+            break  # truncated/garbage tail: keep the consistent prefix
+        granule, _, _, p = pg
+        if granule >= 0:  # -1 marks a page with no completed packet
+            last_granule = granule
+    duration = None
+    n_frames = None
+    if last_granule is not None and tick:
+        n_frames = max(0, last_granule - pre_skip)
+        duration = n_frames / tick
+    return {
+        "format": codec,
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bit_depth": None,
+        "n_frames": n_frames,
+        "duration_sec": duration,
+        "rms": None,
+        "peak": None,
+    }
+
+
 AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -2075,6 +2371,10 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
                 try:
                     if b[:4] == b"RIFF":
                         m = parse_wav(b)
+                    elif b[:4] == b"fLaC":
+                        m = parse_flac(b)
+                    elif b[:4] == b"OggS":
+                        m = parse_ogg(b)
                     elif b[:3] == b"ID3" or (
                         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
                     ):

@@ -531,6 +531,202 @@ def test_wav_depth_and_float_tiers():
     assert np.array_equal(m["samples"], f32)
 
 
+def _gif_bytes(w, h, frames=2, pal_bits=1, trailer=True):
+    """Hand-built GIF89a: global palette, one graphic-control extension
+    + image descriptor + fake LZW sub-blocks per frame."""
+    packed = 0x80 | (7 << 4) | (pal_bits - 1)
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes((packed, 0, 0))
+    out += b"\x00" * (3 * (2 << (pal_bits - 1)))
+    for _ in range(frames):
+        out += b"\x21\xf9\x04" + b"\x00\x00\x00\x00" + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x02" + b"\x03" + b"\x44\x01\x05" + b"\x00"
+    return out + (b"\x3b" if trailer else b"")
+
+
+def _ogg_page(granule, payload, seq=0, first=False):
+    nseg = (len(payload) + 254) // 255 or 1
+    lace, rem = [], len(payload)
+    for _ in range(nseg):
+        lace.append(min(255, rem))
+        rem -= lace[-1]
+    hdr = (
+        b"OggS"
+        + bytes([0, 2 if first else 0])
+        + granule.to_bytes(8, "little", signed=True)
+        + (1).to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + b"\x00" * 4
+        + bytes([nseg])
+        + bytes(lace)
+    )
+    return hdr + payload
+
+
+def _flac_bytes(sr, ch, bps, total):
+    b = bytearray(34)
+    b[10] = (sr >> 12) & 0xFF
+    b[11] = (sr >> 4) & 0xFF
+    b[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)
+    b[13] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + bytes(b)
+
+
+def test_gif_bmp_webp_metadata():
+    """r12 crawl-format widening: GIF dims + REAL frame count from the
+    block walk (no LZW decode), BMP full pixel decode for uncompressed
+    24/32-bpp (both row orders, stride padding), WebP dims/alpha across
+    all three container layouts (VP8 lossy, VP8L lossless, VP8X
+    extended)."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_bmp,
+        parse_bmp,
+        parse_gif,
+        parse_webp,
+    )
+
+    m = parse_gif(_gif_bytes(320, 200, frames=3))
+    assert (m["width"], m["height"], m["n_frames"]) == (320, 200, 3)
+    assert m["channels"] == 3 and m["pixels"] is None
+    # truncated mid-frame: the walk keeps the consistent prefix
+    assert parse_gif(_gif_bytes(10, 10, frames=2)[:-12])["n_frames"] == 1
+    with pytest.raises(ValueError, match="GIF"):
+        parse_gif(b"GIF89a")  # truncated header
+
+    rng = np.random.default_rng(5)
+    for ch in (3, 4):
+        for td in (False, True):
+            px = rng.integers(0, 256, (7, 5, ch), dtype=np.uint8)
+            m = parse_bmp(encode_bmp(px, top_down=td))
+            assert np.array_equal(m["pixels"], px)
+            assert m["pixel_mean"] == float(px.mean())
+            assert m["channels"] == ch and m["bit_depth"] == 8
+    # compressed (BI_RLE8) or truncated pixel arrays: metadata tier
+    payload = bytearray(encode_bmp(np.zeros((4, 4, 3), np.uint8)))
+    struct.pack_into("<I", payload, 30, 1)  # compression = BI_RLE8
+    m = parse_bmp(bytes(payload))
+    assert (m["width"], m["height"]) == (4, 4) and m["pixels"] is None
+    m = parse_bmp(encode_bmp(np.zeros((4, 4, 3), np.uint8))[:-8])
+    assert m["pixels"] is None
+
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 10)
+        + b"\x00\x00\x00\x9d\x01\x2a"
+        + struct.pack("<HH", 640 | 0x4000, 480)  # scale bits masked off
+    )
+    m = parse_webp(vp8)
+    assert (m["width"], m["height"], m["channels"]) == (640, 480, 3)
+    bits = 639 | (479 << 14) | (1 << 28)  # alpha bit set
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits)
+    )
+    m = parse_webp(vp8l)
+    assert (m["width"], m["height"], m["channels"]) == (640, 480, 4)
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 10) + bytes([0x10, 0, 0, 0])
+        + (799).to_bytes(3, "little") + (599).to_bytes(3, "little")
+    )
+    m = parse_webp(vp8x)
+    assert (m["width"], m["height"], m["channels"]) == (800, 600, 4)
+    with pytest.raises(ValueError, match="keyframe"):
+        parse_webp(vp8.replace(b"\x9d\x01\x2a", b"\x00\x00\x00"))
+
+
+def test_flac_ogg_metadata():
+    """r12: FLAC STREAMINFO bit unpacking (20-bit rate, 3-bit channels,
+    5-bit depth, 36-bit total samples → exact duration) and Ogg page
+    walks for Opus (48 kHz granules minus pre-skip) and Vorbis
+    (stream-rate granules), truncation-tolerant."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        parse_flac,
+        parse_ogg,
+    )
+
+    m = parse_flac(_flac_bytes(44100, 2, 16, 441000))
+    assert (m["channels"], m["sample_rate"], m["bit_depth"]) == (2, 44100, 16)
+    assert m["duration_sec"] == 10.0 and m["n_frames"] == 441000
+    # odd widths: 96 kHz 24-bit mono; total 0 = 'unknown' per spec
+    m = parse_flac(_flac_bytes(96000, 1, 24, 0))
+    assert (m["sample_rate"], m["bit_depth"]) == (96000, 24)
+    assert m["duration_sec"] is None and m["n_frames"] is None
+    with pytest.raises(ValueError, match="FLAC"):
+        parse_flac(b"fLaC\x81\x00\x00\x04abcd")  # first block not STREAMINFO
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    )
+    stream = (
+        _ogg_page(0, opus_head, 0, True)
+        + _ogg_page(48312, b"\x01" * 100, 1)
+        + _ogg_page(96312, b"\x02" * 50, 2)
+    )
+    m = parse_ogg(stream)
+    assert m["format"] == "opus" and m["channels"] == 2
+    assert m["sample_rate"] == 48000
+    assert m["duration_sec"] == (96312 - 312) / 48000
+    # truncated tail keeps the last WHOLE page's granule
+    m = parse_ogg(stream[:-20])
+    assert m["duration_sec"] == (48312 - 312) / 48000
+
+    vorb = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+        + struct.pack("<I", 22050) + b"\x00" * 16
+    )
+    m = parse_ogg(_ogg_page(0, vorb, 0, True) + _ogg_page(44100, b"\x03" * 30, 1))
+    assert m["format"] == "vorbis" and m["duration_sec"] == 2.0
+    with pytest.raises(ValueError, match="codec"):
+        parse_ogg(_ogg_page(0, b"junkpayload", 0, True))
+
+
+def test_extract_meta_new_formats_spark(spark):
+    """The widened kernels over Spark: GIF/BMP/WebP rows land with real
+    metadata (BMP with a real pixel mean, GIF with its frame count),
+    FLAC/Opus rows land with exact durations, corrupt variants of each
+    degrade to NULL columns — never a stage kill."""
+    from person_linkage_case_study_spark.multimodal.media import encode_bmp
+
+    px = np.full((6, 4, 3), 77, np.uint8)
+    img_df = spark.createDataFrame(
+        [
+            (1, bytearray(_gif_bytes(33, 21, frames=2))),
+            (2, bytearray(encode_bmp(px))),
+            (3, bytearray(b"RIFF\x00\x00\x00\x00WEBPJUNK")),
+            (4, bytearray(b"BMgarbage")),
+        ],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(img_df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in extract_image_meta(media).collect()}
+    assert (rows[1]["format"], rows[1]["n_frames"]) == ("gif", 2)
+    assert rows[2]["format"] == "bmp" and rows[2]["pixel_mean"] == 77.0
+    assert rows[3]["format"] is None and rows[4]["format"] is None
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+        + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    )
+    aud_df = spark.createDataFrame(
+        [
+            (1, bytearray(_flac_bytes(22050, 1, 16, 22050))),
+            (2, bytearray(_ogg_page(0, opus_head, 0, True)
+                          + _ogg_page(9600, b"\x01" * 10, 1))),
+            (3, bytearray(b"fLaC")),
+            (4, bytearray(b"OggSgarbage")),
+        ],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(aud_df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in extract_audio_meta(media).collect()}
+    assert rows[1]["format"] == "flac" and rows[1]["duration_sec"] == 1.0
+    assert rows[2]["format"] == "opus" and rows[2]["duration_sec"] == 0.2
+    assert rows[3]["format"] is None and rows[4]["format"] is None
+
+
 def test_mp3_frame_walk():
     """r11: MPEG-audio frame-header parse — exact per-frame duration
     arithmetic across versions and layers, ID3v2 skip, VBR detection,
