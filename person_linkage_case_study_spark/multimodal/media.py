@@ -2233,6 +2233,97 @@ def encode_mp3_frames(
     return id3 + header_frame + frame * n_frames
 
 
+def encode_gif_skeleton(
+    width: int, height: int, n_frames: int = 1, pal_bits: int = 1
+) -> bytes:
+    """Structure-valid GIF89a fixture (r12): global palette, per frame a
+    graphic-control extension + image descriptor + fake LZW sub-blocks —
+    the test counterpart of :func:`parse_gif`'s block walk; nothing here
+    produces decodable pixels (same contract as
+    :func:`encode_mp3_frames`)."""
+    packed = 0x80 | (7 << 4) | (pal_bits - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height) + bytes((packed, 0, 0))
+    out += b"\x00" * (3 * (2 << (pal_bits - 1)))
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04" + b"\x00\x00\x00\x00" + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += b"\x02" + b"\x03" + b"\x44\x01\x05" + b"\x00"
+    return bytes(out + b"\x3b")
+
+
+def encode_flac_streaminfo(
+    sample_rate: int, channels: int, bits_per_sample: int, total_samples: int
+) -> bytes:
+    """FLAC signature + a bit-exact STREAMINFO block (r12) — the test
+    counterpart of :func:`parse_flac`; no audio frames follow."""
+    b = bytearray(34)
+    b[10] = (sample_rate >> 12) & 0xFF
+    b[11] = (sample_rate >> 4) & 0xFF
+    b[12] = (
+        ((sample_rate & 0xF) << 4)
+        | ((channels - 1) << 1)
+        | ((bits_per_sample - 1) >> 4)
+    )
+    b[13] = (((bits_per_sample - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    b[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + bytes(b)
+
+
+def encode_ogg(
+    codec: str,
+    channels: int,
+    sample_rate: int,
+    granules: "list[int]",
+    pre_skip: int = 0,
+) -> bytes:
+    """Header-valid Ogg stream fixture (r12): an identification page
+    (``OpusHead`` or Vorbis ident per ``codec``) followed by one dummy
+    page per entry in ``granules`` — the test counterpart of
+    :func:`parse_ogg`'s page walk; payload bytes are filler."""
+
+    def page(granule: int, payload: bytes, seq: int, first: bool) -> bytes:
+        nseg = (len(payload) + 254) // 255 or 1
+        lace, rem = [], len(payload)
+        for _ in range(nseg):
+            lace.append(min(255, rem))
+            rem -= lace[-1]
+        return (
+            b"OggS"
+            + bytes([0, 2 if first else 0])
+            + granule.to_bytes(8, "little", signed=True)
+            + (1).to_bytes(4, "little")
+            + seq.to_bytes(4, "little")
+            + b"\x00" * 4
+            + bytes([nseg])
+            + bytes(lace)
+            + payload
+        )
+
+    if codec == "opus":
+        ident = (
+            b"OpusHead"
+            + bytes([1, channels])
+            + struct.pack("<H", pre_skip)
+            + struct.pack("<I", sample_rate)
+            + b"\x00\x00\x00"
+        )
+    elif codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes([channels])
+            + struct.pack("<I", sample_rate)
+            + b"\x00" * 16
+        )
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    out = page(0, ident, 0, True)
+    for i, g in enumerate(granules, 1):
+        out += page(g, b"\x00" * 20, i, False)
+    return out
+
+
 def parse_flac(payload: bytes) -> dict:
     """FLAC STREAMINFO metadata parse (r12): sample rate (20 bits),
     channels (3 bits + 1), bits per sample (5 bits + 1) and the 36-bit

@@ -2360,6 +2360,31 @@ def _mm_features_oracle() -> str:
                   AS DOUBLE) AS jpg_pixel_mean
       FROM documents
     ),
+    -- r12: the crawl-format tier. The Spark side builds, per document,
+    -- a REAL 24/32-bpp BMP (constant v0 = id % 251, alpha plane 200 on
+    -- odd ids, top-down row order on id % 3 = 0, odd widths exercising
+    -- the 4-byte stride padding) round-tripped through parse_bmp (pixel
+    -- mean closed-form: v0 for RGB, (3*v0+200)/4 for RGBA), a GIF
+    -- skeleton whose frame count/dims come back from the block walk, a
+    -- FLAC STREAMINFO (duration = total/44100, same IEEE divide both
+    -- sides), and an Ogg/Opus page stream (duration = granule minus
+    -- pre-skip over the 48 kHz tick). Value-hash equality proves all
+    -- four r12 parsers on live rows.
+    xtr AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             round(CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+                   THEN CAST(CAST(doc_id AS BIGINT) % 251 AS DOUBLE)
+                   ELSE CAST(3 * (CAST(doc_id AS BIGINT) % 251) + 200
+                        AS DOUBLE) / 4 END, 6) AS bmp_mean,
+             CAST(1 + CAST(doc_id AS BIGINT) % 4 AS INT) AS gif_frames,
+             CAST(7 + CAST(doc_id AS BIGINT) % 9 AS INT) AS gif_width,
+             CAST(3 + CAST(doc_id AS BIGINT) % 6 AS INT) AS gif_height,
+             round(CAST(1000 * (1 + CAST(doc_id AS BIGINT) % 7) AS DOUBLE)
+                   / 44100, 6) AS flac_duration,
+             round(CAST(960 * (1 + CAST(doc_id AS BIGINT) % 5) AS DOUBLE)
+                   / 48000, 6) AS opus_duration
+      FROM documents
+    ),
     aud AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
              CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
@@ -2383,6 +2408,8 @@ def _mm_features_oracle() -> str:
            plt.plt_pixel_mean,
            jpg.jpg_format, jpg.jpg_width, jpg.jpg_height, jpg.jpg_channels,
            jpg.jpg_pixel_mean,
+           xtr.bmp_mean, xtr.gif_frames, xtr.gif_width, xtr.gif_height,
+           xtr.flac_duration, xtr.opus_duration,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
            aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
@@ -2392,6 +2419,7 @@ def _mm_features_oracle() -> str:
     JOIN rsz USING (media_id)
     JOIN plt USING (media_id)
     JOIN jpg USING (media_id)
+    JOIN xtr USING (media_id)
     JOIN aud USING (media_id)
     """
 
@@ -2419,8 +2447,11 @@ def _mm_features_oracle() -> str:
 # same way; r11 folds in the JPEG tier (baseline huffman+IDCT encode →
 # pure-Python decode_jpeg_pixels, rotating restart intervals, closed
 # form in the jpg CTE comment) — seven real-codec loops, one catalog
-# entry, catalog stays at the driver's 50-entry window. r12 rotates the
-# JPEG tier between BASELINE (even ids) and PROGRESSIVE SOF2 (odd ids,
+# entry, catalog stays at the driver's 50-entry window. r12 adds the
+# crawl-format tier (BMP pixel round-trip, GIF block-walk frame count,
+# FLAC STREAMINFO duration, Ogg/Opus granule duration — xtr CTE) and
+# rotates the
+# JPEG tier between baseline (even ids) and progressive SOF2 (odd ids,
 # encode_jpeg_progressive: multi-scan spectral selection + successive
 # approximation + EOB-run coding) — both reconstruct the same constant
 # blocks exactly, so the same closed form proves the §G.2 decode path
@@ -2578,6 +2609,66 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pixel_mean", 6).alias("jpg_pixel_mean"),
     )
 
+    def mk_crawl(it):
+        # r12 crawl-format tier (closed forms in the oracle's xtr CTE):
+        # per document a REAL BMP round-tripped through parse_bmp, a GIF
+        # skeleton block-walked by parse_gif, a FLAC STREAMINFO through
+        # parse_flac and an Ogg/Opus page stream through parse_ogg — the
+        # Spark kernels for these formats are test-pinned
+        # (test_extract_meta_new_formats_spark); this tier proves the
+        # PARSERS against the independent oracle on live rows
+        from .multimodal.media import (
+            encode_bmp,
+            encode_flac_streaminfo,
+            encode_gif_skeleton,
+            encode_ogg,
+            parse_bmp,
+            parse_flac,
+            parse_gif,
+            parse_ogg,
+        )
+
+        for pdf in it:
+            out = {
+                "media_id": [], "bmp_mean": [], "gif_frames": [],
+                "gif_width": [], "gif_height": [], "flac_duration": [],
+                "opus_duration": [],
+            }
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ch = 3 + mid % 2
+                px = np.full((1 + mid % 4, 2 + mid % 5, ch),
+                             mid % 251, np.uint8)
+                if ch == 4:
+                    px[..., 3] = 200
+                bmp = parse_bmp(encode_bmp(px, top_down=(mid % 3 == 0)))
+                gif = parse_gif(
+                    encode_gif_skeleton(7 + mid % 9, 3 + mid % 6,
+                                        1 + mid % 4)
+                )
+                flac = parse_flac(
+                    encode_flac_streaminfo(44100, 1 + mid % 2, 16,
+                                           1000 * (1 + mid % 7))
+                )
+                opus = parse_ogg(
+                    encode_ogg("opus", 2, 48000,
+                               [312 + 960 * (1 + mid % 5)], pre_skip=312)
+                )
+                out["media_id"].append(mid)
+                out["bmp_mean"].append(round(bmp["pixel_mean"], 6))
+                out["gif_frames"].append(gif["n_frames"])
+                out["gif_width"].append(gif["width"])
+                out["gif_height"].append(gif["height"])
+                out["flac_duration"].append(round(flac["duration_sec"], 6))
+                out["opus_duration"].append(round(opus["duration_sec"], 6))
+            yield pd.DataFrame(out)
+
+    xtr = media.select("media_id").mapInPandas(
+        mk_crawl,
+        "media_id long, bmp_mean double, gif_frames int, gif_width int, "
+        "gif_height int, flac_duration double, opus_duration double",
+    )
+
     def mk_wav(it):
         # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
@@ -2609,6 +2700,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rsz, on="media_id")
         .join(plt, on="media_id")
         .join(jpg, on="media_id")
+        .join(xtr, on="media_id")
         .join(aud, on="media_id")
         .select(
             "media_id",
@@ -2634,6 +2726,12 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jpg_height",
             "jpg_channels",
             "jpg_pixel_mean",
+            "bmp_mean",
+            "gif_frames",
+            "gif_width",
+            "gif_height",
+            "flac_duration",
+            "opus_duration",
             "audio_channels",
             "sample_rate",
             "n_frames",

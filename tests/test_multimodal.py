@@ -531,46 +531,15 @@ def test_wav_depth_and_float_tiers():
     assert np.array_equal(m["samples"], f32)
 
 
-def _gif_bytes(w, h, frames=2, pal_bits=1, trailer=True):
-    """Hand-built GIF89a: global palette, one graphic-control extension
-    + image descriptor + fake LZW sub-blocks per frame."""
-    packed = 0x80 | (7 << 4) | (pal_bits - 1)
-    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes((packed, 0, 0))
-    out += b"\x00" * (3 * (2 << (pal_bits - 1)))
-    for _ in range(frames):
-        out += b"\x21\xf9\x04" + b"\x00\x00\x00\x00" + b"\x00"
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-        out += b"\x02" + b"\x03" + b"\x44\x01\x05" + b"\x00"
-    return out + (b"\x3b" if trailer else b"")
-
-
-def _ogg_page(granule, payload, seq=0, first=False):
-    nseg = (len(payload) + 254) // 255 or 1
-    lace, rem = [], len(payload)
-    for _ in range(nseg):
-        lace.append(min(255, rem))
-        rem -= lace[-1]
-    hdr = (
-        b"OggS"
-        + bytes([0, 2 if first else 0])
-        + granule.to_bytes(8, "little", signed=True)
-        + (1).to_bytes(4, "little")
-        + seq.to_bytes(4, "little")
-        + b"\x00" * 4
-        + bytes([nseg])
-        + bytes(lace)
-    )
-    return hdr + payload
-
-
-def _flac_bytes(sr, ch, bps, total):
-    b = bytearray(34)
-    b[10] = (sr >> 12) & 0xFF
-    b[11] = (sr >> 4) & 0xFF
-    b[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)
-    b[13] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
-    b[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
-    return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + bytes(b)
+from person_linkage_case_study_spark.multimodal.media import (  # noqa: E402
+    encode_flac_streaminfo as _flac_bytes,
+)
+from person_linkage_case_study_spark.multimodal.media import (  # noqa: E402
+    encode_gif_skeleton as _gif_bytes,
+)
+from person_linkage_case_study_spark.multimodal.media import (  # noqa: E402
+    encode_ogg,
+)
 
 
 def test_gif_bmp_webp_metadata():
@@ -586,11 +555,11 @@ def test_gif_bmp_webp_metadata():
         parse_webp,
     )
 
-    m = parse_gif(_gif_bytes(320, 200, frames=3))
+    m = parse_gif(_gif_bytes(320, 200, 3))
     assert (m["width"], m["height"], m["n_frames"]) == (320, 200, 3)
     assert m["channels"] == 3 and m["pixels"] is None
     # truncated mid-frame: the walk keeps the consistent prefix
-    assert parse_gif(_gif_bytes(10, 10, frames=2)[:-12])["n_frames"] == 1
+    assert parse_gif(_gif_bytes(10, 10, 2)[:-12])["n_frames"] == 1
     with pytest.raises(ValueError, match="GIF"):
         parse_gif(b"GIF89a")  # truncated header
 
@@ -656,15 +625,7 @@ def test_flac_ogg_metadata():
     with pytest.raises(ValueError, match="FLAC"):
         parse_flac(b"fLaC\x81\x00\x00\x04abcd")  # first block not STREAMINFO
 
-    opus_head = (
-        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
-        + struct.pack("<I", 48000) + b"\x00\x00\x00"
-    )
-    stream = (
-        _ogg_page(0, opus_head, 0, True)
-        + _ogg_page(48312, b"\x01" * 100, 1)
-        + _ogg_page(96312, b"\x02" * 50, 2)
-    )
+    stream = encode_ogg("opus", 2, 48000, [48312, 96312], pre_skip=312)
     m = parse_ogg(stream)
     assert m["format"] == "opus" and m["channels"] == 2
     assert m["sample_rate"] == 48000
@@ -673,14 +634,11 @@ def test_flac_ogg_metadata():
     m = parse_ogg(stream[:-20])
     assert m["duration_sec"] == (48312 - 312) / 48000
 
-    vorb = (
-        b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
-        + struct.pack("<I", 22050) + b"\x00" * 16
-    )
-    m = parse_ogg(_ogg_page(0, vorb, 0, True) + _ogg_page(44100, b"\x03" * 30, 1))
+    m = parse_ogg(encode_ogg("vorbis", 2, 22050, [44100]))
     assert m["format"] == "vorbis" and m["duration_sec"] == 2.0
+    junk = encode_ogg("opus", 1, 48000, []).replace(b"OpusHead", b"NotAHead")
     with pytest.raises(ValueError, match="codec"):
-        parse_ogg(_ogg_page(0, b"junkpayload", 0, True))
+        parse_ogg(junk)
 
 
 def test_extract_meta_new_formats_spark(spark):
@@ -693,7 +651,7 @@ def test_extract_meta_new_formats_spark(spark):
     px = np.full((6, 4, 3), 77, np.uint8)
     img_df = spark.createDataFrame(
         [
-            (1, bytearray(_gif_bytes(33, 21, frames=2))),
+            (1, bytearray(_gif_bytes(33, 21, 2))),
             (2, bytearray(encode_bmp(px))),
             (3, bytearray(b"RIFF\x00\x00\x00\x00WEBPJUNK")),
             (4, bytearray(b"BMgarbage")),
@@ -706,15 +664,10 @@ def test_extract_meta_new_formats_spark(spark):
     assert rows[2]["format"] == "bmp" and rows[2]["pixel_mean"] == 77.0
     assert rows[3]["format"] is None and rows[4]["format"] is None
 
-    opus_head = (
-        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
-        + struct.pack("<I", 48000) + b"\x00\x00\x00"
-    )
     aud_df = spark.createDataFrame(
         [
             (1, bytearray(_flac_bytes(22050, 1, 16, 22050))),
-            (2, bytearray(_ogg_page(0, opus_head, 0, True)
-                          + _ogg_page(9600, b"\x01" * 10, 1))),
+            (2, bytearray(encode_ogg("opus", 1, 48000, [9600]))),
             (3, bytearray(b"fLaC")),
             (4, bytearray(b"OggSgarbage")),
         ],
