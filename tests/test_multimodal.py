@@ -6,6 +6,8 @@ import zlib
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from person_linkage_case_study_spark.multimodal.media import (
@@ -680,6 +682,95 @@ def test_extract_meta_new_formats_spark(spark):
     assert rows[3]["format"] is None and rows[4]["format"] is None
 
 
+@settings(max_examples=120, deadline=None)
+@given(
+    kind=st.sampled_from(
+        ["gif", "bmp", "webp", "flac", "ogg", "mp3", "wav", "jpeg", "png"]
+    ),
+    mode=st.sampled_from(["junk", "truncate", "mutate"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_media_parser_fuzz(kind, mode, seed):
+    """r12: every parser, fed (a) random bytes behind its magic, (b) a
+    valid payload truncated at a random point, (c) a valid payload with
+    random byte flips, must RETURN or RAISE — promptly, with no hang,
+    unbounded allocation, or interpreter-level error. The Spark kernels
+    catch Exception per row, so the property that matters at 100 TB is
+    termination, not the exception type."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_bmp,
+        encode_flac_streaminfo,
+        encode_gif_skeleton,
+        encode_jpeg_progressive,
+        encode_mp3_frames,
+        encode_ogg,
+        parse_bmp,
+        parse_flac,
+        parse_gif,
+        parse_jpeg,
+        parse_mp3,
+        parse_ogg,
+        parse_webp,
+    )
+
+    rng = np.random.default_rng(seed)
+    magic = {
+        "gif": b"GIF89a", "bmp": b"BM", "webp": b"RIFF\x20\x00\x00\x00WEBP",
+        "flac": b"fLaC", "ogg": b"OggS", "mp3": b"\xff\xfb",
+        "wav": b"RIFF\x20\x00\x00\x00WAVE", "jpeg": b"\xff\xd8\xff",
+        "png": b"\x89PNG\r\n\x1a\n",
+    }[kind]
+    parser = {
+        "gif": parse_gif, "bmp": parse_bmp, "webp": parse_webp,
+        "flac": parse_flac, "ogg": parse_ogg, "mp3": parse_mp3,
+        "wav": parse_wav, "jpeg": parse_jpeg, "png": parse_png,
+    }[kind]
+    if mode == "junk":
+        payload = magic + rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+    else:
+        valid = {
+            "gif": lambda: encode_gif_skeleton(9, 7, 3),
+            "bmp": lambda: encode_bmp(
+                rng.integers(0, 256, (5, 3, 3), np.uint8)
+            ),
+            "webp": lambda: (
+                b"RIFF\x1e\x00\x00\x00WEBPVP8 \x0a\x00\x00\x00"
+                b"\x00\x00\x00\x9d\x01\x2a\x09\x00\x07\x00"
+            ),
+            "flac": lambda: encode_flac_streaminfo(44100, 2, 16, 44100),
+            "ogg": lambda: encode_ogg("opus", 2, 48000, [960, 1920]),
+            "mp3": lambda: encode_mp3_frames(6, vbr_tag="xing",
+                                             vbr_frame_count=6),
+            "wav": lambda: encode_wav(
+                rng.integers(-999, 999, (20, 2)).astype(np.int16)
+            ),
+            "jpeg": lambda: encode_jpeg_progressive(
+                rng.integers(0, 256, (10, 11), np.uint8)
+            ),
+            "png": lambda: encode_png(
+                rng.integers(0, 256, (6, 5, 3), np.uint8)
+            ),
+        }[kind]()
+        if mode == "truncate":
+            payload = valid[: int(rng.integers(0, len(valid)))]
+        else:
+            payload = bytearray(valid)
+            for _ in range(int(rng.integers(1, 6))):
+                payload[int(rng.integers(0, len(payload)))] = int(
+                    rng.integers(0, 256)
+                )
+            payload = bytes(payload)
+    try:
+        m = parser(payload)
+        assert isinstance(m, dict)
+    except MemoryError:
+        raise AssertionError("parser attempted unbounded allocation")
+    except RecursionError:
+        raise AssertionError("parser recursed unboundedly")
+    except Exception:
+        pass  # documented: corrupt payloads raise; kernels NULL the row
+
+
 def test_mp3_frame_walk():
     """r11: MPEG-audio frame-header parse — exact per-frame duration
     arithmetic across versions and layers, ID3v2 skip, VBR detection,
@@ -861,10 +952,6 @@ def test_extract_audio_meta_spark(spark):
 
 # --- property tests: the codecs must round-trip ANY payload of their
 # declared domain, not just the goldens above -------------------------------
-
-from hypothesis import given, settings
-from hypothesis import strategies as st
-
 
 @settings(max_examples=60, deadline=None)
 @given(
