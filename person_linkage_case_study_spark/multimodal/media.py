@@ -2445,6 +2445,170 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
+# text-frame ids -> canonical tag names, ID3v2.3/2.4 (4-char) and the
+# ID3v2.2 3-char ancestors. TDRC is the v2.4 recording time; TYER the
+# v2.3 year — both land in `year`.
+_ID3_FRAMES = {
+    "TIT2": "title", "TT2": "title",
+    "TPE1": "artist", "TP1": "artist",
+    "TALB": "album", "TAL": "album",
+    "TDRC": "year", "TYER": "year", "TYE": "year",
+    "TCON": "genre", "TCO": "genre",
+}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def parse_id3_tags(payload: bytes) -> dict:
+    """ID3v2 text-frame extraction (r12): title / artist / album / year
+    / genre from an ID3v2.2/2.3/2.4 tag — the fields audio-dataset
+    curation dedups and joins on. Frame walk only (no audio decode):
+    v2.3 frames carry plain big-endian sizes, v2.4 syncsafe, v2.2 the
+    3-byte ancestor layout; text payloads decode per their declared
+    encoding (latin-1 / UTF-16 with BOM / UTF-16BE / UTF-8), NUL
+    terminators and padding stripped. Returns ``{}`` for payloads
+    without a leading ID3v2 tag; a corrupt frame ends the walk at the
+    consistent prefix. The rare unsynchronised tag (flag bit 7) is
+    skipped wholesale rather than mis-decoded."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return {}
+    ver = payload[3]
+    flags = payload[5]
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    end = min(len(payload), 10 + size)
+    pos = 10
+    if flags & 0x80:
+        return {}  # unsynchronised: de-unsync not worth mis-decoding
+    if flags & 0x40 and pos + 4 <= end:  # extended header: skip it
+        (ext,) = struct.unpack(">I", payload[pos : pos + 4])
+        if ver >= 4:  # v2.4 extended size is syncsafe and SELF-inclusive
+            ext = ((ext & 0x7F000000) >> 3) | ((ext & 0x7F0000) >> 2) | (
+                (ext & 0x7F00) >> 1
+            ) | (ext & 0x7F)
+            pos += ext
+        else:  # v2.3: size EXCLUDES the 4 size bytes
+            pos += 4 + ext
+    tags: dict = {}
+    id_len, hdr_len = (3, 6) if ver == 2 else (4, 10)
+    while pos + hdr_len <= end:
+        fid = payload[pos : pos + id_len]
+        if not fid.strip(b"\x00"):
+            break  # padding reached
+        try:
+            fid_s = fid.decode("ascii")
+        except UnicodeDecodeError:
+            break
+        if ver == 2:
+            flen = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+        elif ver >= 4:
+            flen = 0  # syncsafe
+            for b in payload[pos + 4 : pos + 8]:
+                flen = (flen << 7) | (b & 0x7F)
+        else:
+            (flen,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + hdr_len : pos + hdr_len + flen]
+        if len(body) < flen:
+            break  # truncated frame: consistent prefix
+        name = _ID3_FRAMES.get(fid_s)
+        if name is not None and name not in tags and len(body) >= 2:
+            enc = _ID3_ENCODINGS.get(body[0])
+            if enc is not None:
+                try:
+                    text = body[1:].decode(enc, errors="replace")
+                    text = text.split("\x00", 1)[0].strip()
+                    if text:
+                        tags[name] = text
+                except (UnicodeDecodeError, LookupError):
+                    pass
+        pos += hdr_len + flen
+    return tags
+
+
+ID3_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("genre", T.StringType()),
+    ]
+)
+
+
+def extract_audio_tags(media: DataFrame) -> DataFrame:
+    """mapInPandas ID3v2 tag extraction (r12): the dedup/join keys an
+    audio curation pipeline carries alongside the signal features.
+    Payloads without a leading ID3v2 tag (or corrupt ones) get NULL
+    columns — the same crawl-garbage contract as every media kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    tags = parse_id3_tags(b)
+                except Exception:
+                    tags = {}
+                rows.append(
+                    (
+                        media_id,
+                        tags.get("title"),
+                        tags.get("artist"),
+                        tags.get("album"),
+                        tags.get("year"),
+                        tags.get("genre"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "title", "artist", "album", "year", "genre"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, ID3_TAGS_SCHEMA
+    )
+
+
+def encode_id3_tag(
+    frames: "dict[str, str]",
+    *,
+    version: int = 4,
+    encoding: int = 3,
+    footer: bool = False,
+) -> bytes:
+    """ID3v2 tag fixture (r12) — the test counterpart of
+    :func:`parse_id3_tags`. ``frames`` maps frame ids (``TIT2``...) to
+    text; ``version`` 2/3/4 picks the frame layout, ``encoding`` the
+    text encoding byte (0/1/2/3)."""
+    enc_name = _ID3_ENCODINGS[encoding]
+    body = b""
+    for fid, text in frames.items():
+        data = bytes([encoding]) + text.encode(enc_name)
+        if version == 2:
+            body += fid.encode()[:3] + len(data).to_bytes(3, "big") + data
+        elif version >= 4:
+            n = len(data)
+            ss = bytes(
+                ((n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F)
+            )
+            body += fid.encode() + ss + b"\x00\x00" + data
+        else:
+            body += fid.encode() + struct.pack(">I", len(data)) + b"\x00\x00" + data
+    size = len(body)
+    ss = bytes(
+        ((size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F)
+    )
+    flags = 0x10 if footer else 0
+    head = b"ID3" + bytes((version, 0, flags)) + ss
+    out = head + body
+    if footer:
+        out += b"3DI" + bytes((version, 0, flags)) + ss
+    return out
+
+
 def extract_audio_meta(media: DataFrame) -> DataFrame:
     """mapInPandas audio decode over payload batches: WAV integer-PCM
     8/16/24/32 and IEEE float32/64 → full decode (frames, duration, RMS,

@@ -818,6 +818,65 @@ def test_mp3_frame_walk():
         parse_mp3(b"\x00\x01 not audio")
 
 
+def test_id3_tag_extraction(spark):
+    """r12: ID3v2 text-frame extraction across tag versions and text
+    encodings — the dedup/join keys audio curation carries. v2.4
+    syncsafe frames (UTF-8/UTF-16BE), v2.3 plain-size frames (UTF-16
+    with BOM), v2.2 3-char ancestors (latin-1), footer interplay with
+    parse_mp3, NUL/padding stripping, truncation → consistent prefix,
+    and the Spark kernel's NULL contract."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_id3_tag,
+        encode_mp3_frames,
+        extract_audio_tags,
+        parse_id3_tags,
+        parse_mp3,
+    )
+
+    tag = encode_id3_tag(
+        {"TIT2": "Ümläut Song", "TPE1": "Artist ñ", "TALB": "Al\x00pad",
+         "TDRC": "2003-04", "TCON": "Jazz"}
+    )
+    tags = parse_id3_tags(tag + encode_mp3_frames(3))
+    assert tags == {"title": "Ümläut Song", "artist": "Artist ñ",
+                    "album": "Al", "year": "2003-04", "genre": "Jazz"}
+
+    assert parse_id3_tags(
+        encode_id3_tag({"TIT2": "Sixteen", "TYER": "1999"}, version=3,
+                       encoding=1)
+    ) == {"title": "Sixteen", "year": "1999"}
+    assert parse_id3_tags(
+        encode_id3_tag({"TIT2": "BigEndian"}, encoding=2)
+    ) == {"title": "BigEndian"}
+    assert parse_id3_tags(
+        encode_id3_tag({"TT2": "Old", "TP1": "Timer"}, version=2, encoding=0)
+    ) == {"title": "Old", "artist": "Timer"}
+
+    # a footer-bearing tag: tags readable AND parse_mp3 still walks the
+    # frames behind it (the r12 footer skip)
+    full = encode_id3_tag({"TIT2": "F"}, footer=True) + encode_mp3_frames(4)
+    assert parse_id3_tags(full)["title"] == "F"
+    assert parse_mp3(full)["n_frames"] == 4
+
+    # no tag / unsynchronised flag / truncated frame
+    assert parse_id3_tags(b"\xff\xfbnotid3") == {}
+    assert parse_id3_tags(b"ID3\x04\x00\x80\x00\x00\x00\x05junk!") == {}
+    tag2 = encode_id3_tag({"TIT2": "Keep", "TALB": "Lost"})
+    assert parse_id3_tags(tag2[: tag2.index(b"TALB") + 6]) == {"title": "Keep"}
+
+    df = spark.createDataFrame(
+        [(1, bytearray(tag + encode_mp3_frames(2))),
+         (2, bytearray(encode_mp3_frames(2))), (3, bytearray(b"junk")),
+         (4, None)],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in extract_audio_tags(media).collect()}
+    assert rows[1]["title"] == "Ümläut Song" and rows[1]["genre"] == "Jazz"
+    assert rows[2]["title"] is None and rows[3]["artist"] is None
+    assert rows[4]["title"] is None
+
+
 def test_mp3_crawl_hardening():
     """r12 (r11 verdict #3 / advisor): footer-bearing ID3v2.4 tags,
     Xing/Info/VBRI header frames, mid-stream junk resync, and ID3v1
