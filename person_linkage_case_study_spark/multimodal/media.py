@@ -73,24 +73,104 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def encode_png(pixels, color_type: int | None = None, palette=None) -> bytes:
-    """Minimal, spec-correct PNG writer for 8-bit images (the fixture /
-    round-trip counterpart of :func:`parse_png` — no imaging library in
-    this container). ``pixels`` is a uint8 numpy array: (h, w) gray or
-    (h, w, c) with c ∈ {1, 2, 3, 4}. Rows are filtered with a rotating
-    None/Sub/Up/Average/Paeth schedule (all five spec filters, r10 — so
-    every decoder path is exercised by round-trip tests, not just
-    filter-0 passthrough); encoding-side predictors read RAW neighbor
-    values, which equal the decoder's reconstructed ones, so the whole
-    schedule is vectorizable and lossless.
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per PNG spec 8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+# legal bit depths per color type (PNG spec 11.2.2 table)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
 
-    ``palette`` (r10): an (n ≤ 256, 3) uint8 RGB array makes this a
-    color-type-3 (indexed) writer — ``pixels`` is then the (h, w) uint8
-    INDEX array and a PLTE chunk is emitted before IDAT (PNG spec 11.2.3
-    requires PLTE ahead of the image data for type 3)."""
+
+def _png_rows_to_bytes(px, bit_depth: int, stride: int):
+    """Pixel samples (h, w, c) → filtered-unit byte rows (h, stride):
+    big-endian 16-bit split, bit packing below 8 (PNG spec 7.2)."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if bit_depth == 16:
+        flat = px.astype(">u2").reshape(h, -1)
+        return flat.view(np.uint8).reshape(h, stride)
+    if bit_depth == 8:
+        return px.astype(np.uint8).reshape(h, stride)
+    vals = px.astype(np.uint8).reshape(h, w * c)
+    weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+    bits = ((vals[:, :, None] & weights) > 0).astype(np.uint8)
+    bits = bits.reshape(h, w * c * bit_depth)
+    pad = stride * 8 - bits.shape[1]
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
+def _png_filter_rows(rows, bpp: int) -> bytearray:
+    """Filter byte rows with the rotating None/Sub/Up/Average/Paeth
+    schedule (all five spec filters — every decoder path exercised by
+    round-trips). PNG filters act on BYTES with the 'left' neighbor
+    ``bpp`` bytes back (spec 9.2); encoding-side predictors read RAW
+    neighbor bytes, which equal the decoder's reconstructed ones, so
+    the schedule is vectorizable and lossless."""
+    import numpy as np
+
+    h, stride = rows.shape
+    out = bytearray()
+    flat = rows.astype(np.int32)
+    zeros = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = y % 5  # 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth
+        row = flat[y]
+        left = np.concatenate((zeros[:bpp], row[:-bpp]))
+        up = flat[y - 1] if y else zeros
+        if ft == 1:
+            filtered = (row - left) % 256
+        elif ft == 2:
+            filtered = (row - up) % 256
+        elif ft == 3:
+            filtered = (row - (left + up) // 2) % 256
+        elif ft == 4:
+            upleft = np.concatenate((zeros[:bpp], up[:-bpp]))
+            pa = np.abs(up - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + up - 2 * upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            filtered = (row - pred) % 256
+        else:
+            filtered = row
+        out.append(ft)
+        out.extend(filtered.astype(np.uint8).tobytes())
+    return out
+
+
+def encode_png(
+    pixels,
+    color_type: int | None = None,
+    palette=None,
+    *,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal, spec-correct PNG writer (the fixture / round-trip
+    counterpart of :func:`parse_png` — no imaging library in this
+    container). ``pixels`` is a numpy array: (h, w) gray or (h, w, c)
+    with c ∈ {1, 2, 3, 4}; uint8 for depth ≤ 8, uint16 for depth 16
+    (r12 — 1/2/4-bit gray and palette carry the RAW small sample
+    values). Rows are filtered with a rotating None/Sub/Up/Average/
+    Paeth schedule (see :func:`_png_filter_rows`). ``interlace`` emits
+    Adam7 (r12): each of the seven passes is an independently filtered
+    sub-image.
+
+    ``palette`` (r10): an (n ≤ 256, 3) uint8 RGB array makes this a
+    color-type-3 (indexed) writer — ``pixels`` is then the (h, w)
+    INDEX array and a PLTE chunk is emitted before IDAT (PNG spec
+    11.2.3 requires PLTE ahead of the image data for type 3)."""
+    import numpy as np
+
+    px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
@@ -109,6 +189,10 @@ def encode_png(pixels, color_type: int | None = None, palette=None) -> bytes:
         raise ValueError("color_type 3 requires a palette")
     if _PNG_CHANNELS[color_type] != c:
         raise ValueError(f"color_type {color_type} wants {_PNG_CHANNELS[color_type]} channels, got {c}")
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(f"color_type {color_type} disallows bit depth {bit_depth}")
+    if bit_depth < 8 and int(px.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError(f"samples exceed {bit_depth}-bit range")
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -118,34 +202,20 @@ def encode_png(pixels, color_type: int | None = None, palette=None) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    bpp = max(1, c * bit_depth // 8)
     raw = bytearray()
-    flat = px.reshape(h, w * c).astype(np.int32)
-    zeros = np.zeros(w * c, dtype=np.int32)
-    for y in range(h):
-        ft = y % 5  # 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth
-        row = flat[y]
-        left = np.concatenate((zeros[:c], row[:-c]))
-        up = flat[y - 1] if y else zeros
-        if ft == 1:
-            filtered = (row - left) % 256
-        elif ft == 2:
-            filtered = (row - up) % 256
-        elif ft == 3:
-            filtered = (row - (left + up) // 2) % 256
-        elif ft == 4:
-            upleft = np.concatenate((zeros[:c], up[:-c]))
-            pa = np.abs(up - upleft)
-            pb = np.abs(left - upleft)
-            pc = np.abs(left + up - 2 * upleft)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
-            )
-            filtered = (row - pred) % 256
-        else:
-            filtered = row
-        raw.append(ft)
-        raw.extend(filtered.astype(np.uint8).tobytes())
+    for x0, y0, dx, dy in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue  # empty Adam7 pass: no bytes at all (spec 8.2)
+        stride = (pw * c * bit_depth + 7) // 8
+        raw += _png_filter_rows(
+            _png_rows_to_bytes(sub, bit_depth, stride), bpp
+        )
     plte = b"" if palette is None else chunk(b"PLTE", pal.tobytes())
     return (
         _PNG_SIG
@@ -157,16 +227,19 @@ def encode_png(pixels, color_type: int | None = None, palette=None) -> bytes:
 
 
 def parse_png(payload: bytes) -> dict:
-    """Pure-Python PNG decode: IHDR metadata always; for 8-bit
-    non-interlaced images also the full pixel array (zlib inflate + all
-    five scanline filters per the PNG spec, 9.2) and its mean — including
-    color type 3 (indexed, r10): index samples are de-filtered like any
-    1-sample image and expanded through the PLTE lookup table to an RGB
-    array, so ``channels`` reports 3 and ``pixel_mean`` averages the
-    expanded RGB values. Returns ``{format, width, height, channels,
-    bit_depth, pixels, pixel_mean}`` — ``pixels``/``pixel_mean`` are None
-    when only metadata is decodable (16-bit, interlaced, palette sans
-    PLTE); ``channels`` is then the IHDR samples-per-pixel count."""
+    """Pure-Python PNG decode: IHDR metadata always; the full pixel
+    array (zlib inflate + all five scanline filters per the PNG spec,
+    9.2) and its mean for EVERY legal depth/layout (r12 — r9 decoded
+    8-bit non-interlaced only): 16-bit samples come back as uint16,
+    1/2/4-bit grayscale is bit-unpacked and scaled to the 0-255 range
+    (×255/×85/×17 — what every viewer renders), indexed images of any
+    depth expand through the PLTE lookup to RGB (``channels`` reports 3,
+    r10), and Adam7 INTERLACED streams decode all seven passes, each an
+    independently filtered sub-image scattered back into the grid.
+    Returns ``{format, width, height, channels, bit_depth, pixels,
+    pixel_mean}`` — ``pixels``/``pixel_mean`` are None only when
+    metadata alone is decodable (palette sans PLTE, degenerate dims);
+    ``channels`` is then the IHDR samples-per-pixel count."""
     import numpy as np
 
     if payload[:8] != _PNG_SIG:
@@ -204,8 +277,8 @@ def parse_png(payload: bytes) -> dict:
         "pixel_mean": None,
     }
     if (
-        bit_depth != 8
-        or interlace != 0
+        bit_depth not in _PNG_DEPTHS.get(color_type, ())
+        or interlace not in (0, 1)
         or not idat
         or channels is None
         or (color_type == 3 and plte is None)
@@ -218,12 +291,67 @@ def parse_png(payload: bytes) -> dict:
     ):
         return meta  # metadata-only tier
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    bpp = max(1, channels * bit_depth // 8)
+    out_dtype = np.uint16 if bit_depth == 16 else np.uint8
+    full = np.zeros((height, width, channels), dtype=out_dtype)
+    p = 0
+    for x0, y0, dx, dy in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty Adam7 pass carries no bytes (spec 8.2)
+        stride = (pw * channels * bit_depth + 7) // 8
+        if len(raw) - p < ph * (1 + stride):
+            raise ValueError("PNG IDAT shorter than the scanline geometry")
+        rows, p = _png_defilter(raw, p, ph, stride, bpp)
+        if bit_depth == 16:
+            r = rows.reshape(ph, pw * channels, 2).astype(np.uint16)
+            samples = ((r[..., 0] << 8) | r[..., 1]).reshape(ph, pw, channels)
+        elif bit_depth == 8:
+            samples = rows.reshape(ph, pw, channels)
+        else:  # 1/2/4-bit: big-endian-first packed samples (spec 7.2)
+            bits = np.unpackbits(rows, axis=1)
+            grouped = bits[:, : (stride * 8 // bit_depth) * bit_depth].reshape(
+                ph, -1, bit_depth
+            )
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            vals = (grouped * weights).sum(axis=2).astype(np.uint8)
+            samples = vals[:, : pw * channels].reshape(ph, pw, channels)
+        full[y0::dy, x0::dx] = samples
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3)
+        if not len(pal):
+            raise ValueError("PNG PLTE chunk empty")
+        idx = full[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        pixels = pal[idx]  # (h, w, 3) RGB expansion
+        meta["channels"] = 3
+    elif color_type == 0 and bit_depth < 8:
+        # scale 1/2/4-bit gray to the 0-255 range viewers render
+        pixels = (full * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+    else:
+        pixels = full
+    meta["pixels"] = pixels
+    meta["pixel_mean"] = float(pixels.mean())
+    return meta
+
+
+def _png_defilter(raw: bytes, p: int, height: int, stride: int, bpp: int):
+    """De-filter ``height`` scanlines of ``stride`` bytes starting at
+    offset ``p`` (PNG spec 9.2: filters act on BYTES, the 'left'
+    neighbor ``bpp`` bytes back). Returns ``(rows, new_offset)`` with
+    rows a (height, stride) uint8 array. Each interlace pass calls this
+    independently — the first row of every pass predicts against a
+    zero 'up' row (spec 8.2)."""
+    import numpy as np
+
+    # stride is always a whole number of filter units: sub-byte depths
+    # have bpp = 1, byte depths have stride = pixels x bpp
+    npx = stride // bpp
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    p = 0
-    if len(raw) < height * (1 + stride):
-        raise ValueError("PNG IDAT shorter than the scanline geometry")
     for y in range(height):
         ft = raw[p]
         line = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).astype(
@@ -234,30 +362,25 @@ def parse_png(payload: bytes) -> dict:
             rec = line
         elif ft == 2:  # Up
             rec = (line + prev) % 256
-        elif ft == 1:  # Sub: recon[i] = line[i] + recon[i - channels] is a
-            # per-channel prefix sum mod 256, so one np.cumsum reconstructs
-            # the whole scanline (r10 — the per-byte loop it replaces ran
-            # every third encoder row through Python; a 512×512 RGB
-            # Sub-only image now decodes whole in 16 ms where the old
-            # de-filter loop alone took 1.15 s — ~74×, SCALING.md). int64
-            # cumsum cannot overflow below ~3.6e16 columns.
+        elif ft == 1:  # Sub: recon[i] = line[i] + recon[i - bpp] is a
+            # per-byte-lane prefix sum mod 256, so one np.cumsum
+            # reconstructs the whole scanline (r10 — ~74× over the
+            # per-byte loop, SCALING.md). int64 cumsum cannot overflow
+            # below ~3.6e16 columns.
             rec = (
-                np.cumsum(line.reshape(width, channels), axis=0, dtype=np.int64)
+                np.cumsum(line.reshape(npx, bpp), axis=0, dtype=np.int64)
                 % 256
             ).reshape(stride).astype(np.int32)
         elif ft in (3, 4):  # Average / Paeth: the predictor mixes the UP
             # neighbor with the reconstructed LEFT, which breaks the
-            # prefix-sum form — sequential in PIXELS, but every channel
-            # of a pixel vectorizes together (r10: width iterations, not
-            # width × channels)
-            ln = line.reshape(width, channels)
-            pv = prev.reshape(width, channels)
-            pvl = np.vstack(
-                (np.zeros((1, channels), dtype=np.int32), pv[:-1])
-            )  # up-left = previous row shifted one pixel right
-            rc = np.zeros((width, channels), dtype=np.int32)
-            a = np.zeros(channels, dtype=np.int32)  # reconstructed left
-            for x in range(width):
+            # prefix-sum form — sequential in filter UNITS, but every
+            # byte of a unit vectorizes together (r10)
+            ln = line.reshape(npx, bpp)
+            pv = prev.reshape(npx, bpp)
+            pvl = np.vstack((np.zeros((1, bpp), dtype=np.int32), pv[:-1]))
+            rc = np.zeros((npx, bpp), dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)  # reconstructed left
+            for x in range(npx):
                 b = pv[x]
                 if ft == 3:
                     pred = (a + b) // 2
@@ -276,20 +399,7 @@ def parse_png(payload: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec
         prev = rec
-    if color_type == 3:
-        pal = np.frombuffer(plte, dtype=np.uint8)
-        pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3)
-        if not len(pal):
-            raise ValueError("PNG PLTE chunk empty")
-        if int(out.max(initial=0)) >= len(pal):
-            raise ValueError("PNG palette index out of range")
-        pixels = pal[out]  # (h, w, 3) RGB expansion
-        meta["channels"] = 3
-    else:
-        pixels = out.reshape(height, width, channels)
-    meta["pixels"] = pixels
-    meta["pixel_mean"] = float(pixels.mean())
-    return meta
+    return out, p
 
 
 _SOF_MARKERS = frozenset(
@@ -1651,18 +1761,23 @@ def parse_webp(payload: bytes) -> dict:
 def decode_image(payload: bytes):
     """Decode an image payload.
 
-    PNG decodes for REAL in pure Python (r9 — see :func:`parse_png`):
-    returns the (h, w, c) uint8 numpy array for 8-bit non-interlaced
-    images, including indexed/PLTE images expanded to RGB (r10).
-    Baseline-sequential JPEG decodes for real too (r11), and r12 adds
-    PROGRESSIVE (SOF2) — see :func:`decode_jpeg_pixels`. Arithmetic /
-    12-bit JPEG, 16-bit or interlaced PNG, and anything else fall
+    PNG decodes for REAL in pure Python at every legal depth/layout
+    (r9 base, r10 indexed/PLTE, r12 16-bit / 1-2-4-bit / Adam7
+    interlaced — see :func:`parse_png`): (h, w, c) uint8, or uint16 for
+    16-bit sources. Baseline-sequential JPEG decodes for real too
+    (r11), and r12 adds PROGRESSIVE (SOF2) — see
+    :func:`decode_jpeg_pixels`; uncompressed 24/32-bpp BMP via
+    :func:`parse_bmp`. Arithmetic / 12-bit JPEG and anything else fall
     through to PIL when importable; otherwise NotImplementedError
     (metadata for those tiers is still available via :func:`parse_jpeg`
-    / :func:`parse_png`).
+    / :func:`parse_gif` / :func:`parse_webp`).
     """
     if payload[:8] == _PNG_SIG:
         meta = parse_png(payload)
+        if meta["pixels"] is not None:
+            return meta["pixels"]
+    if payload[:2] == b"BM":
+        meta = parse_bmp(payload)
         if meta["pixels"] is not None:
             return meta["pixels"]
     if payload[:3] == b"\xff\xd8\xff":
@@ -1679,7 +1794,7 @@ def decode_image(payload: bytes):
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "arithmetic-JPEG / 16-bit / interlaced pixel decode "
+            "arithmetic-JPEG / exotic-layout pixel decode "
             "requires PIL/pillow, not available in this environment; "
             "parse_png/parse_jpeg provide metadata and "
             "extract_media_features byte-level features"

@@ -544,6 +544,77 @@ from person_linkage_case_study_spark.multimodal.media import (  # noqa: E402
 )
 
 
+def test_png_depths_and_interlace():
+    """r12: PNG decodes at every legal depth/layout — 16-bit samples
+    come back as uint16, 1/2/4-bit gray bit-unpacks and scales to the
+    0-255 range viewers render (x255/x85/x17), sub-8-bit palette
+    indexes expand through PLTE, and Adam7 interlaced streams decode
+    all seven independently-filtered passes (including images smaller
+    than the 8x8 pass grid, whose early passes are empty)."""
+    rng = np.random.default_rng(11)
+
+    for c in (1, 3, 4):
+        px = rng.integers(0, 65536, (9, 6, c), np.uint16)
+        m = parse_png(encode_png(px.squeeze() if c == 1 else px, bit_depth=16))
+        assert m["pixels"].dtype == np.uint16 and m["bit_depth"] == 16
+        assert np.array_equal(m["pixels"].squeeze(), px.squeeze())
+        assert m["pixel_mean"] == pytest.approx(float(px.mean()))
+
+    for d, scale in ((1, 255), (2, 85), (4, 17)):
+        px = rng.integers(0, 1 << d, (11, 13), np.uint8)
+        m = parse_png(encode_png(px, bit_depth=d))
+        assert np.array_equal(m["pixels"].squeeze(), px * scale)
+    with pytest.raises(ValueError, match="range"):
+        encode_png(np.array([[4]], np.uint8), bit_depth=2)
+
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    for d in (1, 2, 4):
+        px = rng.integers(0, min(16, 1 << d), (10, 9), np.uint8)
+        m = parse_png(encode_png(px, palette=pal, bit_depth=d))
+        assert np.array_equal(m["pixels"], pal[px]) and m["channels"] == 3
+
+    for h, w in ((16, 16), (13, 7), (3, 2), (1, 1), (8, 5)):
+        px = rng.integers(0, 256, (h, w, 3), np.uint8)
+        assert np.array_equal(
+            parse_png(encode_png(px, interlace=True))["pixels"], px
+        )
+    px = rng.integers(0, 65536, (12, 10), np.uint16)
+    assert np.array_equal(
+        parse_png(encode_png(px, bit_depth=16, interlace=True))[
+            "pixels"
+        ].squeeze(),
+        px,
+    )
+    px = rng.integers(0, 4, (14, 11), np.uint8)
+    assert np.array_equal(
+        parse_png(encode_png(px, bit_depth=2, interlace=True))[
+            "pixels"
+        ].squeeze(),
+        px * 85,
+    )
+    px = rng.integers(0, 16, (9, 4), np.uint8)
+    assert np.array_equal(
+        parse_png(encode_png(px, palette=pal, bit_depth=4, interlace=True))[
+            "pixels"
+        ],
+        pal[px],
+    )
+
+    # an interlaced stream whose IDAT is cut mid-pass raises (→ NULL
+    # row through the kernel), and decode_image serves the new layouts
+    full = encode_png(rng.integers(0, 256, (16, 16, 3), np.uint8),
+                      interlace=True)
+    idat = full.index(b"IDAT")
+    cut = bytearray(full[: idat + 40])
+    struct.pack_into(">I", cut, idat - 4, 36)  # shrink the IDAT length
+    with pytest.raises(Exception):
+        parse_png(bytes(cut))
+    px = rng.integers(0, 65536, (5, 5), np.uint16)
+    assert np.array_equal(
+        decode_image(encode_png(px, bit_depth=16)).squeeze(), px
+    )
+
+
 def test_gif_bmp_webp_metadata():
     """r12 crawl-format widening: GIF dims + REAL frame count from the
     block walk (no LZW decode), BMP full pixel decode for uncompressed
