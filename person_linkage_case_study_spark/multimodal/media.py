@@ -1578,15 +1578,126 @@ def _encode_progressive_scan(
     return bytes(writer.buf)
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decode (GIF89a spec appendix F): LSB-first
+    variable-width codes starting at ``min_code``+1 bits, clear/end
+    codes, width bumps when the next entry would overflow the current
+    width, 12-bit ceiling with deferred clear, and the KwKwK
+    first-unseen-code case. Returns exactly ``n_pixels`` palette
+    indexes; short streams raise ValueError."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    # bit reader state (LSB-first within and across bytes)
+    acc = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    def reset():
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = read(width)
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK: the code not yet in OUR table
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return bytes(out[:n_pixels])
+
+
+def _gif_lzw_encode(indexes: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW encode — the fixture counterpart of
+    :func:`_gif_lzw_decode` (real greedy-dictionary compression, so the
+    decoder's table-growth, width-bump, and 12-bit-reset paths are all
+    exercised by round-trips, not just literal codes)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def write(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, width = reset()
+    write(clear, width)
+    seq = b""
+    for b in indexes:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        write(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            write(clear, width)
+            table, next_code, width = reset()
+        seq = bytes([b])
+    if seq:
+        write(table[seq], width)
+    write(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
 def parse_gif(payload: bytes) -> dict:
-    """GIF87a/89a metadata parse (r12): logical-screen dims, palette
-    depth, and the FRAME COUNT via a full block walk (extensions skip
-    their sub-block chains; each image descriptor skips its local color
-    table and LZW sub-blocks) — the structure is fully walked without
-    LZW-decoding a single pixel, so a million-frame crawl GIF costs
-    microseconds. Pixels stay metadata-tier (``pixels``/``pixel_mean``
-    None; decode LZW via PIL on a real cluster). A truncated tail ends
-    the walk at the consistent prefix, like :func:`parse_mp3`."""
+    """GIF87a/89a parse (r12): logical-screen dims, palette depth, the
+    FRAME COUNT via a full block walk (extensions skip their sub-block
+    chains; frames past the first skip their LZW sub-blocks without
+    decoding a pixel, so a million-frame crawl GIF costs microseconds)
+    — plus a REAL pixel decode of the FIRST frame (late r12,
+    :func:`_gif_lzw_decode`): variable-width LZW, local-over-global
+    palette, the 4-pass GIF interlace row order, frames smaller than
+    the screen composited onto a zero canvas at their offset.
+    ``pixels`` is the (screen_h, screen_w, 3) RGB expansion of frame 1
+    (animation/transparency composition is a player concern, not a
+    feature-extraction one); a corrupt or paletteless first frame keeps
+    the metadata-only tier. A truncated tail ends the frame-count walk
+    at the consistent prefix, like :func:`parse_mp3`."""
+    import numpy as np
+
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(payload) < 13:
@@ -1595,8 +1706,11 @@ def parse_gif(payload: bytes) -> dict:
     packed = payload[10]
     bit_depth = ((packed >> 4) & 0x7) + 1  # color resolution
     pos = 13
+    global_pal = None
     if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
-        pos += 3 * (2 << (packed & 0x7))
+        n = 3 * (2 << (packed & 0x7))
+        global_pal = payload[pos : pos + n]
+        pos += n
 
     def skip_subblocks(p: int) -> int:
         while p < len(payload):
@@ -1608,6 +1722,7 @@ def parse_gif(payload: bytes) -> dict:
         return p
 
     n_frames = 0
+    first = None  # (left, top, fw, fh, interlaced, palette, min_code, data)
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
@@ -1617,16 +1732,38 @@ def parse_gif(payload: bytes) -> dict:
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(payload):
                 break  # truncated descriptor: stop at the prefix
+            left, top, fw, fh = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
             lpacked = payload[pos + 9]
             pos += 10
+            pal = global_pal
             if lpacked & 0x80:
-                pos += 3 * (2 << (lpacked & 0x7))
-            pos += 1  # LZW minimum code size
+                n = 3 * (2 << (lpacked & 0x7))
+                pal = payload[pos : pos + n]
+                pos += n
+            if pos >= len(payload):
+                break
+            min_code = payload[pos]
+            pos += 1
+            data_start = pos
             pos = skip_subblocks(pos)
+            if n_frames == 0:
+                # concatenate the first frame's LZW sub-blocks
+                chunks, q = [], data_start
+                while q < len(payload):
+                    n = payload[q]
+                    q += 1
+                    if n == 0:
+                        break
+                    chunks.append(payload[q : q + n])
+                    q += n
+                first = (
+                    left, top, fw, fh, bool(lpacked & 0x40), pal, min_code,
+                    b"".join(chunks),
+                )
             n_frames += 1
         else:
             break  # junk block id: stop at the consistent prefix
-    return {
+    meta = {
         "format": "gif",
         "width": width,
         "height": height,
@@ -1636,6 +1773,83 @@ def parse_gif(payload: bytes) -> dict:
         "pixels": None,
         "pixel_mean": None,
     }
+    if (
+        first is None
+        or first[5] is None
+        or width == 0
+        or height == 0
+        or not 2 <= first[6] <= 11
+    ):
+        return meta  # metadata-only tier (no frame / no palette)
+    left, top, fw, fh, interlaced, pal_bytes, min_code, data = first
+    try:
+        idx = np.frombuffer(
+            _gif_lzw_decode(data, min_code, fw * fh), dtype=np.uint8
+        ).reshape(fh, fw)
+    except ValueError:
+        return meta  # corrupt first-frame stream: metadata tier
+    if interlaced:  # 4-pass row order: 0,8,16../4,12../2,6../1,3,5..
+        order = np.concatenate(
+            [np.arange(o, fh, s) for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        deinter = np.zeros_like(idx)
+        deinter[order] = idx
+        idx = deinter
+    pal = np.frombuffer(pal_bytes, dtype=np.uint8)
+    pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3)
+    if not len(pal) or int(idx.max(initial=0)) >= len(pal):
+        return meta  # palette index out of range: metadata tier
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    eh, ew = min(height, top + fh), min(width, left + fw)
+    if eh <= top or ew <= left:
+        return meta  # frame rect entirely off-screen
+    canvas[top:eh, left:ew] = pal[idx][: eh - top, : ew - left]
+    meta["pixels"] = canvas
+    meta["pixel_mean"] = float(canvas.mean())
+    return meta
+
+
+def encode_gif(indexes, palette, *, interlace: bool = False) -> bytes:
+    """Single-frame GIF89a writer with REAL LZW compression — the
+    round-trip counterpart of :func:`parse_gif`'s pixel tier (late r12;
+    :func:`encode_gif_skeleton` remains the structure-only multi-frame
+    fixture). ``indexes`` is the (h, w) uint8 palette-index array,
+    ``palette`` (n ≤ 256, 3) uint8 RGB; ``interlace`` writes the 4-pass
+    GIF row order."""
+    import numpy as np
+
+    idx = np.asarray(indexes, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("indexes must be (h, w)")
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must be (n<=256, 3) uint8 RGB")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    pal_bits = max(1, int(pal.shape[0] - 1).bit_length())
+    padded = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    padded[: pal.shape[0]] = pal
+    min_code = max(2, pal_bits)
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(o, h, s) for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        rows = idx[order]
+    lzw = _gif_lzw_encode(rows.tobytes(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes((0x80 | (7 << 4) | (pal_bits - 1), 0, 0))
+    out += padded.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def parse_bmp(payload: bytes) -> dict:
@@ -1821,9 +2035,9 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
     (dims + channels + true pixel mean), JPEG → full decode for baseline
     sequential (r11) AND progressive SOF2 (r12, :func:`decode_jpeg_pixels`)
     / header metadata for arithmetic+exotic tiers, BMP → full decode for
-    uncompressed 24/32-bpp (r12, :func:`parse_bmp`), GIF → metadata with
-    a real frame count from the block walk, WebP → metadata across all
-    three container layouts, other / corrupt payloads → NULL columns (a
+    uncompressed 24/32-bpp (r12, :func:`parse_bmp`), GIF → first-frame
+    LZW pixel decode plus a real frame count from the block walk (late
+    r12), WebP → metadata across all three container layouts, other / corrupt payloads → NULL columns (a
     100 TB crawl always contains garbage bytes; a decode kernel that
     throws on them kills the stage). Same Arrow-batched shape as
     :func:`extract_media_features`."""

@@ -2379,6 +2379,17 @@ def _mm_features_oracle() -> str:
              CAST(1 + CAST(doc_id AS BIGINT) % 4 AS INT) AS gif_frames,
              CAST(7 + CAST(doc_id AS BIGINT) % 9 AS INT) AS gif_width,
              CAST(3 + CAST(doc_id AS BIGINT) % 6 AS INT) AS gif_height,
+             -- late r12: a REAL single-frame GIF (encode_gif, LZW
+             -- compressed, interlace rotating on id parity) of constant
+             -- index c = id % 16 over the palette entry
+             -- (16c+1, 8c+3, 4c+7): every pixel is that RGB triple, so
+             -- the mean is their average exactly (the sum is divisible
+             -- by... not necessarily — /3 rounds identically in IEEE on
+             -- both sides, 6dp-rounded)
+             round(CAST((16 * (CAST(doc_id AS BIGINT) % 16) + 1)
+                        + (8 * (CAST(doc_id AS BIGINT) % 16) + 3)
+                        + (4 * (CAST(doc_id AS BIGINT) % 16) + 7)
+                        AS DOUBLE) / 3, 6) AS gif_mean,
              round(CAST(1000 * (1 + CAST(doc_id AS BIGINT) % 7) AS DOUBLE)
                    / 44100, 6) AS flac_duration,
              round(CAST(960 * (1 + CAST(doc_id AS BIGINT) % 5) AS DOUBLE)
@@ -2409,7 +2420,7 @@ def _mm_features_oracle() -> str:
            jpg.jpg_format, jpg.jpg_width, jpg.jpg_height, jpg.jpg_channels,
            jpg.jpg_pixel_mean,
            xtr.bmp_mean, xtr.gif_frames, xtr.gif_width, xtr.gif_height,
-           xtr.flac_duration, xtr.opus_duration,
+           xtr.gif_mean, xtr.flac_duration, xtr.opus_duration,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
            aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
@@ -2448,8 +2459,9 @@ def _mm_features_oracle() -> str:
 # pure-Python decode_jpeg_pixels, rotating restart intervals, closed
 # form in the jpg CTE comment) — seven real-codec loops, one catalog
 # entry, catalog stays at the driver's 50-entry window. r12 adds the
-# crawl-format tier (BMP pixel round-trip, GIF block-walk frame count,
-# FLAC STREAMINFO duration, Ogg/Opus granule duration — xtr CTE) and
+# crawl-format tier (BMP pixel round-trip, GIF block-walk frame count
+# AND a real-LZW pixel mean, FLAC STREAMINFO duration, Ogg/Opus granule
+# duration — xtr CTE) and
 # rotates the
 # JPEG tier between baseline (even ids) and progressive SOF2 (odd ids,
 # encode_jpeg_progressive: multi-scan spectral selection + successive
@@ -2620,6 +2632,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .multimodal.media import (
             encode_bmp,
             encode_flac_streaminfo,
+            encode_gif,
             encode_gif_skeleton,
             encode_ogg,
             parse_bmp,
@@ -2628,11 +2641,16 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_ogg,
         )
 
+        gif_pal = np.stack(
+            [16 * np.arange(16) + 1, 8 * np.arange(16) + 3,
+             4 * np.arange(16) + 7], axis=1
+        ).astype(np.uint8)
+
         for pdf in it:
             out = {
                 "media_id": [], "bmp_mean": [], "gif_frames": [],
-                "gif_width": [], "gif_height": [], "flac_duration": [],
-                "opus_duration": [],
+                "gif_width": [], "gif_height": [], "gif_mean": [],
+                "flac_duration": [], "opus_duration": [],
             }
             for mid in pdf["media_id"]:
                 mid = int(mid)
@@ -2645,6 +2663,17 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gif = parse_gif(
                     encode_gif_skeleton(7 + mid % 9, 3 + mid % 6,
                                         1 + mid % 4)
+                )
+                # late r12: real LZW pixels on live rows — constant
+                # index c over the arithmetic palette; interlace
+                # rotates on parity
+                gif_px = parse_gif(
+                    encode_gif(
+                        np.full((2 + mid % 3, 2 + mid % 4), mid % 16,
+                                np.uint8),
+                        gif_pal,
+                        interlace=bool(mid % 2),
+                    )
                 )
                 flac = parse_flac(
                     encode_flac_streaminfo(44100, 1 + mid % 2, 16,
@@ -2659,6 +2688,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["gif_frames"].append(gif["n_frames"])
                 out["gif_width"].append(gif["width"])
                 out["gif_height"].append(gif["height"])
+                out["gif_mean"].append(round(gif_px["pixel_mean"], 6))
                 out["flac_duration"].append(round(flac["duration_sec"], 6))
                 out["opus_duration"].append(round(opus["duration_sec"], 6))
             yield pd.DataFrame(out)
@@ -2666,7 +2696,8 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     xtr = media.select("media_id").mapInPandas(
         mk_crawl,
         "media_id long, bmp_mean double, gif_frames int, gif_width int, "
-        "gif_height int, flac_duration double, opus_duration double",
+        "gif_height int, gif_mean double, flac_duration double, "
+        "opus_duration double",
     )
 
     def mk_wav(it):
@@ -2730,6 +2761,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gif_frames",
             "gif_width",
             "gif_height",
+            "gif_mean",
             "flac_duration",
             "opus_duration",
             "audio_channels",

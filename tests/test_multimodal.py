@@ -678,6 +678,56 @@ def test_gif_bmp_webp_metadata():
         parse_webp(vp8.replace(b"\x9d\x01\x2a", b"\x00\x00\x00"))
 
 
+def test_gif_pixel_decode():
+    """late r12: the GIF first-frame pixel tier — real variable-width
+    LZW (width growth to 12 bits, table-full reset, the KwKwK
+    first-unseen-code case), 4-pass interlace row order, palette
+    expansion, sub-255-block chunking; the structure-only skeleton
+    stays metadata-tier."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        encode_gif,
+        encode_gif_skeleton,
+        parse_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    # raw LZW round-trips: tiny, width-growth, 4096-reset, KwKwK runs
+    for n, alpha, mc in ((10, 4, 2), (5000, 4, 2), (100000, 256, 8),
+                         (300000, 8, 3), (1, 2, 2), (0, 2, 2)):
+        data = rng.integers(0, alpha, n, dtype=np.uint8).tobytes()
+        assert _gif_lzw_decode(_gif_lzw_encode(data, mc), mc, n) == data
+    data = b"\x01\x01" * 50000  # degenerate run: KwKwK every other code
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data)) == data
+
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    for h, w in ((1, 1), (7, 5), (40, 33), (16, 16)):
+        for inter in (False, True):
+            idx = rng.integers(0, 16, (h, w), np.uint8)
+            m = parse_gif(encode_gif(idx, pal, interlace=inter))
+            assert m["n_frames"] == 1
+            assert np.array_equal(m["pixels"], pal[idx])
+            assert m["pixel_mean"] == float(pal[idx].mean())
+    pal256 = rng.integers(0, 256, (256, 3), np.uint8)
+    idx = rng.integers(0, 256, (30, 30), np.uint8)
+    assert np.array_equal(
+        parse_gif(encode_gif(idx, pal256))["pixels"], pal256[idx]
+    )
+    # 2-entry palette: GIF's LZW floor clamps min_code to 2
+    idx = rng.integers(0, 2, (12, 9), np.uint8)
+    assert np.array_equal(
+        parse_gif(encode_gif(idx, pal[:2]))["pixels"], pal[:2][idx]
+    )
+    # the fake-LZW skeleton degrades to metadata, frame count intact
+    m = parse_gif(encode_gif_skeleton(9, 7, 3))
+    assert m["n_frames"] == 3 and m["pixels"] is None
+    # truncated LZW data: metadata tier, not a throw
+    full = encode_gif(rng.integers(0, 16, (20, 20), np.uint8), pal)
+    m = parse_gif(full[:40] + b"\x00\x3b")
+    assert m["pixels"] is None and (m["width"], m["height"]) == (20, 20)
+
+
 def test_flac_ogg_metadata():
     """r12: FLAC STREAMINFO bit unpacking (20-bit rate, 3-bit channels,
     5-bit depth, 36-bit total samples → exact duration) and Ogg page
