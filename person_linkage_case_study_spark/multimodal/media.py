@@ -226,7 +226,14 @@ def encode_png(
     )
 
 
-def parse_png(payload: bytes) -> dict:
+# the crawl kernel's PNG pixel-tier cap (late r12): PNG decode is
+# numpy-vectorized so the budget is MEMORY, not CPU — 64M pixels is a
+# ~192 MB RGB plane, the most one crawl row may allocate; decode_image
+# (the explicit API) passes None and decodes any size
+PNG_CRAWL_PIXEL_LIMIT = 1 << 26
+
+
+def parse_png(payload: bytes, max_pixels: int | None = None) -> dict:
     """Pure-Python PNG decode: IHDR metadata always; the full pixel
     array (zlib inflate + all five scanline filters per the PNG spec,
     9.2) and its mean for EVERY legal depth/layout (r12 — r9 decoded
@@ -288,21 +295,33 @@ def parse_png(payload: bytes) -> dict:
         # parse_wav's degenerate-fmt guards and stay metadata-only
         or width == 0
         or height == 0
+        or (max_pixels is not None and width * height > max_pixels)
     ):
         return meta  # metadata-only tier
-    raw = zlib.decompress(bytes(idat))
     bpp = max(1, channels * bit_depth // 8)
-    out_dtype = np.uint16 if bit_depth == 16 else np.uint8
-    full = np.zeros((height, width, channels), dtype=out_dtype)
-    p = 0
+    passes = []
+    expected = 0
     for x0, y0, dx, dy in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
         pw = (width - x0 + dx - 1) // dx
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue  # empty Adam7 pass carries no bytes (spec 8.2)
         stride = (pw * channels * bit_depth + 7) // 8
-        if len(raw) - p < ph * (1 + stride):
-            raise ValueError("PNG IDAT shorter than the scanline geometry")
+        passes.append((x0, y0, dx, dy, pw, ph, stride))
+        expected += ph * (1 + stride)
+    # inflate AT MOST the scanline geometry's bytes (late r12): a
+    # crafted 4 MB IDAT can zlib-inflate ~1000x, and a lying 65535x65535
+    # IHDR would otherwise size the output canvas before any length
+    # check ran — cap the decompress at `expected` and reject short
+    # streams BEFORE allocating pixels, so a decompression bomb costs
+    # its compressed size, not its claimed one
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
+    if len(raw) < expected:
+        raise ValueError("PNG IDAT shorter than the scanline geometry")
+    out_dtype = np.uint16 if bit_depth == 16 else np.uint8
+    full = np.zeros((height, width, channels), dtype=out_dtype)
+    p = 0
+    for x0, y0, dx, dy, pw, ph, stride in passes:
         rows, p = _png_defilter(raw, p, ph, stride, bpp)
         if bit_depth == 16:
             r = rows.reshape(ph, pw * channels, 2).astype(np.uint16)
@@ -1779,8 +1798,15 @@ def parse_gif(payload: bytes) -> dict:
         or width == 0
         or height == 0
         or not 2 <= first[6] <= 11
+        # the LZW loop is Python-per-code and the canvas allocates at
+        # HEADER-claimed dims: cap the pixel tier like the JPEG crawl
+        # path (late r12) — a lying 65535x65535 descriptor must cost
+        # nothing, and a genuinely huge GIF stays metadata-only here
+        # (PIL on a real cluster for those)
+        or width * height > PURE_JPEG_PIXEL_LIMIT
+        or first[2] * first[3] > PURE_JPEG_PIXEL_LIMIT
     ):
-        return meta  # metadata-only tier (no frame / no palette)
+        return meta  # metadata-only tier (no frame / palette / too big)
     left, top, fw, fh, interlaced, pal_bytes, min_code, data = first
     try:
         idx = np.frombuffer(
@@ -2049,7 +2075,7 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 try:
                     if b[:8] == _PNG_SIG:
-                        m = parse_png(b)
+                        m = parse_png(b, max_pixels=PNG_CRAWL_PIXEL_LIMIT)
                     elif b[:3] == b"\xff\xd8\xff":
                         m = parse_jpeg(b)
                     elif b[:6] in (b"GIF87a", b"GIF89a"):

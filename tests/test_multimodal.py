@@ -1178,7 +1178,13 @@ def test_jpeg_round_trip_property(h, w, color, sub, ri, seed):
     elif sub == "4:4:4":
         assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
     else:
-        assert abs(float(out.mean()) - float(px.mean())) < 1.5
+        # chroma box-averaging error is a few units per pixel and only
+        # sqrt-cancels over random content: a 1x4 image showed a 1.67
+        # whole-image mean diff on byte-identical r11/r12 outputs (late
+        # r12 — the flat 1.5 bound was never sampled that small before)
+        assert abs(float(out.mean()) - float(px.mean())) < max(
+            1.5, 12.0 / (h * w) ** 0.5
+        )
 
 
 @settings(max_examples=40, deadline=None)
