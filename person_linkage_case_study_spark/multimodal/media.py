@@ -3179,6 +3179,195 @@ def resize_images(media: DataFrame, scale: int = 2) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
 
 
+def parse_mp4(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV/3GP/M4A) metadata parse (late r12): walk the
+    box tree — ftyp major brand, mvhd timescale/duration → exact
+    duration, per-trak tkhd presentation dims and hdlr handler type →
+    video/audio track counts and the first video track's width/height.
+    Pure structure walk (64-bit largesize boxes handled, unknown boxes
+    skipped by size); no codec decode — sample data stays opaque, which
+    is the documented video tier. A truncated tail keeps whatever boxes
+    parsed whole; ValueError only when no ftyp/moov structure exists."""
+    n = len(payload)
+    if n < 8:
+        raise ValueError("not an ISO-BMFF file (too short)")
+
+    def boxes(start: int, end: int):
+        p = start
+        while p + 8 <= end:
+            (size,) = struct.unpack(">I", payload[p : p + 4])
+            tag = payload[p + 4 : p + 8]
+            body = p + 8
+            if size == 1:  # 64-bit largesize
+                if p + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", payload[p + 8 : p + 16])
+                body = p + 16
+            elif size == 0:  # box extends to EOF
+                size = end - p
+            if size < 8 or p + size > end:
+                return  # truncated / corrupt: keep the parsed prefix
+            yield tag, body, p + size
+            p += size
+
+    brand = None
+    duration = None
+    width = height = None
+    n_video = n_audio = 0
+    found_moov = False
+    for tag, body, bend in boxes(0, n):
+        if tag == b"ftyp" and bend - body >= 4:
+            brand = payload[body : body + 4].decode("ascii", "replace").strip()
+        elif tag == b"moov":
+            found_moov = True
+            for t2, b2, e2 in boxes(body, bend):
+                if t2 == b"mvhd" and e2 - b2 >= 20:
+                    version = payload[b2]
+                    if version == 1 and e2 - b2 >= 28:
+                        ts = int.from_bytes(payload[b2 + 20 : b2 + 24], "big")
+                        dur = int.from_bytes(payload[b2 + 24 : b2 + 32], "big")
+                    else:
+                        ts = int.from_bytes(payload[b2 + 12 : b2 + 16], "big")
+                        dur = int.from_bytes(payload[b2 + 16 : b2 + 20], "big")
+                    if ts:
+                        duration = dur / ts
+                elif t2 == b"trak":
+                    handler = None
+                    tw = th = None
+                    for t3, b3, e3 in boxes(b2, e2):
+                        if t3 == b"tkhd" and e3 - b3 >= 84:
+                            # width/height: 16.16 fixed point, last 8
+                            # bytes of the box (same offset both versions
+                            # counted from the END)
+                            tw = int.from_bytes(payload[e3 - 8 : e3 - 5], "big")
+                            th = int.from_bytes(payload[e3 - 4 : e3 - 1], "big")
+                            tw, th = tw >> 8, th >> 8
+                        elif t3 == b"mdia":
+                            for t4, b4, e4 in boxes(b3, e3):
+                                if t4 == b"hdlr" and e4 - b4 >= 12:
+                                    handler = payload[b4 + 8 : b4 + 12]
+                    if handler == b"vide":
+                        n_video += 1
+                        if width is None and tw:
+                            width, height = tw, th
+                    elif handler == b"soun":
+                        n_audio += 1
+    if brand is None and not found_moov:
+        raise ValueError("no ISO-BMFF structure (missing ftyp and moov)")
+    return {
+        "format": "mp4",
+        "brand": brand,
+        "duration_sec": duration,
+        "width": width,
+        "height": height,
+        "n_video_tracks": n_video,
+        "n_audio_tracks": n_audio,
+    }
+
+
+def encode_mp4_skeleton(
+    *,
+    brand: str = "isom",
+    timescale: int = 1000,
+    duration: int = 0,
+    video_dims: "tuple[int, int] | None" = None,
+    n_audio_tracks: int = 0,
+) -> bytes:
+    """Structure-valid ISO-BMFF fixture (late r12) — the test
+    counterpart of :func:`parse_mp4`: ftyp + moov(mvhd + one trak per
+    declared track with tkhd dims and a vide/soun hdlr); no sample
+    data, nothing decodable (same contract as the other skeletons)."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    def trak(handler: bytes, w: int = 0, h: int = 0) -> bytes:
+        tkhd = box(
+            b"tkhd",
+            b"\x00" * 76 + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+        return box(b"trak", tkhd + box(b"mdia", hdlr))
+
+    mvhd = box(
+        b"mvhd", b"\x00" * 12 + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80
+    )
+    traks = b""
+    if video_dims is not None:
+        traks += trak(b"vide", *video_dims)
+    for _ in range(n_audio_tracks):
+        traks += trak(b"soun")
+    return (
+        box(b"ftyp", brand.encode("ascii") + b"\x00\x00\x02\x00isommp41")
+        + box(b"moov", mvhd + traks)
+    )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_video_tracks", T.IntegerType()),
+        T.StructField("n_audio_tracks", T.IntegerType()),
+    ]
+)
+
+
+def extract_video_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas ISO-BMFF metadata over payload batches (late r12):
+    duration / dims / track counts for MP4-family containers, NULL
+    columns for anything else — the video leg of the image/audio
+    kernels, same crawl-garbage contract. Sample decode is out of scope
+    by design (codec licensing and library weight belong to a real
+    cluster's PIL/ffmpeg tier); :func:`sample_frames` provides the
+    frame-sampling plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                m = None
+                if len(b) >= 12 and b[4:8] in (b"ftyp", b"moov", b"mdat"):
+                    try:
+                        m = parse_mp4(b)
+                    except Exception:
+                        m = None
+                if m is None:
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None)
+                    )
+                else:
+                    rows.append(
+                        (
+                            media_id,
+                            m["format"],
+                            m["brand"],
+                            m["duration_sec"],
+                            m["width"],
+                            m["height"],
+                            m["n_video_tracks"],
+                            m["n_audio_tracks"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "brand", "duration_sec", "width",
+                    "height", "n_video_tracks", "n_audio_tracks",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, VIDEO_META_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
     """Frame-sampling plumbing: emit (media_id, frame_idx, frame_payload)
     rows by slicing the payload — the partitioning/explode shape of real

@@ -764,6 +764,80 @@ def test_flac_ogg_metadata():
         parse_ogg(junk)
 
 
+def test_mp4_metadata():
+    """late r12: ISO-BMFF box walk — mvhd timescale/duration to exact
+    seconds (both mvhd versions share the v0 offsets used here),
+    per-trak tkhd 16.16 dims + hdlr handler classification, 64-bit
+    largesize tolerance, truncation keeping the parsed prefix."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    m = parse_mp4(
+        encode_mp4_skeleton(brand="mp42", timescale=600, duration=7200,
+                            video_dims=(1920, 1080), n_audio_tracks=2)
+    )
+    assert m["duration_sec"] == 12.0
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert (m["n_video_tracks"], m["n_audio_tracks"]) == (1, 2)
+    assert m["brand"] == "mp42"
+
+    # audio-only container (M4A shape): no dims, no video tracks
+    m = parse_mp4(
+        encode_mp4_skeleton(brand="M4A ", timescale=44100, duration=441000,
+                            n_audio_tracks=1)
+    )
+    assert m["duration_sec"] == 10.0 and m["width"] is None
+    assert (m["n_video_tracks"], m["n_audio_tracks"]) == (0, 1)
+
+    # a box rewritten to 64-bit largesize still walks
+    full = bytearray(
+        encode_mp4_skeleton(video_dims=(640, 480), timescale=1000,
+                            duration=5000)
+    )
+    i = full.index(b"moov") - 4
+    size = struct.unpack(">I", full[i : i + 4])[0]
+    large = (
+        b"\x00\x00\x00\x01" + b"moov" + struct.pack(">Q", size + 8)
+        + full[i + 8 : i + size]
+    )
+    m = parse_mp4(bytes(full[:i]) + large)
+    assert m["duration_sec"] == 5.0 and m["width"] == 640
+
+    # truncation mid-moov keeps the ftyp prefix; pure garbage raises
+    m = parse_mp4(bytes(full[:30]))
+    assert m["brand"] == "isom" and m["duration_sec"] is None
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        parse_mp4(b"\x00" * 40)
+
+
+def test_extract_video_meta_spark(spark):
+    """The video kernel over Spark: MP4-family rows land with duration /
+    dims / track counts, non-video payloads NULL out."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp4_skeleton,
+        extract_video_meta,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mp4_skeleton(
+                timescale=1000, duration=2500, video_dims=(320, 240),
+                n_audio_tracks=1))),
+            (2, bytearray(b"RIFFxxxxWAVE")),
+            (3, bytearray(b"\x00\x00\x00\x08ftyp")),  # truncated ftyp
+            (4, None),
+        ],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in extract_video_meta(media).collect()}
+    assert rows[1]["duration_sec"] == 2.5 and rows[1]["width"] == 320
+    assert rows[1]["n_audio_tracks"] == 1
+    assert rows[2]["format"] is None and rows[4]["format"] is None
+
+
 def test_extract_meta_new_formats_spark(spark):
     """The widened kernels over Spark: GIF/BMP/WebP rows land with real
     metadata (BMP with a real pixel mean, GIF with its frame count),
@@ -806,7 +880,8 @@ def test_extract_meta_new_formats_spark(spark):
 @settings(max_examples=120, deadline=None)
 @given(
     kind=st.sampled_from(
-        ["gif", "bmp", "webp", "flac", "ogg", "mp3", "wav", "jpeg", "png"]
+        ["gif", "bmp", "webp", "flac", "ogg", "mp3", "wav", "jpeg", "png",
+         "mp4"]
     ),
     mode=st.sampled_from(["junk", "truncate", "mutate"]),
     seed=st.integers(0, 2**31 - 1),
@@ -824,12 +899,14 @@ def test_media_parser_fuzz(kind, mode, seed):
         encode_gif_skeleton,
         encode_jpeg_progressive,
         encode_mp3_frames,
+        encode_mp4_skeleton,
         encode_ogg,
         parse_bmp,
         parse_flac,
         parse_gif,
         parse_jpeg,
         parse_mp3,
+        parse_mp4,
         parse_ogg,
         parse_webp,
     )
@@ -840,11 +917,13 @@ def test_media_parser_fuzz(kind, mode, seed):
         "flac": b"fLaC", "ogg": b"OggS", "mp3": b"\xff\xfb",
         "wav": b"RIFF\x20\x00\x00\x00WAVE", "jpeg": b"\xff\xd8\xff",
         "png": b"\x89PNG\r\n\x1a\n",
+        "mp4": b"\x00\x00\x00\x14ftypisom",
     }[kind]
     parser = {
         "gif": parse_gif, "bmp": parse_bmp, "webp": parse_webp,
         "flac": parse_flac, "ogg": parse_ogg, "mp3": parse_mp3,
         "wav": parse_wav, "jpeg": parse_jpeg, "png": parse_png,
+        "mp4": parse_mp4,
     }[kind]
     if mode == "junk":
         payload = magic + rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
@@ -870,6 +949,9 @@ def test_media_parser_fuzz(kind, mode, seed):
             ),
             "png": lambda: encode_png(
                 rng.integers(0, 256, (6, 5, 3), np.uint8)
+            ),
+            "mp4": lambda: encode_mp4_skeleton(
+                timescale=1000, duration=4000, video_dims=(64, 48)
             ),
         }[kind]()
         if mode == "truncate":
