@@ -434,17 +434,33 @@ def parse_jpeg(payload: bytes) -> dict:
     JPEGs are progressive) also the full pixel array and its mean via
     the pure-Python decoder below. Arithmetic-coded, 12-bit, CMYK and
     other exotic layouts stay metadata-only (``pixels`` /
-    ``pixel_mean`` None) — wire PIL for those on a real cluster."""
+    ``pixel_mean`` None) — wire PIL for those on a real cluster.
+
+    late r12: an APP1 Exif segment ahead of the SOF contributes
+    ``orientation`` / ``exif_make`` / ``exif_model`` / ``exif_datetime``
+    / ``has_gps`` (see :func:`parse_exif` — GPS presence only, never
+    coordinates); corrupt EXIF degrades those fields to their
+    defaults, never the whole parse."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (bad SOI)")
     i = 2
     n = len(payload)
+    exif = {"orientation": None, "make": None, "model": None,
+            "datetime": None, "has_gps": False}
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[i + 1]
         if marker == 0xFF:  # fill byte
             i += 1
+            continue
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            try:
+                exif = parse_exif(payload[i + 10 : i + 2 + seglen])
+            except (ValueError, IndexError):
+                pass  # corrupt EXIF: keep defaults, keep parsing
+            i += 2 + seglen
             continue
         if marker in _SOF_MARKERS:
             meta = {
@@ -453,6 +469,11 @@ def parse_jpeg(payload: bytes) -> dict:
                 "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
                 "channels": payload[i + 9],
                 "bit_depth": payload[i + 4],
+                "orientation": exif["orientation"],
+                "exif_make": exif["make"],
+                "exif_model": exif["model"],
+                "exif_datetime": exif["datetime"],
+                "has_gps": exif["has_gps"],
                 "pixels": None,
                 "pixel_mean": None,
             }
@@ -469,6 +490,121 @@ def parse_jpeg(payload: bytes) -> dict:
         (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
         i += 2 + seglen
     raise ValueError("JPEG missing SOF header")
+
+
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def parse_exif(tiff: bytes) -> dict:
+    """EXIF IFD0 parse (late r12) from the TIFF blob inside a JPEG APP1
+    segment: orientation (tag 0x0112 — required to interpret dims on
+    phone-camera crawls), Make/Model/DateTime text, and ``has_gps``
+    (the 0x8825 GPS-IFD pointer's PRESENCE — a PII signal image
+    curation filters on; the coordinates themselves are deliberately
+    not extracted). Both byte orders; inline and offset values; corrupt
+    entries are skipped, a corrupt header raises ValueError."""
+    if tiff[:4] in (b"II*\x00",):
+        bo = "little"
+    elif tiff[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF header")
+
+    def num(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    out = {
+        "orientation": None,
+        "make": None,
+        "model": None,
+        "datetime": None,
+        "has_gps": False,
+    }
+    ifd = num(tiff[4:8])
+    if ifd + 2 > len(tiff):
+        return out
+    count = num(tiff[ifd : ifd + 2])
+    text_tags = {0x010F: "make", 0x0110: "model", 0x0132: "datetime"}
+    for i in range(count):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(tiff):
+            break
+        tag = num(tiff[e : e + 2])
+        typ = num(tiff[e + 2 : e + 4])
+        n = num(tiff[e + 4 : e + 8])
+        size = _EXIF_TYPE_SIZES.get(typ, 0) * n
+        if size == 0 or size > 1 << 16:
+            continue  # unknown type / absurd count: skip the entry
+        if size <= 4:
+            raw = tiff[e + 8 : e + 8 + size]
+        else:
+            off = num(tiff[e + 8 : e + 12])
+            raw = tiff[off : off + size]
+            if len(raw) < size:
+                continue
+        if tag == 0x0112 and typ == 3 and n >= 1:
+            out["orientation"] = num(raw[:2])
+        elif tag == 0x8825:
+            out["has_gps"] = True
+        elif tag in text_tags and typ == 2:
+            out[text_tags[tag]] = (
+                raw.split(b"\x00", 1)[0].decode("ascii", "replace").strip()
+                or None
+            )
+    return out
+
+
+def encode_exif_app1(
+    *,
+    orientation: int | None = None,
+    make: str | None = None,
+    gps: bool = False,
+    byte_order: str = "little",
+) -> bytes:
+    """APP1 Exif segment body fixture (``Exif\\0\\0`` + TIFF IFD0) — the
+    test counterpart of :func:`parse_exif`; pass it to
+    :func:`splice_app1` or hand-build the JPEG wrapper in tests."""
+    bo = byte_order
+    entries = []
+    tail = b""
+    tail_base = None  # patched once the IFD size is known
+
+    def ent(tag: int, typ: int, n: int, value: bytes) -> bytes:
+        v = value + b"\x00" * (4 - len(value)) if len(value) <= 4 else value
+        return (
+            tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + n.to_bytes(4, bo) + v
+        )
+
+    if orientation is not None:
+        entries.append(ent(0x0112, 3, 1, orientation.to_bytes(2, bo)))
+    if make is not None:
+        data = make.encode("ascii") + b"\x00"
+        if len(data) <= 4:
+            entries.append(ent(0x010F, 2, len(data), data))
+        else:
+            entries.append((0x010F, 2, len(data), data))  # offset later
+    if gps:
+        entries.append(ent(0x8825, 4, 1, (8).to_bytes(4, bo)))
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    tail_base = 8 + ifd_size
+    body = b""
+    for x in entries:
+        if isinstance(x, tuple):
+            tag, typ, cnt, data = x
+            body += (
+                tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                + cnt.to_bytes(4, bo) + (tail_base + len(tail)).to_bytes(4, bo)
+            )
+            tail += data
+        else:
+            body += x
+    header = b"II*\x00" if bo == "little" else b"MM\x00*"
+    tiff = (
+        header + (8).to_bytes(4, bo) + n.to_bytes(2, bo) + body
+        + (0).to_bytes(4, bo) + tail
+    )
+    return b"Exif\x00\x00" + tiff
 
 
 # parse_jpeg's pure-Python pixel tier is bit-serial Huffman (~seconds per
@@ -2051,6 +2187,11 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("bit_depth", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),  # r12: GIFs animate
+        # late r12, from JPEG EXIF (NULL elsewhere): orientation to
+        # interpret dims on phone-camera crawls; GPS PRESENCE as the
+        # PII curation signal (coordinates deliberately not extracted)
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("has_gps", T.BooleanType()),
         T.StructField("pixel_mean", T.DoubleType()),
     ]
 )
@@ -2094,9 +2235,7 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                     # never a thrown stage
                     m = None
                 if m is None:
-                    rows.append(
-                        (media_id, None, None, None, None, None, None, None)
-                    )
+                    rows.append((media_id,) + (None,) * 9)
                 else:
                     rows.append(
                         (
@@ -2107,6 +2246,8 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                             m["channels"],
                             m["bit_depth"],
                             m.get("n_frames", 1),
+                            m.get("orientation"),
+                            m.get("has_gps"),
                             m["pixel_mean"],
                         )
                     )
@@ -2114,7 +2255,8 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
                 rows,
                 columns=[
                     "media_id", "format", "width", "height", "channels",
-                    "bit_depth", "n_frames", "pixel_mean",
+                    "bit_depth", "n_frames", "orientation", "has_gps",
+                    "pixel_mean",
                 ],
             )
 

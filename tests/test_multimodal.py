@@ -1141,6 +1141,50 @@ def test_mp3_crawl_hardening():
     assert m["n_frames"] == 2
 
 
+def test_jpeg_exif():
+    """late r12: APP1 EXIF — orientation (the tag phone-camera crawls
+    need to interpret dims), Make/Model text (inline and offset values),
+    and GPS-IFD PRESENCE as a PII curation signal (coordinates are
+    deliberately not extracted), both byte orders; corrupt EXIF keeps
+    its defaults without sinking the JPEG parse; the Spark kernel
+    carries orientation/has_gps columns."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_exif_app1,
+        encode_jpeg_baseline,
+        parse_exif,
+    )
+
+    img = np.full((8, 8), 90, np.uint8)
+    base = encode_jpeg_baseline(img)
+
+    def with_app1(app1):
+        return (
+            base[:2] + b"\xff\xe1" + struct.pack(">H", len(app1) + 2)
+            + app1 + base[2:]
+        )
+
+    for bo in ("little", "big"):
+        m = parse_jpeg(with_app1(encode_exif_app1(
+            orientation=6, make="TestCam Industries", gps=True,
+            byte_order=bo,
+        )))
+        assert m["orientation"] == 6 and m["has_gps"] is True
+        assert m["exif_make"] == "TestCam Industries"  # offset-stored text
+        assert m["pixel_mean"] == 90.0  # EXIF never blocks the pixel tier
+
+    m = parse_jpeg(with_app1(encode_exif_app1(make="Zed", byte_order="big")))
+    assert m["exif_make"] == "Zed"  # inline (<= 4 byte) text value
+    assert m["orientation"] is None and m["has_gps"] is False
+
+    # corrupt TIFF header inside APP1: defaults, parse survives
+    m = parse_jpeg(with_app1(b"Exif\x00\x00IIxxxxxxxx"))
+    assert m["orientation"] is None and m["pixel_mean"] == 90.0
+    # no EXIF at all
+    assert parse_jpeg(base)["has_gps"] is False
+    with pytest.raises(ValueError, match="TIFF"):
+        parse_exif(b"XXXXXXXX")
+
+
 def test_jpeg_pixel_tier_degradation():
     """r12 (r11 advisor): truncated segment bodies (short DRI →
     struct.error, short SOS component list → IndexError) degrade
