@@ -2178,6 +2178,52 @@ def decode_image(payload: bytes):
     return Image.open(io.BytesIO(payload))
 
 
+def _parse_any_image(b: bytes) -> "dict | None":
+    """Signature-dispatch image parse shared by the meta kernel and the
+    one-pass profile kernel: the format's parse_* (with decoded pixels
+    where the pure tier covers it), or None under the crawl-garbage
+    contract — a valid signature with corrupt innards raises whatever
+    the codec hit (zlib.error on a bad IDAT, struct.error on a
+    truncated header — advisor probe, r10); ANY decode failure means
+    NULL columns, never a thrown stage."""
+    try:
+        if b[:8] == _PNG_SIG:
+            return parse_png(b, max_pixels=PNG_CRAWL_PIXEL_LIMIT)
+        if b[:3] == b"\xff\xd8\xff":
+            return parse_jpeg(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return parse_gif(b)
+        if b[:2] == b"BM":
+            return parse_bmp(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            return parse_webp(b)
+        return None
+    except Exception:
+        return None
+
+
+def _byte_features(b: bytes) -> tuple:
+    """Deterministic byte-level features (entropy / rolling head hash /
+    16-dim normalized histogram embedding) shared by
+    :func:`extract_media_features` and the one-pass profile kernel."""
+    import numpy as np
+
+    n = len(b)
+    if not n:
+        return 0, 0.0, 0, [0.0] * 16
+    arr = np.frombuffer(b, dtype=np.uint8)
+    hist = np.bincount(arr, minlength=256).astype(np.float64)
+    p = hist / n
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    head = 0
+    for x in b[:64]:
+        head = (head * 31 + x) % 1_000_000_007
+    vec16 = hist.reshape(16, 16).sum(axis=1)
+    denom = float(np.linalg.norm(vec16)) or 1.0
+    return n, entropy, head, (vec16 / denom).tolist()
+
+
 IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -2214,26 +2260,7 @@ def extract_image_meta(media: DataFrame) -> DataFrame:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                try:
-                    if b[:8] == _PNG_SIG:
-                        m = parse_png(b, max_pixels=PNG_CRAWL_PIXEL_LIMIT)
-                    elif b[:3] == b"\xff\xd8\xff":
-                        m = parse_jpeg(b)
-                    elif b[:6] in (b"GIF87a", b"GIF89a"):
-                        m = parse_gif(b)
-                    elif b[:2] == b"BM":
-                        m = parse_bmp(b)
-                    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-                        m = parse_webp(b)
-                    else:
-                        m = None
-                except Exception:
-                    # crawl-garbage contract: a valid signature with corrupt
-                    # innards raises whatever the codec hit (zlib.error on a
-                    # bad IDAT, struct.error on a truncated header — advisor
-                    # probe, r10); ANY decode failure means NULL columns,
-                    # never a thrown stage
-                    m = None
+                m = _parse_any_image(b)
                 if m is None:
                     rows.append((media_id,) + (None,) * 9)
                 else:
@@ -3191,29 +3218,11 @@ def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> D
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
-        import numpy as np
-
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                n = len(b)
-                if n:
-                    arr = np.frombuffer(b, dtype=np.uint8)
-                    hist = np.bincount(arr, minlength=256).astype(np.float64)
-                    p = hist / n
-                    nz = p[p > 0]
-                    entropy = float(-(nz * np.log2(nz)).sum())
-                    head = 0
-                    for x in b[:64]:
-                        head = (head * 31 + x) % 1_000_000_007
-                    vec16 = hist.reshape(16, 16).sum(axis=1)
-                    denom = float(np.linalg.norm(vec16)) or 1.0
-                    feat = (vec16 / denom).tolist()
-                else:
-                    entropy, head, feat = 0.0, 0, [0.0] * 16
+                n, entropy, head, feat = _byte_features(b)
                 rows.append((media_id, n, entropy, head, feat))
             yield pd.DataFrame(
                 rows,
@@ -3221,6 +3230,76 @@ def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> D
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+IMAGE_PROFILE_SCHEMA = T.StructType(
+    list(IMAGE_META_SCHEMA)
+    + [f for f in FEATURE_SCHEMA if f.name != "media_id"]
+    + [
+        T.StructField("phash", T.LongType()),
+        T.StructField("phash256", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def extract_image_profile(media: DataFrame) -> DataFrame:
+    """ONE mapInPandas pass emitting everything the curation pipeline
+    wants per image row: the :data:`IMAGE_META_SCHEMA` columns, the
+    byte-level features of :func:`extract_media_features`, and BOTH
+    perceptual hashes (64- and 256-bit — ``multimodal/phash.py``).
+
+    r13, closes the r12 advisor nit: chaining ``extract_image_meta`` +
+    ``extract_media_features`` + ``attach_phash`` decodes every payload
+    up to three times, and the decode IS ~all the cost at crawl scale.
+    Here each payload is parsed ONCE (:func:`_parse_any_image`), the
+    luma plane is built once, and one 32x32 DCT low block serves both
+    hash widths (the 64-bit hash thresholds the block's 8x8 corner at
+    that corner's own median — bit-identical to :func:`phash64` by
+    construction, pinned in tests). NULL columns for undecodable
+    payloads, same crawl-garbage contract as every kernel here."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .phash import _low_dct_block, _bits_to_words, gray_plane
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n, entropy, head, feat = _byte_features(b)
+                m = _parse_any_image(b)
+                meta = (
+                    (None,) * 9
+                    if m is None
+                    else (
+                        m["format"], m["width"], m["height"], m["channels"],
+                        m["bit_depth"], m.get("n_frames", 1),
+                        m.get("orientation"), m.get("has_gps"),
+                        m["pixel_mean"],
+                    )
+                )
+                h64 = h256 = None
+                px = m.get("pixels") if m is not None else None
+                if px is not None and px.size:
+                    blk = _low_dct_block(gray_plane(px), 16)
+                    small = blk[:8, :8]
+                    h64 = _bits_to_words(
+                        (small > float(np.median(small))).reshape(-1)
+                    )[0]
+                    h256 = _bits_to_words(
+                        (blk > float(np.median(blk))).reshape(-1)
+                    )
+                rows.append(
+                    (media_id,) + meta + (n, entropy, head, feat, h64, h256)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_PROFILE_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, IMAGE_PROFILE_SCHEMA
+    )
 
 
 def box_downsample(pixels, scale: int):
@@ -3365,9 +3444,17 @@ def parse_mp4(payload: bytes) -> dict:
             for t2, b2, e2 in boxes(body, bend):
                 if t2 == b"mvhd" and e2 - b2 >= 20:
                     version = payload[b2]
-                    if version == 1 and e2 - b2 >= 28:
-                        ts = int.from_bytes(payload[b2 + 20 : b2 + 24], "big")
-                        dur = int.from_bytes(payload[b2 + 24 : b2 + 32], "big")
+                    if version == 1:
+                        # v1 layout needs 32 body bytes for timescale +
+                        # 64-bit duration; a shorter (truncated) v1 body
+                        # must NOT fall through to the v0 offsets — those
+                        # would read creation/modification-time bytes —
+                        # so it yields no duration at all (r13, ADVICE).
+                        if e2 - b2 >= 32:
+                            ts = int.from_bytes(payload[b2 + 20 : b2 + 24], "big")
+                            dur = int.from_bytes(payload[b2 + 24 : b2 + 32], "big")
+                        else:
+                            ts = dur = 0
                     else:
                         ts = int.from_bytes(payload[b2 + 12 : b2 + 16], "big")
                         dur = int.from_bytes(payload[b2 + 16 : b2 + 20], "big")

@@ -1,25 +1,51 @@
-"""Perceptual image hashing + near-duplicate detection (late r12).
+"""Perceptual image hashing + near-duplicate detection (r12, reworked r13).
 
 The image-side analog of the text dedup family (``dedup/minhash.py``):
-a 64-bit DCT perceptual hash per image payload, then an EXACT-recall
-banded self-join for hamming-distance near-dups — image dedup that
-survives re-encoding (PNG vs BMP vs baseline-vs-progressive JPEG of the
-same pixels hash identically or near-identically), brightness shifts,
-and resampling, the transformations crawl pipelines actually see.
+a DCT perceptual hash per image payload, then an EXACT-recall banded
+self-join for hamming-distance near-dups — image dedup that survives
+re-encoding (PNG vs BMP vs baseline-vs-progressive JPEG of the same
+pixels hash identically or near-identically), brightness shifts, and
+resampling, the transformations crawl pipelines actually see.
 
 Spark-first shape: hashing is one Arrow-batched ``mapInPandas`` pass
 over the payload column (the heavy work is the decoders already in
 :mod:`.media`); candidate generation is a BANDED equi-join — split the
-64 bits into ``max_distance + 1`` bands, join on (band index, band
-value). By pigeonhole, two hashes within hamming distance d ≤
+hash bits into ``max_distance + 1`` bands, join on (band index, band
+key). By pigeonhole, two hashes within hamming distance d ≤
 ``max_distance`` differ in at most d bands, so at least one of the
 d + 1 bands matches exactly: recall is 1.0 BY CONSTRUCTION, not
 probabilistic (unlike MinHash banding, whose S-curve only approaches
 it). The hamming filter itself is JVM-side ``bit_count(a ^ b)`` —
-whole-stage-codegen, no UDF. Pair volume is corpus-linear in the band
-buckets, never all-pairs; near-identical corpora (e.g. a million copies
-of one logo) concentrate in one bucket, which is the correct output
-size for that input, not a skew artifact.
+whole-stage-codegen, no UDF.
+
+**The candidate-volume model (r13 — corrects the r12 docstring, which
+claimed "corpus-linear" unconditionally).** On N hashes the banded
+self-join emits, per band of width w, ≈ N²/2^(w+1) candidate pairs
+when hashes are uniform (real pHashes are WORSE — natural images
+concentrate in hash space). Summed over d+1 bands the pre-filter
+volume is ≈ (d+1)·N²/2^(w+1): quadratic in N with the band width as
+the only brake. A 64-bit hash at the old default d=10 gives 5-6-bit
+bands (≤ 64 distinct keys per band) — ≈ 0.1·N², all-pairs in
+disguise. Two levers restore corpus-scale behavior, both provided
+here:
+
+- **Width** (:func:`phash256`, ``attach_phash(..., nbits=256)``): a
+  256-bit hash (16×16 low-frequency DCT block) makes d=10 bands
+  23 bits wide — ≈ 11·N²/2^24 ≈ N²/1.5M pre-filter pairs, 10⁵×
+  fewer than 64-bit d=10, while ranking MORE structure per image.
+- **A fail-fast volume guard** (the ``similarity/semdedup.py``
+  ``max_grid_tasks`` discipline): :func:`phash_near_dups` computes the
+  EXACT pre-filter candidate count — Σ over band buckets of
+  C(bucket, 2), one cheap aggregation over the (two-column) hash
+  frame — before building the join, and refuses with an error naming
+  the remedies (wider hash / smaller ``max_distance`` / explicit
+  higher ceiling) when it exceeds ``max_candidate_pairs``. A 100 TB
+  corpus dies loudly at plan time, not silently in a 10¹³-pair
+  shuffle.
+
+The 64-bit default ``max_distance`` is 3 accordingly (16-bit bands —
+the widest distance whose 64-bit banding stays sane); d up to 10
+belongs to the 256-bit hash.
 """
 
 from __future__ import annotations
@@ -34,9 +60,11 @@ from pyspark.sql import types as T
 from .media import _PNG_SIG, parse_bmp, parse_gif, parse_jpeg, parse_png
 
 #: downsample target and retained low-frequency block (the classic
-#: pHash geometry: 32x32 luma -> 2D DCT -> 8x8 low block -> median bits)
+#: pHash geometry: 32x32 luma -> 2D DCT -> low block -> median bits).
+#: 8x8 -> 64 bits; 16x16 -> 256 bits (the corpus-scale variant).
 _RESAMPLE = 32
 _LOWFREQ = 8
+_LOWFREQ_WIDE = 16
 
 
 def _dct_basis_n(n: int):
@@ -55,14 +83,10 @@ def _decode_gray(payload: bytes):
     """Decode any pixel-tier image format to a float64 luma plane, or
     None for metadata-only / corrupt payloads. 16-bit PNG scales to the
     8-bit range so the same pixels hash identically across depths."""
-    import numpy as np
-
     b = bytes(payload)
     try:
         if b[:8] == _PNG_SIG:
             px = parse_png(b)["pixels"]
-            if px is not None and px.dtype == np.uint16:
-                px = (px >> 8).astype(np.uint8)
         elif b[:3] == b"\xff\xd8\xff":
             px = parse_jpeg(b)["pixels"]
         elif b[:2] == b"BM":
@@ -73,8 +97,20 @@ def _decode_gray(payload: bytes):
             px = None
     except Exception:
         px = None  # crawl-garbage contract
-    if px is None:
-        return None
+    return None if px is None else gray_plane(px)
+
+
+def gray_plane(px):
+    """float64 luma plane from a decoded (h, w[, c]) pixel array —
+    shared by the standalone hashers and the one-pass combined
+    extractor (media.extract_image_profile), which decodes ONCE and
+    feeds the same pixels to metadata and pHash. 16-bit sources scale
+    to the 8-bit range so the same image hashes identically across
+    depths."""
+    import numpy as np
+
+    if px.dtype == np.uint16:
+        px = (px >> 8).astype(np.uint8)
     f = px.astype("float64")
     if f.ndim == 2:
         return f
@@ -84,32 +120,64 @@ def _decode_gray(payload: bytes):
     return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
 
 
-def phash64(payload: bytes):
-    """64-bit perceptual hash of an image payload, or None when no
-    pixel tier decodes it. Classic DCT pHash: nearest-sample the luma
-    plane to 32x32 (deterministic — no float resampling kernel to
-    disagree about), 2D DCT-II, keep the 8x8 low-frequency block,
-    threshold each coefficient at the block's median. Bit i (row-major,
-    MSB first) is 1 when coefficient i exceeds the median — a constant
-    shift in brightness moves only the DC coefficient, so near-identical
-    images land within a few bits."""
+def _low_dct_block(gray, low: int):
+    """Nearest-sample the luma plane to 32x32 (deterministic — no float
+    resampling kernel to disagree about), 2D DCT-II, return the
+    ``low x low`` low-frequency block."""
     import numpy as np
 
-    gray = _decode_gray(payload)
-    if gray is None or gray.size == 0:
-        return None
     h, w = gray.shape
     r = (np.arange(_RESAMPLE) * h) // _RESAMPLE
     c = (np.arange(_RESAMPLE) * w) // _RESAMPLE
     g = gray[np.ix_(r, c)]
     a = _dct_basis_n(_RESAMPLE)
-    low = (a @ g @ a.T)[:_LOWFREQ, :_LOWFREQ]
-    med = float(np.median(low))
-    bits = (low > med).reshape(-1)
-    out = 0
-    for bit in bits:
-        out = (out << 1) | int(bit)
-    return out - (1 << 64) if out >= (1 << 63) else out  # signed LongType
+    return (a @ g @ a.T)[:low, :low]
+
+
+def _bits_to_words(bits) -> list:
+    """Pack a row-major bit vector (MSB first) into signed int64 words
+    (np.packbits — the r12 Python-loop nit)."""
+    import numpy as np
+
+    words = np.packbits(bits).reshape(-1, 8)
+    out = []
+    for w in words:
+        v = int.from_bytes(w.tobytes(), "big")
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
+def phash_from_gray(gray, *, low: int = _LOWFREQ) -> "list | None":
+    """DCT pHash words from an already-decoded luma plane: threshold
+    each coefficient of the ``low x low`` block at the block's median.
+    Bit i (row-major, MSB first) is 1 when coefficient i exceeds the
+    median — a constant shift in brightness moves only the DC
+    coefficient, so near-identical images land within a few bits.
+    Returns ``low²/64`` signed int64 words, MSB-first."""
+    import numpy as np
+
+    if gray is None or gray.size == 0:
+        return None
+    blk = _low_dct_block(gray, low)
+    med = float(np.median(blk))
+    return _bits_to_words((blk > med).reshape(-1))
+
+
+def phash64(payload: bytes):
+    """64-bit perceptual hash of an image payload (8x8 low block), or
+    None when no pixel tier decodes it; one signed LongType value."""
+    w = phash_from_gray(_decode_gray(payload), low=_LOWFREQ)
+    return None if w is None else w[0]
+
+
+def phash256(payload: bytes):
+    """256-bit perceptual hash (16x16 low block) as four signed int64
+    words, MSB-first, or None when no pixel tier decodes it. The
+    corpus-scale variant: 4x the bits makes banded near-dup candidate
+    generation ~10⁵× sparser at d=10 (see the module volume model)
+    while retaining strictly more image structure than the 64-bit
+    hash."""
+    return phash_from_gray(_decode_gray(payload), low=_LOWFREQ_WIDE)
 
 
 PHASH_SCHEMA = T.StructType(
@@ -119,86 +187,221 @@ PHASH_SCHEMA = T.StructType(
     ]
 )
 
+PHASH256_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.ArrayType(T.LongType())),
+    ]
+)
 
-def attach_phash(media: DataFrame) -> DataFrame:
+
+def attach_phash(media: DataFrame, *, nbits: int = 64) -> DataFrame:
     """mapInPandas pHash over payload batches → (media_id, phash), NULL
-    for undecodable rows (the standard crawl-garbage contract)."""
+    for undecodable rows (the standard crawl-garbage contract).
+    ``nbits=64`` emits a LongType column; ``nbits=256`` an
+    array<long> of 4 words (the corpus-scale hash — see the module
+    volume model)."""
+    if nbits not in (64, 256):
+        raise ValueError(f"nbits must be 64 or 256, got {nbits}")
+    low = _LOWFREQ if nbits == 64 else _LOWFREQ_WIDE
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hashes = []
+
+        def one(p):
+            w = (
+                phash_from_gray(_decode_gray(bytes(p)), low=low)
+                if p is not None
+                else None
+            )
+            if w is None:
+                return None
+            return w[0] if nbits == 64 else w
+
         for pdf in it:
-            hashes = [
-                phash64(bytes(p)) if p is not None else None
-                for p in pdf["payload"]
-            ]
+            hashes = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, PHASH_SCHEMA
-    )
+    schema = PHASH_SCHEMA if nbits == 64 else PHASH256_SCHEMA
+    return media.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def _signed_mask(width: int) -> int:
+    m = (1 << width) - 1
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+def _band_key_expr(words_col: str, off: int, width: int):
+    """JVM-side expression packing hash bits [off, off+width) — global
+    bit 0 is the MSB of word 0 — into one long band key. Exact
+    (injective) packing whenever width ≤ 63; wider bands (only
+    max_distance ≤ 3 on the 256-bit hash) fold their word pieces with
+    xor-rotates, which can only ADD collisions — extra candidates the
+    bit_count filter removes, never a missed pair, so exact recall is
+    preserved either way. Pure shifts/and/xor: no overflow surface
+    under ANSI mode, whole-stage-codegen throughout."""
+    pieces = []
+    p = off
+    while p < off + width:
+        wi = p // 64
+        start = p % 64  # MSB-first offset within the word
+        take = min(64 - start, off + width - p)
+        shift = 64 - start - take  # right-align the piece
+        col = F.element_at(F.col(words_col), wi + 1)
+        piece = F.shiftrightunsigned(col, shift) if shift else col
+        if take < 64:
+            piece = piece.bitwiseAND(F.lit(_signed_mask(take)))
+        pieces.append((piece, p - off, take))
+        p += take
+    if width <= 63:
+        # exact: piece at band-local offset o, width t occupies band
+        # bits [o, o+t) MSB-first -> left shift by width - o - t
+        key = None
+        for piece, o, t in pieces:
+            sh = width - o - t
+            term = F.shiftleft(piece, sh) if sh else piece
+            key = term if key is None else key.bitwiseOR(term)
+        return key
+    # wide band: xor-rotate fold (collisions only add candidates)
+    key = None
+    for i, (piece, _, _) in enumerate(pieces):
+        rot = (i * 29) % 64
+        term = (
+            piece
+            if rot == 0
+            else F.shiftleft(piece, rot).bitwiseOR(
+                F.shiftrightunsigned(piece, 64 - rot)
+            )
+        )
+        key = term if key is None else key.bitwiseXOR(term)
+    return key
 
 
 def phash_near_dups(
     hashes: DataFrame,
     *,
-    max_distance: int = 10,
+    max_distance: int = 3,
     id_col: str = "media_id",
     hash_col: str = "phash",
+    max_candidate_pairs: "float | None" = 1e10,
 ) -> DataFrame:
-    """Hamming near-dup pairs over a (id, 64-bit hash) frame with EXACT
-    recall: ``max_distance + 1`` bands partition the 64 bits, so any
+    """Hamming near-dup pairs over an (id, hash) frame with EXACT
+    recall: ``max_distance + 1`` bands partition the hash bits, so any
     pair within distance d ≤ max_distance shares at least one whole
     band (pigeonhole) and surfaces in the banded equi-join; the
-    JVM-side ``bit_count(xor)`` then filters to true distance. Returns
+    JVM-side ``bit_count(xor)`` (summed across words for the 256-bit
+    hash) then filters to true distance. Accepts a LongType hash
+    (:func:`phash64`) or an array<long> (:func:`phash256`). Returns
     ``(id_a, id_b, distance)`` with id_a < id_b, each pair once.
 
+    Candidate volume is QUADRATIC in corpus size with the band width as
+    the only brake (module docstring has the model — the r12 claim of
+    unconditional corpus-linearity was wrong). Two safeguards:
+
+    - the 64-bit default is ``max_distance=3`` (16-bit bands); larger
+      radii belong to the 256-bit hash, whose d=10 bands are 23 bits;
+    - ``max_candidate_pairs`` (semdedup ``max_grid_tasks`` discipline):
+      before building the join this runs ONE aggregation over the hash
+      frame computing the EXACT pre-filter candidate count
+      (Σ_buckets C(n, 2) over band buckets) and raises ValueError
+      naming the remedies when it exceeds the ceiling — a refusal at
+      plan time instead of a doomed 10¹³-pair shuffle. Pass None to
+      skip the (eager) guard job on trusted inputs.
+
     Plan shape at 100 TB: one projection builds (band_idx, band_key)
-    rows (64-bit shifts, no UDF), the self-join shuffles on the compound
-    band key — corpus-linear candidate volume — and the distance filter
-    runs inside codegen before the distinct."""
-    if not 0 <= max_distance < 64:
-        raise ValueError("max_distance must be in [0, 64)")
+    rows (64-bit shifts, no UDF), the self-join shuffles on the
+    compound band key, and the distance filter runs inside codegen
+    before the distinct.
+    """
+    is_array = isinstance(
+        hashes.schema[hash_col].dataType, T.ArrayType
+    )
+    h0 = hashes.where(F.col(hash_col).isNotNull())
+    words = (
+        h0.withColumn("__w", F.col(hash_col))
+        if is_array
+        else h0.withColumn("__w", F.array(F.col(hash_col)))
+    )
+    if is_array:
+        # array width isn't in the schema — one bounded 1-row probe
+        # (the semdedup dim-probe shape); an empty frame yields empty
+        nwords_row = words.select(F.size("__w").alias("n")).limit(1).collect()
+        if not nwords_row:
+            return hashes.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, distance integer"
+            )
+        nbits = 64 * nwords_row[0]["n"]
+    else:
+        nbits = 64
+    if not 0 <= max_distance < nbits:
+        raise ValueError(f"max_distance must be in [0, {nbits})")
     nbands = max_distance + 1
-    base, extra = divmod(64, nbands)
+    base, extra = divmod(nbits, nbands)
     bands = []
     offset = 0
     for i in range(nbands):
         width = base + (1 if i < extra else 0)
-        mask = (1 << width) - 1
-        if mask >= 1 << 63:
-            mask -= 1 << 64  # 64-bit all-ones is -1 as a signed Long
         bands.append(
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.shiftrightunsigned(F.col(hash_col), offset)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_key"),
+                _band_key_expr("__w", offset, width).alias("band_key"),
             )
         )
         offset += width
-    h = hashes.where(F.col(hash_col).isNotNull()).select(
+
+    h = words.select(
         F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
+        F.col("__w").alias("h"),
         F.explode(F.array(*bands)).alias("band"),
     )
-    left = h.select("id", "h", "band")
-    right = (
-        h.select(
-            F.col("id").alias("id_b"),
-            F.col("h").alias("h_b"),
-            F.col("band").alias("band_b"),
+
+    if max_candidate_pairs is not None:
+        # exact pre-filter join volume, one cheap job over the
+        # (id, 2-4 longs) frame: Σ over (band, key) buckets of C(n, 2)
+        vol_row = (
+            h.groupBy("band")
+            .agg(F.count(F.lit(1)).cast("double").alias("n"))
+            .agg(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs")
+            )
+            .collect()
         )
+        vol = float(vol_row[0]["pairs"] or 0.0)
+        if vol > float(max_candidate_pairs):
+            raise ValueError(
+                f"phash_near_dups: banded join would emit ~{vol:.3g} "
+                f"candidate pairs (> max_candidate_pairs="
+                f"{float(max_candidate_pairs):.3g}) at nbits={nbits}, "
+                f"max_distance={max_distance} (band width ~{base} bits)."
+                " Remedies: use the 256-bit hash (attach_phash(..., "
+                "nbits=256) / phash256) whose bands are 4x wider; lower "
+                "max_distance; or raise/disable max_candidate_pairs if "
+                "this volume is genuinely intended."
+            )
+
+    right = h.select(
+        F.col("id").alias("id_b"),
+        F.col("h").alias("h_b"),
+        F.col("band").alias("band_b"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("h"),
+            F.col("h_b"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     pairs = (
-        left.join(
+        h.join(
             right,
             (F.col("band") == F.col("band_b")) & (F.col("id") < F.col("id_b")),
         )
         .select(
             F.col("id").alias("id_a"),
             "id_b",
-            F.bit_count(
-                F.col("h").bitwiseXOR(F.col("h_b"))
-            ).alias("distance"),
+            dist.alias("distance"),
         )
         .where(F.col("distance") <= max_distance)
         .distinct()

@@ -812,6 +812,50 @@ def test_mp4_metadata():
         parse_mp4(b"\x00" * 40)
 
 
+def test_mp4_mvhd_version1():
+    """r13 (ADVICE): a version-1 mvhd needs 32 body bytes (timescale at
+    +20, 64-bit duration at +24); a well-formed one parses exactly, and
+    a TRUNCATED v1 body (28-31 bytes) must yield duration=None — never
+    fall through to the v0 offsets, whose bytes there are creation /
+    modification time, nor read past the box end into the next box."""
+    from person_linkage_case_study_spark.multimodal.media import parse_mp4
+
+    def mp4_with_mvhd(body: bytes) -> bytes:
+        def box(tag: bytes, b: bytes) -> bytes:
+            return struct.pack(">I", len(b) + 8) + tag + b
+
+        return box(b"ftyp", b"isom\x00\x00\x02\x00") + box(
+            b"moov", box(b"mvhd", body)
+        )
+
+    # proper v1: version byte 1, creation/modification 8 bytes each,
+    # timescale at +20, 64-bit duration at +24
+    v1 = (
+        b"\x01\x00\x00\x00"
+        + b"\x00" * 16
+        + struct.pack(">I", 90000)
+        + struct.pack(">Q", 450000)
+    )
+    assert parse_mp4(mp4_with_mvhd(v1))["duration_sec"] == 5.0
+
+    # truncated v1 bodies (28..31 bytes): metadata-only None, and — the
+    # ADVICE scenario — NOT a garbage value assembled from the bytes of
+    # whatever box follows the short mvhd
+    for cut in (28, 29, 30, 31):
+        short = v1[:cut]
+        m = parse_mp4(mp4_with_mvhd(short))
+        assert m["duration_sec"] is None, cut
+        # same short mvhd followed by a sibling box whose bytes would
+        # have been misread as the duration tail before the r13 guard
+        trailer = struct.pack(">I", 16) + b"free" + b"\xff" * 8
+        def box(tag, b):
+            return struct.pack(">I", len(b) + 8) + tag + b
+        payload = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(
+            b"moov", box(b"mvhd", short) + trailer
+        )
+        assert parse_mp4(payload)["duration_sec"] is None, cut
+
+
 def test_extract_video_meta_spark(spark):
     """The video kernel over Spark: MP4-family rows land with duration /
     dims / track counts, non-video payloads NULL out."""
@@ -1756,3 +1800,58 @@ def test_frame_sampling(media):
     assert len(by_id[1]) == 2  # 10004 bytes / 4096 -> 2 frames
     assert len(by_id[3]) == 1
     assert len(by_id[1][0]["frame_payload"]) == 4096
+
+
+def test_extract_image_profile_one_pass(spark):
+    """r13 (closes the r12 advisor nit): the combined profile kernel —
+    ONE decode per payload — emits exactly what the three separate
+    kernels (extract_image_meta + extract_media_features + attach_phash
+    at both widths) emit, column for column, on a mixed frame of real
+    images, an undecodable-but-parseable payload, garbage, and NULL."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_bmp,
+        encode_png,
+        extract_image_profile,
+        extract_media_features,
+    )
+    from person_linkage_case_study_spark.multimodal.phash import attach_phash
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 30, 3), np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(img))),
+            (2, bytearray(encode_bmp(img))),
+            (3, bytearray(
+                b"RIFF" + struct.pack("<I", 30) + b"WEBP"
+                + b"VP8 " + struct.pack("<I", 10)
+                + b"\x00\x00\x00\x9d\x01\x2a"
+                + struct.pack("<HH", 640 | 0x4000, 480)
+            )),
+            (4, bytearray(b"garbage bytes")),
+            (5, None),
+        ],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    prof = {r["media_id"]: r for r in extract_image_profile(media).collect()}
+    meta = {r["media_id"]: r for r in extract_image_meta(media).collect()}
+    feat = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    h64 = {r["media_id"]: r["phash"] for r in attach_phash(media).collect()}
+    h256 = {
+        r["media_id"]: r["phash"]
+        for r in attach_phash(media, nbits=256).collect()
+    }
+    for mid in (1, 2, 3, 4, 5):
+        p = prof[mid]
+        for c in ("format", "width", "height", "channels", "bit_depth",
+                  "n_frames", "orientation", "has_gps", "pixel_mean"):
+            assert p[c] == meta[mid][c], (mid, c)
+        for c in ("n_bytes", "byte_entropy", "head_hash", "feature_vec"):
+            assert p[c] == feat[mid][c], (mid, c)
+        assert p["phash"] == h64[mid], mid
+        assert p["phash256"] == h256[mid], mid
+    # the two encodings of the same pixels agree inside the one pass too
+    assert prof[1]["phash"] == prof[2]["phash"]
+    assert prof[1]["phash256"] == prof[2]["phash256"]
+    assert prof[3]["format"] == "webp" and prof[3]["phash"] is None

@@ -19,12 +19,19 @@ from person_linkage_case_study_spark.multimodal.media import (
 from person_linkage_case_study_spark.multimodal.phash import (
     attach_phash,
     phash64,
+    phash256,
     phash_near_dups,
 )
 
 
 def _ham(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _ham_words(a, b) -> int:
+    return sum(
+        bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in zip(a, b)
+    )
 
 
 def test_phash_invariance_and_separation():
@@ -55,6 +62,32 @@ def test_phash_invariance_and_separation():
 
     assert phash64(b"not an image") is None
     assert phash64(b"") is None
+
+
+def test_phash256_invariance_and_separation():
+    """The 256-bit (16x16 low-block) hash carries the same invariance
+    contract as the 64-bit one: identical across lossless re-encodings
+    and bit depths, near under brightness shift, far for unrelated
+    images, None for garbage — with 4 signed int64 words MSB-first."""
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    h = phash256(encode_png(img))
+    assert isinstance(h, list) and len(h) == 4
+    assert h == phash256(encode_bmp(img))
+    assert h == phash256(encode_jpeg_baseline(img))
+    assert h == phash256(encode_jpeg_progressive(img))
+    assert h == phash256(encode_png(img.astype(np.uint16) << 8, bit_depth=16))
+
+    bright = np.clip(img.astype(int) + 12, 0, 255).astype(np.uint8)
+    assert _ham_words(h, phash256(encode_png(bright))) <= 8
+
+    other = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    assert _ham_words(h, phash256(encode_png(other))) > 64
+
+    # the 64-bit hash is NOT a prefix of the 256-bit one (different
+    # median threshold over a different block) but both rank the same
+    # way; sanity: garbage contract holds
+    assert phash256(b"nope") is None
 
 
 @pytest.mark.parametrize("max_distance", [0, 3, 10])
@@ -106,6 +139,132 @@ def test_phash_banded_join_exact_recall(spark, max_distance):
 
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
+
+
+def _flip_words(words, positions):
+    """Flip global bit positions (0 = MSB of word 0) in a 4-word hash."""
+    out = list(words)
+    for p in positions:
+        wi, off = divmod(p, 64)
+        v = out[wi] & ((1 << 64) - 1)
+        v ^= 1 << (63 - off)
+        out[wi] = v - (1 << 64) if v >= (1 << 63) else v
+    return out
+
+
+@pytest.mark.parametrize("max_distance", [0, 1, 3, 10, 21])
+def test_phash256_banded_join_exact_recall(spark, max_distance):
+    """r13: the pigeonhole guarantee over the array<long> 256-bit hash,
+    at band layouts covering every packing path — d=0 (one 256-bit
+    xor-fold band), d=1 (two 128-bit xor-fold bands), d=3 (64-bit
+    whole-word bands), d=10 (23-24-bit bands STRADDLING word
+    boundaries, the exact 2-piece packing), d=21 (11-12-bit bands).
+    Adversarial flip positions include word boundaries (63/64,
+    127/128, 191/192) and band seams."""
+    rng = np.random.default_rng(max_distance + 1)
+
+    def rand_hash():
+        ws = []
+        for _ in range(4):
+            v = int(rng.integers(0, 1 << 32)) << 32 | int(
+                rng.integers(0, 1 << 32)
+            )
+            ws.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return ws
+
+    base = rand_hash()
+    rows = [(0, base)]
+    rid = 1
+    expected = set()
+    for d in range(max_distance + 1):
+        for positions in (
+            [*range(d)],  # clustered at the MSB end
+            [*range(256 - d, 256)],  # clustered at the LSB end
+            [*range(60, 60 + d)],  # straddles the word-0/1 boundary
+            [*range(0, 256, 23)][:d],  # spread across band seams
+        ):
+            if len(positions) != d:
+                continue
+            rows.append((rid, _flip_words(base, positions)))
+            expected.add((0, rid))
+            rid += 1
+    # beyond-threshold controls
+    for extra in (max_distance + 1, min(255, max_distance + 40)):
+        rows.append((rid, _flip_words(base, [*range(0, 256, 3)][:extra])))
+        rid += 1
+    # unrelated noise rows (these also exercise guard bucket counting)
+    for _ in range(20):
+        rows.append((rid, rand_hash()))
+        rid += 1
+    df = spark.createDataFrame(rows, "media_id long, phash array<long>")
+    pairs = phash_near_dups(df, max_distance=max_distance)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in pairs.collect()
+        if 0 in (r["id_a"], r["id_b"])
+    }
+    missing = expected - got
+    assert not missing, f"pigeonhole recall violated: {missing}"
+    for r in pairs.collect():
+        assert r["distance"] <= max_distance
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+
+
+def test_phash_volume_guard(spark):
+    """r13 (closes the r12 'what's wrong'): a hot band bucket — here a
+    planted pile of IDENTICAL 64-bit hashes, the all-copies-of-one-logo
+    corpus — trips the fail-fast candidate-volume guard with an error
+    naming the remedies, BEFORE any join is built; the same corpus
+    passes with the ceiling raised (the volume is then genuinely
+    intended) and with the guard disabled."""
+    n = 200  # C(200,2) * 4 bands = 79.6k candidates > the 50k ceiling
+    df = spark.createDataFrame(
+        [(i, 0x0123_4567_89AB_CDEF) for i in range(n)],
+        "media_id long, phash long",
+    )
+    with pytest.raises(ValueError, match="256-bit|max_distance|remedies|Remedies"):
+        phash_near_dups(df, max_distance=3, max_candidate_pairs=5e4)
+    # raised ceiling: the join is legal and emits every pair once
+    pairs = phash_near_dups(
+        df, max_distance=3, max_candidate_pairs=1e6
+    )
+    assert pairs.count() == n * (n - 1) // 2
+    # disabled guard: no eager job, same result
+    assert (
+        phash_near_dups(df, max_distance=3, max_candidate_pairs=None).count()
+        == n * (n - 1) // 2
+    )
+
+
+def test_phash_volume_guard_prefers_wide_hash(spark):
+    """The guard's arithmetic embodies the module volume model: a
+    uniform corpus that TRIPS the 64-bit d=10 banding (5-6-bit bands,
+    near-quadratic) passes untouched as a 256-bit corpus at the same
+    distance (23-24-bit bands) — the exact remedy the error names."""
+    rng = np.random.default_rng(7)
+    n = 3000
+    rows64, rows256 = [], []
+    for i in range(n):
+        ws = []
+        for _ in range(4):
+            v = int(rng.integers(0, 1 << 32)) << 32 | int(
+                rng.integers(0, 1 << 32)
+            )
+            ws.append(v - (1 << 64) if v >= (1 << 63) else v)
+        rows64.append((i, ws[0]))
+        rows256.append((i, ws))
+    ceiling = 2e5  # 64-bit d=10: ~11 * n^2 / 2^7 ~ 7.7e5 >> ceiling
+    df64 = spark.createDataFrame(rows64, "media_id long, phash long")
+    with pytest.raises(ValueError, match="Remedies"):
+        phash_near_dups(df64, max_distance=10, max_candidate_pairs=ceiling)
+    df256 = spark.createDataFrame(rows256, "media_id long, phash array<long>")
+    # 256-bit d=10: ~11 * n^2 / 2^24 ~ 6 expected collisions — sails under
+    pairs = phash_near_dups(
+        df256, max_distance=10, max_candidate_pairs=ceiling
+    )
+    assert pairs.count() == 0  # uniform noise: no true near-dups
 
 
 def test_phash_spark_end_to_end(spark):
