@@ -86,6 +86,11 @@ HEADLINE = [
     # so scorer regressions show up per-round (cross-round subtotals
     # compare the common query subset, so adding an entry is safe)
     "semantic_dedup_embeddings",
+    # r13 (verdict nit): the heaviest per-row catalog entry — ten
+    # real-codec round-trips per document through Arrow-batched
+    # mapInPandas kernels — was invisible to BENCH/AB; a media-kernel
+    # regression now shows up per-round like everything else
+    "mm_media_features",
 ]
 
 

@@ -431,10 +431,11 @@ def parse_jpeg(payload: bytes) -> dict:
     precision / dimensions / component count; for Huffman-coded JPEGs
     (8-bit SOF0/SOF1 baseline, r11; SOF2 PROGRESSIVE, r12 — closing the
     r11 verdict's top user-visible boundary, a large share of crawl
-    JPEGs are progressive) also the full pixel array and its mean via
-    the pure-Python decoder below. Arithmetic-coded, 12-bit, CMYK and
-    other exotic layouts stay metadata-only (``pixels`` /
-    ``pixel_mean`` None) — wire PIL for those on a real cluster.
+    JPEGs are progressive; 12-bit SOF1/SOF2, r13) also the full pixel
+    array and its mean via the pure-Python decoder below.
+    Arithmetic-coded, CMYK and other exotic layouts stay metadata-only
+    (``pixels`` / ``pixel_mean`` None) — wire PIL for those on a real
+    cluster.
 
     late r12: an APP1 Exif segment ahead of the SOF contributes
     ``orientation`` / ``exif_make`` / ``exif_model`` / ``exif_datetime``
@@ -849,6 +850,7 @@ def _decode_scan(
     se: int,
     ah: int,
     al: int,
+    precision: int = 8,
 ) -> int:
     """Decode ONE entropy-coded scan into the per-component quantized
     coefficient arrays and return the offset just past its entropy data.
@@ -883,7 +885,7 @@ def _decode_scan(
         if ss == 0:
             if first:
                 t = _huff_decode(reader, dc_lut)
-                if t > 11:
+                if t > (11 if precision == 8 else 15):
                     raise ValueError("JPEG DC category out of range")
                 pred[cid] += _extend(reader.receive(t), t)
                 zz[0] = pred[cid] << al
@@ -997,11 +999,17 @@ def decode_jpeg_pixels(payload: bytes):
     Scope (everything else raises ValueError, which parse_jpeg maps to
     the metadata-only tier): SOF0/SOF1 sequential and SOF2 PROGRESSIVE
     frames (r12 — spectral selection, successive approximation, EOB-run
-    coding, interleaved and non-interleaved scans), 8-bit precision, 1
-    or 3 components, sampling factors where the max divides each
-    component's (the 4:4:4 / 4:2:2 / 4:2:0 layouts real crawls
-    contain), optional restart intervals, tables redefined between
-    scans. Arithmetic coding (SOF9+) and 12-bit stay out of scope.
+    coding, interleaved and non-interleaved scans), 8-bit AND 12-bit
+    precision (r13 — 12-bit legal in SOF1/SOF2 only per B.2.2; output
+    is uint16 on the 0..4095 range), 1 or 3 components, sampling
+    factors where the max divides each component's (the 4:4:4 / 4:2:2
+    / 4:2:0 layouts real crawls contain), optional restart intervals,
+    tables redefined between scans. Arithmetic coding (SOF9+) stays out
+    of scope: no reference bitstreams or external codec exist in this
+    container to validate the 113-state QM-coder table against, and an
+    unvalidated table would round-trip against its own encoder while
+    failing real streams — the metadata tier + PIL gate is the honest
+    boundary.
 
     The per-block Huffman loop is Python (inherently bit-serial); the
     IDCT — the arithmetic bulk — is one batched einsum over ALL of a
@@ -1016,6 +1024,7 @@ def decode_jpeg_pixels(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> lut
     frame = None  # (height, width, [(cid, h, v, tq), ...])
     progressive = False
+    precision = 8
     restart_interval = 0
     nscans = 0
     coefs: dict[int, "np.ndarray"] = {}
@@ -1067,8 +1076,13 @@ def decode_jpeg_pixels(payload: bytes):
             if frame is not None:
                 raise ValueError("JPEG multiple frames unsupported")
             progressive = marker == 0xC2
-            if body[0] != 8:
-                raise ValueError("JPEG precision != 8 unsupported")
+            precision = body[0]
+            if precision not in (8, 12):
+                raise ValueError("JPEG precision not 8 or 12")
+            if precision == 12 and marker == 0xC0:
+                # T.81 B.2.2: baseline SOF0 is 8-bit only; 12-bit lives
+                # in extended sequential (SOF1) / progressive (SOF2)
+                raise ValueError("JPEG 12-bit illegal in baseline SOF0")
             height, width = struct.unpack(">HH", body[1:5])
             if height == 0 or width == 0:
                 raise ValueError("JPEG degenerate dimensions")
@@ -1143,6 +1157,7 @@ def decode_jpeg_pixels(payload: bytes):
                 se=se,
                 ah=ah,
                 al=al,
+                precision=precision,
             )
             nscans += 1
             # the bit reader stops inside the last entropy byte: walk to
@@ -1178,7 +1193,9 @@ def decode_jpeg_pixels(payload: bytes):
             .transpose(0, 2, 1, 3)
             .reshape(by * 8, bx * 8)
         )
-        plane = np.clip(np.round(plane) + 128, 0, 255)
+        mid = 1 << (precision - 1)
+        maxv = (1 << precision) - 1
+        plane = np.clip(np.round(plane) + mid, 0, maxv)
         # crop to the component's true dims, then sample-replicate up
         cw = -(-width * h // hmax)
         ch = -(-height * v // vmax)
@@ -1188,14 +1205,17 @@ def decode_jpeg_pixels(payload: bytes):
                 np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
             )
         planes.append(plane[:height, :width])
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)
+        return planes[0].astype(dtype)
     y, cb, cr = (p.astype(np.float64) for p in planes)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - mid)
+    g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = y + 1.772 * (cb - mid)
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
 class _JpegBitWriter:
@@ -1233,15 +1253,25 @@ def _jpeg_category(v: int) -> int:
     return abs(v).bit_length()
 
 
-def _jpeg_quantized_blocks(pixels, quant, subsample: str):
+def _jpeg_quantized_blocks(pixels, quant, subsample: str, precision: int = 8):
     """Shared encoder front half: validate, RGB→YCbCr, box-average
     chroma subsample, pad to the MCU grid, batched forward DCT,
     quantize, zigzag. Returns ``(comps, blocks_by_comp, mcux, mcuy,
     h0, w0, q_nat, gray)`` where ``comps`` is [(cid, h, v)] and each
-    blocks array is (grid_y, grid_x, 64) int64 in zigzag order."""
+    blocks array is (grid_y, grid_x, 64) int64 in zigzag order.
+    ``precision`` 8 takes uint8 pixels; 12 (r13) takes integers on
+    0..4095 (level shift 2048, AC envelope 14 bits per T.81 F.1.2.2)."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 8:
+        px = np.asarray(pixels, dtype=np.uint8)
+    else:
+        px = np.asarray(pixels)
+        if px.min() < 0 or px.max() > 4095:
+            raise ValueError("12-bit pixels must be in [0, 4095]")
+        px = px.astype(np.int64)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
@@ -1261,15 +1291,16 @@ def _jpeg_quantized_blocks(pixels, quant, subsample: str):
     if gray:
         sh = sv = 1
 
+    mid = float(1 << (precision - 1))
     f = px.astype(np.float64)
     if gray:
-        planes = [f - 128.0]
+        planes = [f - mid]
         comps = [(1, 1, 1)]  # (cid, h, v)
     else:
         r, g, b = f[..., 0], f[..., 1], f[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + mid
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + mid
         if sh > 1 or sv > 1:
             # pad to the sampling multiple with edge replication, then
             # box-average along the subsampled axes
@@ -1285,7 +1316,7 @@ def _jpeg_quantized_blocks(pixels, quant, subsample: str):
                 )
 
             cb, cr = down(cb), down(cr)
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        planes = [y - mid, cb - mid, cr - mid]
         comps = [(1, sh, sv), (2, 1, 1), (3, 1, 1)]
 
     hmax = max(c[1] for c in comps)
@@ -1312,7 +1343,8 @@ def _jpeg_quantized_blocks(pixels, quant, subsample: str):
         qz = np.round(coef.reshape(-1, 64) / q_nat).astype(np.int64)
         # baseline magnitude bounds: DC diffs fit category <= 11 by
         # construction at unit quant; clamp AC to the 10-bit envelope
-        qz[:, 1:] = np.clip(qz[:, 1:], -1023, 1023)
+        ac_lim = 1023 if precision == 8 else 16383  # 10/14-bit envelopes
+        qz[:, 1:] = np.clip(qz[:, 1:], -ac_lim, ac_lim)
         blocks_by_comp.append(qz[:, zz].reshape(by, bx, 64))
     return comps, blocks_by_comp, mcux, mcuy, h0, w0, q_nat, gray
 
@@ -1323,6 +1355,7 @@ def encode_jpeg_baseline(
     quant=None,
     subsample: str = "4:4:4",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Minimal, spec-correct baseline JPEG writer — the fixture /
     round-trip counterpart of :func:`decode_jpeg_pixels`, exactly as
@@ -1334,17 +1367,26 @@ def encode_jpeg_baseline(
     8x8 blocks) round-trips bit-exactly, which is what the closed-form
     oracles lean on. ``subsample``: '4:4:4', '4:2:2' or '4:2:0' (chroma
     box-averaged along the subsampled axes). ``restart_interval`` > 0
-    emits DRI + RSTn markers every that many MCUs."""
+    emits DRI + RSTn markers every that many MCUs. ``precision`` 12
+    (r13) emits an SOF1 extended-sequential frame (12-bit is illegal in
+    baseline SOF0 per B.2.2) with flat Huffman tables reaching the
+    12-bit DC/AC category range the Annex K tables don't cover."""
     comps, blocks_by_comp, mcux, mcuy, h0, w0, q_nat, gray = (
-        _jpeg_quantized_blocks(pixels, quant, subsample)
+        _jpeg_quantized_blocks(pixels, quant, subsample, precision)
     )
 
     # entropy-code the interleaved scan
+    if precision == 8:
+        dc_luma, ac_luma = _STD_DC_LUMA, _STD_AC_LUMA
+        dc_chroma, ac_chroma = _STD_DC_CHROMA, _STD_AC_CHROMA
+    else:
+        dc_luma = dc_chroma = _FLAT_DC_TABLE
+        ac_luma = ac_chroma = _FLAT_AC_TABLE
     luts = {
-        (0, 0): _huff_encode_lut(*_STD_DC_LUMA),
-        (1, 0): _huff_encode_lut(*_STD_AC_LUMA),
-        (0, 1): _huff_encode_lut(*_STD_DC_CHROMA),
-        (1, 1): _huff_encode_lut(*_STD_AC_CHROMA),
+        (0, 0): _huff_encode_lut(*dc_luma),
+        (1, 0): _huff_encode_lut(*ac_luma),
+        (0, 1): _huff_encode_lut(*dc_chroma),
+        (1, 1): _huff_encode_lut(*ac_chroma),
     }
     writer = _JpegBitWriter()
     pred = {cid: 0 for cid, _, _ in comps}
@@ -1401,17 +1443,20 @@ def encode_jpeg_baseline(
         bytes((cid, (ch << 4) | cv, 0)) for cid, ch, cv in comps
     )
     sof = seg(
-        0xC0,
-        bytes([8]) + struct.pack(">HH", h0, w0) + bytes([len(comps)]) + sof_comps,
+        0xC0 if precision == 8 else 0xC1,
+        bytes([precision])
+        + struct.pack(">HH", h0, w0)
+        + bytes([len(comps)])
+        + sof_comps,
     )
 
     def dht(tc: int, th: int, table) -> bytes:
         bits, vals = table
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
 
-    dhts = dht(0, 0, _STD_DC_LUMA) + dht(1, 0, _STD_AC_LUMA)
+    dhts = dht(0, 0, dc_luma) + dht(1, 0, ac_luma)
     if not gray:
-        dhts += dht(0, 1, _STD_DC_CHROMA) + dht(1, 1, _STD_AC_CHROMA)
+        dhts += dht(0, 1, dc_chroma) + dht(1, 1, ac_chroma)
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos_comps = b"".join(
         bytes((cid, 0 if ci == 0 else 0x11))
@@ -1430,14 +1475,22 @@ def encode_jpeg_baseline(
     )
 
 
-# One flat Huffman table for every progressive AC scan: all 176 (run,
+# One flat Huffman table for every progressive AC scan: all 240 (run,
 # size) symbols at code length 9 — progressive needs the EOBn symbols
-# (run 1..14, size 0) the standard Annex K tables don't define, and a
-# fixture encoder doesn't care about compression. Canonical-valid: 176
-# codes of one length < 2^9 - 1 (the all-ones prefix stays reserved).
+# (run 1..14, size 0) the standard Annex K tables don't define, 12-bit
+# scans (r13) need sizes 11..14, and a fixture encoder doesn't care
+# about compression. Canonical-valid: 240 codes of one length
+# < 2^9 - 1 (the all-ones prefix stays reserved).
 _FLAT_AC_TABLE = (
-    (0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0),
-    tuple((r << 4) | s for r in range(16) for s in range(11)),
+    (0, 0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0),
+    tuple((r << 4) | s for r in range(16) for s in range(15)),
+)
+
+# Flat DC table covering categories 0..15 (Annex K's DC tables stop at
+# 11; 12-bit DC differences reach category 15 per T.81 F.1.2.1).
+_FLAT_DC_TABLE = (
+    (0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(16)),
 )
 
 # libjpeg-shaped default progressive scripts (jcparam.c): DC first at
@@ -1473,6 +1526,7 @@ def encode_jpeg_progressive(
     subsample: str = "4:4:4",
     restart_interval: int = 0,
     scans=None,
+    precision: int = 8,
 ) -> bytes:
     """Progressive (SOF2) JPEG writer — the fixture / round-trip
     counterpart of :func:`decode_jpeg_pixels`'s §G.2 path, exactly as
@@ -1492,17 +1546,20 @@ def encode_jpeg_progressive(
     coefficients and emits them after the next symbol, trailing ones
     after the EOBn symbol."""
     comps, blocks_by_comp, mcux, mcuy, h0, w0, q_nat, gray = (
-        _jpeg_quantized_blocks(pixels, quant, subsample)
+        _jpeg_quantized_blocks(pixels, quant, subsample, precision)
     )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if scans is None:
         scans = _PROGRESSIVE_SCRIPT_GRAY if gray else _PROGRESSIVE_SCRIPT_COLOR
 
-    dc_luts = {
-        0: _huff_encode_lut(*_STD_DC_LUMA),
-        1: _huff_encode_lut(*_STD_DC_CHROMA),
+    # 12-bit (r13) needs DC categories up to 15 — flat table; the AC
+    # table is flat (and 12-bit-wide) in every case
+    dc_tbl = {
+        0: _STD_DC_LUMA if precision == 8 else _FLAT_DC_TABLE,
+        1: _STD_DC_CHROMA if precision == 8 else _FLAT_DC_TABLE,
     }
+    dc_luts = {k: _huff_encode_lut(*t) for k, t in dc_tbl.items()}
     ac_lut = _huff_encode_lut(*_FLAT_AC_TABLE)
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1512,18 +1569,18 @@ def encode_jpeg_progressive(
     out += seg(0xDB, bytes([0]) + bytes(int(q_nat[i]) for i in _ZIGZAG))
     out += seg(
         0xC2,
-        bytes([8])
+        bytes([precision])
         + struct.pack(">HH", h0, w0)
         + bytes([len(comps)])
         + b"".join(bytes((cid, (ch << 4) | cv, 0)) for cid, ch, cv in comps),
     )
     out += seg(
-        0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1])
+        0xC4, bytes([0x00]) + bytes(dc_tbl[0][0]) + bytes(dc_tbl[0][1])
     )
     if not gray:
         out += seg(
             0xC4,
-            bytes([0x01]) + bytes(_STD_DC_CHROMA[0]) + bytes(_STD_DC_CHROMA[1]),
+            bytes([0x01]) + bytes(dc_tbl[1][0]) + bytes(dc_tbl[1][1]),
         )
     out += seg(
         0xC4,
@@ -3152,6 +3209,27 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
                         m = parse_wav(b)
                     elif b[:4] == b"fLaC":
                         m = parse_flac(b)
+                        # r13: FLAC samples decode for REAL (Rice/LPC
+                        # frame layer, multimodal/flac.py); a stream
+                        # with corrupt/absent frames keeps the
+                        # STREAMINFO metadata tier
+                        try:
+                            import numpy as np
+
+                            from .flac import decode_flac_pcm
+
+                            d = decode_flac_pcm(b)
+                            s = d["samples"].astype(np.float64)
+                            if s.size:
+                                m = dict(
+                                    m,
+                                    n_frames=d["n_frames"],
+                                    duration_sec=d["duration_sec"],
+                                    rms=float(np.sqrt((s * s).mean())),
+                                    peak=float(np.abs(s).max()),
+                                )
+                        except (ValueError, struct.error, IndexError):
+                            pass
                     elif b[:4] == b"OggS":
                         m = parse_ogg(b)
                     elif b[:3] == b"ID3" or (

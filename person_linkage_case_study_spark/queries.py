@@ -2245,6 +2245,14 @@ def _mm_features_oracle() -> str:
     order), head hash as an ordered list_reduce Horner fold (exact BIGINT
     arithmetic). `+ 0.0` on both sides normalizes IEEE -0.0 for
     single-byte-value payloads."""
+    # r13 pHash closed form: bit for pair p lands at block position
+    # 2p+1 (weight 2^(62-2p)) when bit p of v is set, else at 2p+2
+    # (weight 2^(61-2p)); DC is the constant -2^63 term
+    phash_terms = " + ".join(
+        f"CASE WHEN ((v >> {p}) & 1) = 1 THEN {1 << (62 - 2 * p)} "
+        f"ELSE {1 << (61 - 2 * p)} END"
+        for p in range(31)
+    )
     return """
     WITH b AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -2396,6 +2404,61 @@ def _mm_features_oracle() -> str:
                    / 48000, 6) AS opus_duration
       FROM documents
     ),
+    -- r13: the FLAC PCM tier. The Spark side encodes a REAL Rice-coded
+    -- FLAC per document (multimodal/flac.py encode_flac: fixed order-1
+    -- predictor, 192-sample frames, a short last frame, stereo
+    -- decorrelation rotating over id % 4 between independent /
+    -- left-side / right-side / mid-side) of phase-opposed +/-A square
+    -- waves (left = +A first, right = -A first, A = 1 + id % 999) and
+    -- DECODES the samples back through the full frame layer (CRC-8/16,
+    -- UTF-8 frame numbers, unary/Rice, predictor reconstruction,
+    -- decorrelation undo): every sample magnitude is A, so RMS = peak
+    -- = A exactly and duration = n / 8000 with n = 192*(1+id%3) + 100
+    -- (the +100 forces the short-last-frame path on every live row).
+    fpc AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + CAST(doc_id AS BIGINT) % 999 AS DOUBLE) AS flac_rms,
+             CAST(1 + CAST(doc_id AS BIGINT) % 999 AS DOUBLE) AS flac_peak,
+             CAST(192 * (1 + CAST(doc_id AS BIGINT) % 3) + 100
+                  AS BIGINT) AS flac_n_samples,
+             round(CAST(192 * (1 + CAST(doc_id AS BIGINT) % 3) + 100
+                        AS DOUBLE) / 8000, 6) AS flac_pcm_duration
+      FROM documents
+    ),
+    -- r13: the pHash tier. The Spark side SYNTHESIZES a 32x32 grayscale
+    -- PNG per document by inverse 32-point DCT of a signed coefficient
+    -- pattern keyed to doc_id, then runs it through the ONE-PASS profile
+    -- kernel (extract_image_profile -> 64-bit DCT pHash). The pattern
+    -- puts +/-31 on the 63 non-DC positions of the 8x8 low block (31
+    -- pluses picked pairwise by the bits of v = id*2654435761 mod 2^31,
+    -- position 63 fixed minus), 0 elsewhere, pixels = 128 + idct,
+    -- rounded. The hash is PROVABLY the pattern: the DCT basis is
+    -- orthonormal, so rounding (<=0.5/pixel) perturbs any coefficient by
+    -- <= ||e||_F <= 16 < 31 — no sign crosses zero, the DC (4096) tops
+    -- the block, and the median sits strictly between the +/- groups
+    -- (max(neg) < min(pos) always brackets their midpoint). Expected
+    -- hash in pure integer arithmetic: MSB (DC) always 1 -> signed
+    -- -2^63 + per-pair bit placements.
+    phs AS (
+      SELECT media_id,
+             CAST(-9223372036854775808 + {phash_terms} AS BIGINT) AS phash
+      FROM (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   (CAST(doc_id AS BIGINT) * 2654435761) % 2147483648 AS v
+            FROM documents)
+    ),
+    -- r13: the video tier. encode_mp4_skeleton -> extract_video_meta on
+    -- live rows: mvhd duration is pure arithmetic (ticks/timescale, the
+    -- same IEEE divide both sides), tkhd dims and hdlr track counts are
+    -- structural.
+    vid AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             round(CAST(500 * (1 + CAST(doc_id AS BIGINT) % 9) AS DOUBLE)
+                   / 1000, 6) AS mp4_duration,
+             CAST(16 * (1 + CAST(doc_id AS BIGINT) % 5) AS INT) AS mp4_width,
+             CAST(16 * (1 + CAST(doc_id AS BIGINT) % 4) AS INT) AS mp4_height,
+             CAST(CAST(doc_id AS BIGINT) % 3 AS INT) AS mp4_audio_tracks
+      FROM documents
+    ),
     aud AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
              CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
@@ -2421,6 +2484,11 @@ def _mm_features_oracle() -> str:
            jpg.jpg_pixel_mean,
            xtr.bmp_mean, xtr.gif_frames, xtr.gif_width, xtr.gif_height,
            xtr.gif_mean, xtr.flac_duration, xtr.opus_duration,
+           fpc.flac_rms, fpc.flac_peak, fpc.flac_n_samples,
+           fpc.flac_pcm_duration,
+           phs.phash,
+           vid.mp4_duration, vid.mp4_width, vid.mp4_height,
+           vid.mp4_audio_tracks,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
            aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
@@ -2431,8 +2499,11 @@ def _mm_features_oracle() -> str:
     JOIN plt USING (media_id)
     JOIN jpg USING (media_id)
     JOIN xtr USING (media_id)
+    JOIN fpc USING (media_id)
+    JOIN phs USING (media_id)
+    JOIN vid USING (media_id)
     JOIN aud USING (media_id)
-    """
+    """.format(phash_terms=phash_terms)
 
 
 # mapInPandas feature extraction over the canonical media schema (typed
@@ -2467,7 +2538,13 @@ def _mm_features_oracle() -> str:
 # encode_jpeg_progressive: multi-scan spectral selection + successive
 # approximation + EOB-run coding) — both reconstruct the same constant
 # blocks exactly, so the same closed form proves the §G.2 decode path
-# on live rows.
+# on live rows. r13 folds in the last two test-pinned-only components
+# the same way: the PHASH tier (phs CTE — inverse-DCT-synthesized
+# pattern images through the new ONE-PASS extract_image_profile
+# kernel, expected 64-bit hash in pure integer SQL with a
+# rounding-can't-flip-a-bit proof) and the VIDEO tier (vid CTE —
+# encode_mp4_skeleton → extract_video_meta, mvhd duration / tkhd dims /
+# hdlr track counts all arithmetic in doc_id).
 @query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -2486,6 +2563,14 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     media = attach_media_payload(
         d, bytes_col="text", id_col="doc_id", media_type="text/plain", source_col="source"
+    )
+    # r13: documents at bench SF arrives as ONE parquet split, so every
+    # codec kernel below ran serially (one mapInPandas task). Spread the
+    # payload rows across the executor cores first — hash-partitioned on
+    # media_id so the tier joins can reuse the exchange; at crawl scale
+    # the source arrives multi-split and this is a no-op-sized shuffle
+    media = media.repartition(
+        spark.sparkContext.defaultParallelism, "media_id"
     )
     feats = extract_media_features(media)
     feats = feats.join(media.select("media_id", "source"), on="media_id")
@@ -2592,7 +2677,11 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unit quant and decode bit-exactly; restart_interval rotates
         # over mid % 4 so live rows exercise the RSTn reader path too.
         # r12: odd ids encode PROGRESSIVE (SOF2) instead — same pixels,
-        # same closed form, so the hash proves the §G.2 multi-scan path
+        # same closed form, so the hash proves the §G.2 multi-scan path.
+        # r13: ids % 5 == 0 encode at 12-BIT precision (SOF1 extended
+        # sequential / 12-bit SOF2) — constant blocks are DC-only at
+        # unit quant and reconstruct the same constants at any
+        # precision, so the SAME closed form proves the 12-bit path
         from .multimodal.media import (
             encode_jpeg_baseline,
             encode_jpeg_progressive,
@@ -2607,7 +2696,10 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vals = (v0 + 16 * np.arange(wb * hb)).reshape(hb, wb)
                 px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
                 enc = encode_jpeg_progressive if mid % 2 else encode_jpeg_baseline
-                payloads.append(enc(px, restart_interval=mid % 4))
+                prec = 12 if mid % 5 == 0 else 8
+                payloads.append(
+                    enc(px, restart_interval=mid % 4, precision=prec)
+                )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     jpg = extract_image_meta(
@@ -2700,6 +2792,110 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "opus_duration double",
     )
 
+    def mk_flac(it):
+        # r13 FLAC PCM tier (closed forms in the oracle's fpc CTE):
+        # phase-opposed +/-A square waves through a REAL Rice-coded
+        # fixed-predictor encode (multimodal/flac.py), stereo
+        # decorrelation mode rotating over id % 4 so all four
+        # reconstruction paths run on live rows; decoded by
+        # extract_audio_meta's r13 FLAC sample tier
+        from .multimodal.flac import encode_flac
+
+        modes = ["independent", "left_side", "right_side", "mid_side"]
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                amp = 1 + mid % 999
+                n = 192 * (1 + mid % 3) + 100  # short last frame, always
+                left = np.where(np.arange(n) % 2 == 0, amp, -amp)
+                st = np.stack([left, -left], axis=1).astype(np.int64)
+                payloads.append(
+                    encode_flac(
+                        st, 8000, block_size=192, subframe="fixed",
+                        order=1, stereo=modes[mid % 4],
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    fpc = extract_audio_meta(
+        media.select("media_id").mapInPandas(mk_flac, payload_schema)
+    ).select(
+        "media_id",
+        F.col("rms").alias("flac_rms"),
+        F.col("peak").alias("flac_peak"),
+        F.col("n_frames").alias("flac_n_samples"),
+        F.round("duration_sec", 6).alias("flac_pcm_duration"),
+    )
+
+    def mk_phash_img(it):
+        # r13 pHash tier: synthesize the 32x32 grayscale plane whose
+        # 64-bit DCT pHash is the doc_id-keyed sign pattern (closed-form
+        # derivation and the exactness proof live in the oracle's phs
+        # CTE comment): +/-31 on the 63 non-DC low-block positions — 31
+        # pluses placed pairwise by the bits of v = id*2654435761 mod
+        # 2^31, position 63 fixed minus — pixels = 128 + idct, in
+        # [6, 250] by construction so rounding never clips
+        from .multimodal.phash import _dct_basis_n
+
+        a = _dct_basis_n(32)
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                v = (mid * 2654435761) % (1 << 31)
+                sign = np.zeros(64)
+                for p in range(31):
+                    b = (v >> p) & 1
+                    sign[1 + 2 * p] = 1.0 if b else -1.0
+                    sign[2 + 2 * p] = -1.0 if b else 1.0
+                sign[63] = -1.0
+                coef = np.zeros((32, 32))
+                coef[:8, :8] = (31.0 * sign).reshape(8, 8)
+                px = np.round(128.0 + a.T @ coef @ a).astype(np.uint8)
+                payloads.append(encode_png(px[:, :, None]))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    # through the ONE-PASS profile kernel (r13), so the driver hash
+    # also proves the combined decode->meta+features+phash path live
+    from .multimodal.media import extract_image_profile
+
+    phs = extract_image_profile(
+        media.select("media_id").mapInPandas(mk_phash_img, payload_schema)
+    ).select("media_id", "phash")
+
+    def mk_mp4(it):
+        # r13 video tier: a structural ISO-BMFF skeleton per document;
+        # mvhd ticks/timescale, tkhd dims, hdlr track counts all
+        # arithmetic in doc_id
+        from .multimodal.media import encode_mp4_skeleton
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                payloads.append(
+                    encode_mp4_skeleton(
+                        timescale=1000,
+                        duration=500 * (1 + mid % 9),
+                        video_dims=(16 * (1 + mid % 5), 16 * (1 + mid % 4)),
+                        n_audio_tracks=mid % 3,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    from .multimodal.media import extract_video_meta
+
+    vid = extract_video_meta(
+        media.select("media_id").mapInPandas(mk_mp4, payload_schema)
+    ).select(
+        "media_id",
+        F.round("duration_sec", 6).alias("mp4_duration"),
+        F.col("width").alias("mp4_width"),
+        F.col("height").alias("mp4_height"),
+        F.col("n_audio_tracks").alias("mp4_audio_tracks"),
+    )
+
     def mk_wav(it):
         # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
@@ -2732,6 +2928,9 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(plt, on="media_id")
         .join(jpg, on="media_id")
         .join(xtr, on="media_id")
+        .join(fpc, on="media_id")
+        .join(phs, on="media_id")
+        .join(vid, on="media_id")
         .join(aud, on="media_id")
         .select(
             "media_id",
@@ -2764,6 +2963,15 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gif_mean",
             "flac_duration",
             "opus_duration",
+            "flac_rms",
+            "flac_peak",
+            "flac_n_samples",
+            "flac_pcm_duration",
+            "phash",
+            "mp4_duration",
+            "mp4_width",
+            "mp4_height",
+            "mp4_audio_tracks",
             "audio_channels",
             "sample_rate",
             "n_frames",

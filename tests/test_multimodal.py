@@ -1855,3 +1855,56 @@ def test_extract_image_profile_one_pass(spark):
     assert prof[1]["phash"] == prof[2]["phash"]
     assert prof[1]["phash256"] == prof[2]["phash256"]
     assert prof[3]["format"] == "webp" and prof[3]["phash"] is None
+
+
+def test_jpeg_12bit_precision():
+    """r13: 12-bit JPEG decodes for real — SOF1 extended-sequential and
+    SOF2 progressive frames, uint16 output on 0..4095, flat Huffman
+    tables reaching DC category 15 / AC size 14. Constant 8x8 blocks at
+    unit quant round-trip bit-exactly (DC-only, same closed form as the
+    8-bit tier); 12-bit in baseline SOF0 is rejected per T.81 B.2.2."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    # constant blocks spanning the 12-bit range, gray
+    vals = np.array([[100, 2048], [3995, 0]], np.int64)
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    for enc in (encode_jpeg_baseline, encode_jpeg_progressive):
+        blob = enc(px, precision=12)
+        out = decode_jpeg_pixels(blob)
+        assert out.dtype == np.uint16
+        assert (out == px).all(), enc.__name__
+        m = parse_jpeg(blob)
+        assert m["bit_depth"] == 12 and m["pixel_mean"] == px.mean()
+    # SOF1 marker emitted (never baseline SOF0)
+    assert b"\xff\xc1" in encode_jpeg_baseline(px, precision=12)
+
+    # RGB path: color conversion centers at 2048 — gray (equal RGB)
+    # constants survive the YCbCr round trip exactly at unit quant
+    rgb = np.repeat(np.repeat(
+        np.array([[[900] * 3, [3000] * 3]], np.int64), 8, 1), 8, 2
+    ).reshape(8, 16, 3)
+    out = decode_jpeg_pixels(encode_jpeg_baseline(rgb, precision=12))
+    assert out.dtype == np.uint16 and (out == rgb).all()
+
+    # smooth 12-bit content with restart markers: near-exact (rounding)
+    rng = np.random.default_rng(9)
+    base = np.cumsum(rng.integers(-9, 10, (16, 24)), axis=1) + 2000
+    sm = np.clip(base, 0, 4095).astype(np.int64)
+    out = decode_jpeg_pixels(
+        encode_jpeg_baseline(sm, precision=12, restart_interval=2)
+    )
+    assert np.abs(out.astype(np.int64) - sm).max() <= 24
+
+    # hand-rewrite the SOF1 marker to SOF0: must be rejected
+    bad = bytearray(encode_jpeg_baseline(px, precision=12))
+    bad[bad.index(b"\xff\xc1") + 1] = 0xC0
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(bytes(bad))
+    # and the pixel tier degrades it to metadata-only, never a throw
+    m = parse_jpeg(bytes(bad))
+    assert m["pixels"] is None and m["bit_depth"] == 12
