@@ -1,0 +1,163 @@
+"""Media codec throughput rehearsal (r13): measured MP/s / MS/s for
+every pure-Python decode tier, single-core and through the 32-way
+mapInPandas kernels — the numbers SCALING.md and COVERAGE.md quote
+instead of guessing.
+
+Content classes per codec are the shapes that bracket real cost:
+block-smooth (DC-heavy, the fast path) and dense-noise (worst-case
+entropy coding) for JPEG; photographic-gradient PNG (filter-heavy
+zlib); random-palette GIF (LZW table churn); square-wave and
+random-walk FLAC (short vs long Rice codes).
+
+Usage: python tools/bench_media.py [rows_per_kernel]
+Prints ONE JSON line:
+{"metric": "media_throughput", "single_core": {codec: {"mp_s": ...}},
+ "kernel_32way": {"rows_s": N, "rows": R, "wall_sec": s}}
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def _bench(fn, payloads, unit_pixels):
+    t0 = time.time()
+    for p in payloads:
+        fn(p)
+    wall = time.time() - t0
+    total = unit_pixels * len(payloads)
+    return {
+        "wall_sec": round(wall, 3),
+        "units": total,
+        "per_sec": round(total / wall, 1) if wall else None,
+    }
+
+
+def single_core():
+    from person_linkage_case_study_spark.multimodal.flac import (
+        decode_flac_pcm,
+        encode_flac,
+    )
+    from person_linkage_case_study_spark.multimodal.media import (
+        decode_jpeg_pixels,
+        encode_bmp,
+        encode_gif,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+        encode_png,
+        parse_bmp,
+        parse_gif,
+        parse_png,
+    )
+
+    rng = np.random.default_rng(42)
+    out = {}
+
+    # 256x256 content classes
+    smooth = np.repeat(
+        np.repeat(rng.integers(0, 256, (32, 32), np.uint8), 8, 0), 8, 1
+    )
+    grad = (
+        np.add.outer(np.arange(256), np.arange(256)) // 2
+        + rng.integers(-4, 5, (256, 256))
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (256, 256), np.uint8)
+    mp = 256 * 256 / 1e6
+
+    out["png_gradient"] = _bench(
+        parse_png, [encode_png(grad[:, :, None])] * 8, mp
+    )
+    out["png_noise"] = _bench(
+        parse_png, [encode_png(noise[:, :, None])] * 8, mp
+    )
+    out["jpeg_baseline_smooth"] = _bench(
+        decode_jpeg_pixels, [encode_jpeg_baseline(smooth)] * 4, mp
+    )
+    out["jpeg_baseline_noise"] = _bench(
+        decode_jpeg_pixels, [encode_jpeg_baseline(noise)] * 2, mp
+    )
+    out["jpeg_progressive_smooth"] = _bench(
+        decode_jpeg_pixels, [encode_jpeg_progressive(smooth)] * 2, mp
+    )
+    out["jpeg_12bit_smooth"] = _bench(
+        decode_jpeg_pixels,
+        [encode_jpeg_baseline(smooth.astype(np.int64) * 16, precision=12)] * 2,
+        mp,
+    )
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    out["gif_noise"] = _bench(
+        parse_gif, [encode_gif(noise, pal)] * 4, mp
+    )
+    out["bmp"] = _bench(
+        parse_bmp, [encode_bmp(np.stack([noise] * 3, -1))] * 32, mp
+    )
+
+    # FLAC: 8k samples stereo; units = mega-samples
+    ms = 8192 * 2 / 1e6
+    sq = np.where(np.arange(8192) % 2 == 0, 9000, -9000)
+    sq2 = np.stack([sq, -sq], 1).astype(np.int64)
+    walk = np.cumsum(rng.integers(-99, 100, (8192, 2)), 0).astype(np.int64)
+    out["flac_square"] = _bench(
+        decode_flac_pcm,
+        [encode_flac(sq2, block_size=4096, subframe="fixed", order=1,
+                     stereo="mid_side")] * 4,
+        ms,
+    )
+    out["flac_walk"] = _bench(
+        decode_flac_pcm,
+        [encode_flac(walk, block_size=4096, subframe="fixed", order=2)] * 4,
+        ms,
+    )
+    return out
+
+
+def kernel_32way(rows: int):
+    """The end-to-end shape: the mm_media_features ten-codec entry over
+    a synthesized documents frame, rows/s through the full plan."""
+    from pyspark.sql import SparkSession
+
+    from person_linkage_case_study_spark import queries as catalog
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("bench_media")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+    sf_dir = "/root/testdata/sf0.1"
+    # warm
+    qs["mm_media_features"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t0 = time.time()
+    df = qs["mm_media_features"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    nrows = df.count()
+    spark.stop()
+    return {
+        "rows": nrows,
+        "wall_sec": round(wall, 2),
+        "rows_s": round(nrows / wall, 1),
+        "note": "mm_media_features at sf0.1: ~13 codec round-trips/row",
+    }
+
+
+def main():
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    payload = {
+        "metric": "media_throughput",
+        "single_core": single_core(),
+        "kernel_32way": kernel_32way(rows),
+    }
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
