@@ -2404,6 +2404,28 @@ def _mm_features_oracle() -> str:
                    / 48000, 6) AS opus_duration
       FROM documents
     ),
+    -- r13: the GIF ANIMATION tier. The Spark side encodes a real
+    -- multi-frame GIF89a per document (encode_gif_animation: F =
+    -- 2 + id%3 full-screen constant frames over the same arithmetic
+    -- palette as the gif_mean tier, frame k constant at index
+    -- (id+k)%16 with delay 5 + (id+k)%7 cs) and runs it through the
+    -- frame-explode kernel (extract_gif_frames -> decode_gif_frames:
+    -- LZW per frame, GCE delays, composition). Full-screen overwrite
+    -- frames mean the LAST canvas is the last frame's palette color
+    -- (mean (28c+11)/3, c = (id+F-1)%16); count and total delay are
+    -- arithmetic.
+    gan AS (
+      SELECT media_id,
+             CAST(f AS INT) AS anim_frames,
+             CAST((SELECT sum(5 + (media_id + k) % 7)
+                   FROM unnest(generate_series(0, f - 1)) AS t(k))
+                  AS BIGINT) AS anim_total_delay_cs,
+             round(CAST(28 * ((media_id + f - 1) % 16) + 11 AS DOUBLE) / 3,
+                   6) AS anim_last_mean
+      FROM (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   2 + CAST(doc_id AS BIGINT) % 3 AS f
+            FROM documents)
+    ),
     -- r13: the FLAC PCM tier. The Spark side encodes a REAL Rice-coded
     -- FLAC per document (multimodal/flac.py encode_flac: fixed order-1
     -- predictor, 192-sample frames, a short last frame, stereo
@@ -2484,6 +2506,7 @@ def _mm_features_oracle() -> str:
            jpg.jpg_pixel_mean,
            xtr.bmp_mean, xtr.gif_frames, xtr.gif_width, xtr.gif_height,
            xtr.gif_mean, xtr.flac_duration, xtr.opus_duration,
+           gan.anim_frames, gan.anim_total_delay_cs, gan.anim_last_mean,
            fpc.flac_rms, fpc.flac_peak, fpc.flac_n_samples,
            fpc.flac_pcm_duration,
            phs.phash,
@@ -2499,6 +2522,7 @@ def _mm_features_oracle() -> str:
     JOIN plt USING (media_id)
     JOIN jpg USING (media_id)
     JOIN xtr USING (media_id)
+    JOIN gan USING (media_id)
     JOIN fpc USING (media_id)
     JOIN phs USING (media_id)
     JOIN vid USING (media_id)
@@ -2544,7 +2568,14 @@ def _mm_features_oracle() -> str:
 # kernel, expected 64-bit hash in pure integer SQL with a
 # rounding-can't-flip-a-bit proof) and the VIDEO tier (vid CTE —
 # encode_mp4_skeleton → extract_video_meta, mvhd duration / tkhd dims /
-# hdlr track counts all arithmetic in doc_id).
+# hdlr track counts all arithmetic in doc_id); late r13 adds the FLAC
+# PCM tier (fpc CTE — real Rice-coded frames, all four stereo
+# decorrelations rotating on live rows, RMS = peak = A), a 12-bit
+# rotation inside the JPEG tier (ids % 5 == 0 encode SOF1/SOF2 at
+# precision 12 under the unchanged constant-block closed form), and
+# the GIF ANIMATION tier (gan CTE — multi-frame compose through the
+# extract_gif_frames explode kernel: true frame count, summed GCE
+# delays, last-canvas mean).
 @query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -2792,6 +2823,46 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "opus_duration double",
     )
 
+    def mk_anim(it):
+        # r13 GIF animation tier (closed forms in the oracle's gan CTE)
+        from .multimodal.media import encode_gif_animation
+
+        anim_pal = np.stack(
+            [16 * np.arange(16) + 1, 8 * np.arange(16) + 3,
+             4 * np.arange(16) + 7], axis=1
+        ).astype(np.uint8)
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                nf = 2 + mid % 3
+                frames = [
+                    {
+                        "indexes": np.full((2 + mid % 2, 3 + mid % 2),
+                                           (mid + k) % 16, np.uint8),
+                        "delay_cs": 5 + (mid + k) % 7,
+                    }
+                    for k in range(nf)
+                ]
+                payloads.append(encode_gif_animation(frames, anim_pal))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    from .multimodal.media import extract_gif_frames
+
+    gan = (
+        extract_gif_frames(
+            media.select("media_id").mapInPandas(mk_anim, payload_schema)
+        )
+        .groupBy("media_id")
+        .agg(
+            F.max("n_frames").alias("anim_frames"),
+            F.sum("delay_cs").cast("long").alias("anim_total_delay_cs"),
+            F.round(
+                F.max_by("pixel_mean", "frame_idx"), 6
+            ).alias("anim_last_mean"),
+        )
+    )
+
     def mk_flac(it):
         # r13 FLAC PCM tier (closed forms in the oracle's fpc CTE):
         # phase-opposed +/-A square waves through a REAL Rice-coded
@@ -2928,6 +2999,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(plt, on="media_id")
         .join(jpg, on="media_id")
         .join(xtr, on="media_id")
+        .join(gan, on="media_id")
         .join(fpc, on="media_id")
         .join(phs, on="media_id")
         .join(vid, on="media_id")
@@ -2963,6 +3035,9 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gif_mean",
             "flac_duration",
             "opus_duration",
+            "anim_frames",
+            "anim_total_delay_cs",
+            "anim_last_mean",
             "flac_rms",
             "flac_peak",
             "flac_n_samples",
