@@ -2368,7 +2368,9 @@ def parse_bmp(payload: bytes) -> dict:
     height = abs(height)
     if width <= 0 or height == 0:
         raise ValueError("BMP degenerate dimensions")
-    channels = 4 if bpp == 32 else (3 if bpp == 24 else 1)
+    # paletted / 16-bpp sources expand to RGB (same convention as GIF:
+    # palette entries are RGB); bit_depth below reports the source depth
+    channels = 4 if bpp == 32 else 3
     meta = {
         "format": "bmp",
         "width": width,
@@ -2379,23 +2381,175 @@ def parse_bmp(payload: bytes) -> dict:
         "pixels": None,
         "pixel_mean": None,
     }
-    if compression != 0 or bpp not in (24, 32):
-        return meta  # paletted / RLE / bitfields: metadata tier
-    stride = (width * (bpp // 8) + 3) & ~3
-    need = data_offset + stride * height
-    if need > len(payload):
-        return meta  # truncated pixel array: metadata tier
-    rows = np.frombuffer(
-        payload[data_offset : data_offset + stride * height], dtype=np.uint8
-    ).reshape(height, stride)[:, : width * (bpp // 8)]
-    px = rows.reshape(height, width, bpp // 8)
-    if not top_down:
-        px = px[::-1]
-    # BGR(A) -> RGB(A)
-    px = px[..., [2, 1, 0] + ([3] if bpp == 32 else [])]
-    meta["pixels"] = np.ascontiguousarray(px)
-    meta["pixel_mean"] = float(px.mean())
-    return meta
+    if width * height > PURE_JPEG_PIXEL_LIMIT:
+        return meta  # same pixel cap as the other crawl tiers (an RLE
+        # stream can claim enormous dims from a few bytes)
+
+    def finish(px):
+        meta["pixels"] = np.ascontiguousarray(px)
+        meta["pixel_mean"] = float(px.mean())
+        return meta
+
+    if compression == 0 and bpp in (24, 32):
+        stride = (width * (bpp // 8) + 3) & ~3
+        need = data_offset + stride * height
+        if need > len(payload):
+            return meta  # truncated pixel array: metadata tier
+        rows = np.frombuffer(
+            payload[data_offset : data_offset + stride * height],
+            dtype=np.uint8,
+        ).reshape(height, stride)[:, : width * (bpp // 8)]
+        px = rows.reshape(height, width, bpp // 8)
+        if not top_down:
+            px = px[::-1]
+        # BGR(A) -> RGB(A)
+        return finish(px[..., [2, 1, 0] + ([3] if bpp == 32 else [])])
+
+    # r13: the remaining real-crawl BMP layouts decode too — paletted
+    # 1/4/8-bpp, RLE8/RLE4 run-length, and 16-bpp 555/565 (BI_RGB
+    # default masks or explicit BI_BITFIELDS); anything else (JPEG/PNG
+    # embeddings, alpha bitfields) stays metadata-only
+    if bpp in (1, 4, 8) and compression in (0, 1, 2):
+        (colors_used,) = struct.unpack("<I", payload[46:50])
+        ncol = colors_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        quads = np.frombuffer(
+            payload[pal_off : pal_off + 4 * ncol], dtype=np.uint8
+        )
+        if len(quads) < 4 * ncol:
+            return meta  # truncated palette
+        pal = quads.reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        if compression == 0:
+            stride = ((width * bpp + 31) // 32) * 4
+            need = data_offset + stride * height
+            if need > len(payload):
+                return meta
+            rows = np.frombuffer(
+                payload[data_offset : data_offset + stride * height],
+                dtype=np.uint8,
+            ).reshape(height, stride)
+            if bpp == 8:
+                idx = rows[:, :width]
+            elif bpp == 4:
+                nib = np.stack(
+                    [rows >> 4, rows & 0x0F], axis=2
+                ).reshape(height, -1)
+                idx = nib[:, :width]
+            else:
+                bits = np.unpackbits(rows, axis=1)
+                idx = bits[:, :width]
+        else:
+            if (compression == 1) != (bpp == 8):
+                return meta  # RLE8 is 8-bpp, RLE4 is 4-bpp, by spec
+            idx = _bmp_rle_decode(
+                payload[data_offset:], width, height, rle4=(bpp == 4)
+            )
+            if idx is None:
+                return meta
+        if int(idx.max(initial=0)) >= len(pal):
+            return meta  # palette index out of range
+        px = pal[idx]
+        if not top_down:
+            px = px[::-1]
+        return finish(px)
+
+    if bpp == 16 and compression in (0, 3):
+        if compression == 3:
+            # masks live at byte 54 both ways: right after a 40-byte
+            # BITMAPINFOHEADER, or as the RedMask... fields of V2+/V4/V5
+            if len(payload) < 66:
+                return meta
+            rm, gm, bm = struct.unpack("<III", payload[54:66])
+        else:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # BI_RGB 16-bpp is 555
+        if not (rm and gm and bm):
+            return meta
+        stride = (width * 2 + 3) & ~3
+        need = data_offset + stride * height
+        if need > len(payload):
+            return meta
+        raw = np.frombuffer(
+            payload[data_offset : data_offset + stride * height],
+            dtype=np.uint8,
+        ).reshape(height, stride)[:, : width * 2]
+        v = raw.reshape(height, width, 2).astype(np.uint16)
+        v = v[..., 0] | (v[..., 1] << 8)  # little-endian samples
+
+        def chan(mask):
+            shift = (mask & -mask).bit_length() - 1
+            top = mask >> shift
+            c = (v & mask) >> shift
+            # scale to 0..255 exactly (top is 31 or 63)
+            return ((c.astype(np.uint32) * 255 + top // 2) // top).astype(
+                np.uint8
+            )
+
+        px = np.stack([chan(rm), chan(gm), chan(bm)], axis=-1)
+        if not top_down:
+            px = px[::-1]
+        return finish(px)
+
+    return meta  # exotic layout: metadata tier
+
+
+def _bmp_rle_decode(data: bytes, width: int, height: int, *, rle4: bool):
+    """RLE8/RLE4 index decode (r13): encoded runs, absolute runs
+    (word-padded), end-of-line / end-of-bitmap / delta escapes. Rows
+    are in file order (bottom-up for positive heights — the caller
+    flips). Pixels never written (delta/EOL skips) stay index 0, the
+    common player convention. Returns (height, width) uint8 indexes or
+    None on a malformed stream."""
+    import numpy as np
+
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = 0
+    p = 0
+    n = len(data)
+    while p + 1 < n:
+        cnt, val = data[p], data[p + 1]
+        p += 2
+        if cnt > 0:
+            if y >= height:
+                return None
+            if rle4:
+                pix = [val >> 4, val & 0x0F] * ((cnt + 1) // 2)
+                pix = pix[:cnt]
+            else:
+                pix = [val] * cnt
+            end = min(x + cnt, width)
+            out[y, x:end] = pix[: end - x]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if p + 1 >= n:
+                return None
+            x += data[p]
+            y += data[p + 1]
+            p += 2
+        else:  # absolute run of `val` pixels, word-aligned
+            if rle4:
+                nbytes = (val + 1) // 2
+            else:
+                nbytes = val
+            pad = (nbytes + 1) & ~1
+            if p + pad > n or y >= height:
+                return None
+            chunk = data[p : p + nbytes]
+            if rle4:
+                pix = []
+                for b in chunk:
+                    pix += [b >> 4, b & 0x0F]
+                pix = pix[:val]
+            else:
+                pix = list(chunk)
+            end = min(x + val, width)
+            out[y, x:end] = pix[: end - x]
+            x += val
+            p += pad
+    return out  # stream ended without EOD: keep what decoded
 
 
 def encode_bmp(pixels, *, top_down: bool = False) -> bytes:
@@ -2422,6 +2576,108 @@ def encode_bmp(pixels, *, top_down: bool = False) -> bytes:
     off = 14 + len(dib)
     head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
     return head + dib + data
+
+
+def encode_bmp_paletted(
+    indexes,
+    palette,
+    *,
+    bpp: int = 8,
+    rle: bool = False,
+    top_down: bool = False,
+) -> bytes:
+    """Paletted BMP writer (r13) — fixture counterpart of
+    :func:`parse_bmp`'s paletted tiers. ``indexes`` (h, w) uint8,
+    ``palette`` (n, 3) RGB; ``bpp`` 1/4/8; ``rle`` emits RLE8 encoded
+    runs (8-bpp only) with per-row EOL and a final EOD escape."""
+    import numpy as np
+
+    idx = np.asarray(indexes, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    ncol = pal.shape[0]
+    if int(idx.max(initial=0)) >= ncol or ncol > (1 << bpp):
+        raise ValueError("palette index out of range")
+    quads = np.zeros((ncol, 4), dtype=np.uint8)
+    quads[:, [2, 1, 0]] = pal
+    rows_fileorder = idx if top_down else idx[::-1]
+    if rle:
+        if bpp != 8:
+            raise ValueError("RLE fixture supports 8-bpp only")
+        body = bytearray()
+        for row in rows_fileorder:
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                body += bytes((run, int(row[x])))
+                x += run
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        data = bytes(body)
+        compression = 1
+    else:
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        if bpp == 8:
+            rows[:, :w] = rows_fileorder
+        elif bpp == 4:
+            padded = np.zeros((h, (w + 1) & ~1), dtype=np.uint8)
+            padded[:, :w] = rows_fileorder
+            packed = (padded[:, 0::2] << 4) | padded[:, 1::2]
+            rows[:, : packed.shape[1]] = packed
+        elif bpp == 1:
+            padded = np.zeros((h, ((w + 7) & ~7)), dtype=np.uint8)
+            padded[:, :w] = rows_fileorder
+            packed = np.packbits(padded, axis=1)
+            rows[:, : packed.shape[1]] = packed
+        else:
+            raise ValueError("bpp must be 1, 4 or 8")
+        data = rows.tobytes()
+        compression = 0
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, compression,
+        len(data), 2835, 2835, ncol, 0,
+    )
+    off = 14 + len(dib) + 4 * ncol
+    head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return head + dib + quads.tobytes() + data
+
+
+def encode_bmp16(pixels, *, bits: str = "555", top_down: bool = False) -> bytes:
+    """16-bpp BMP writer (r13): '555' uses BI_RGB's implied masks,
+    '565' emits explicit BI_BITFIELDS masks. Channel values quantize
+    by truncation (>> 3 / >> 2); parse_bmp scales back with rounding."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    r, g, b = (px[..., i].astype(np.uint16) for i in range(3))
+    if bits == "555":
+        v = ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+        compression, masks = 0, b""
+    elif bits == "565":
+        v = ((r >> 3) << 11) | ((g >> 2) << 5) | (b >> 3)
+        compression = 3
+        masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    else:
+        raise ValueError("bits must be '555' or '565'")
+    if not top_down:
+        v = v[::-1]
+    stride = (w * 2 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    lo, hi = (v & 0xFF).astype(np.uint8), (v >> 8).astype(np.uint8)
+    rows[:, 0 : w * 2 : 2] = lo
+    rows[:, 1 : w * 2 : 2] = hi
+    data = rows.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 16, compression,
+        len(data), 2835, 2835, 0, 0,
+    )
+    off = 14 + len(dib) + len(masks)
+    head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return head + dib + masks + data
 
 
 def parse_webp(payload: bytes) -> dict:

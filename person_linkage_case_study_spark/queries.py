@@ -2401,7 +2401,19 @@ def _mm_features_oracle() -> str:
              round(CAST(1000 * (1 + CAST(doc_id AS BIGINT) % 7) AS DOUBLE)
                    / 44100, 6) AS flac_duration,
              round(CAST(960 * (1 + CAST(doc_id AS BIGINT) % 5) AS DOUBLE)
-                   / 48000, 6) AS opus_duration
+                   / 48000, 6) AS opus_duration,
+             -- r13: the EXTRA BMP layouts rotate over id % 4 — paletted
+             -- 8-bpp / 4-bpp / RLE8 (constant index c over the
+             -- (16c+1, 8c+3, 4c+7) palette: mean (28c+11)/3, the same
+             -- closed form as the GIF tier) and 16-bpp 555 (gray
+             -- constant 8a: each channel scales back as
+             -- (a*255+15) // 31, exact integer arithmetic)
+             CASE WHEN CAST(doc_id AS BIGINT) % 4 < 3
+                  THEN round(CAST(28 * (CAST(doc_id AS BIGINT) % 16) + 11
+                             AS DOUBLE) / 3, 6)
+                  ELSE CAST((CAST(doc_id AS BIGINT) % 32 * 255 + 15) // 31
+                            AS DOUBLE)
+             END AS bmp_x_mean
       FROM documents
     ),
     -- r13: the GIF ANIMATION tier. The Spark side encodes a real
@@ -2506,6 +2518,7 @@ def _mm_features_oracle() -> str:
            jpg.jpg_pixel_mean,
            xtr.bmp_mean, xtr.gif_frames, xtr.gif_width, xtr.gif_height,
            xtr.gif_mean, xtr.flac_duration, xtr.opus_duration,
+           xtr.bmp_x_mean,
            gan.anim_frames, gan.anim_total_delay_cs, gan.anim_last_mean,
            fpc.flac_rms, fpc.flac_peak, fpc.flac_n_samples,
            fpc.flac_pcm_duration,
@@ -2754,6 +2767,8 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # PARSERS against the independent oracle on live rows
         from .multimodal.media import (
             encode_bmp,
+            encode_bmp16,
+            encode_bmp_paletted,
             encode_flac_streaminfo,
             encode_gif,
             encode_gif_skeleton,
@@ -2773,7 +2788,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {
                 "media_id": [], "bmp_mean": [], "gif_frames": [],
                 "gif_width": [], "gif_height": [], "gif_mean": [],
-                "flac_duration": [], "opus_duration": [],
+                "flac_duration": [], "opus_duration": [], "bmp_x_mean": [],
             }
             for mid in pdf["media_id"]:
                 mid = int(mid)
@@ -2814,13 +2829,31 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["gif_mean"].append(round(gif_px["pixel_mean"], 6))
                 out["flac_duration"].append(round(flac["duration_sec"], 6))
                 out["opus_duration"].append(round(opus["duration_sec"], 6))
+                # r13 extra BMP layouts (closed forms in the xtr CTE)
+                layout = mid % 4
+                if layout < 3:
+                    c = mid % 16
+                    const = np.full((2 + mid % 3, 2 + mid % 5), c, np.uint8)
+                    if layout == 0:
+                        xb = encode_bmp_paletted(const, gif_pal, bpp=8)
+                    elif layout == 1:
+                        xb = encode_bmp_paletted(const, gif_pal, bpp=4)
+                    else:
+                        xb = encode_bmp_paletted(const, gif_pal, rle=True,
+                                                 top_down=(mid % 2 == 0))
+                else:
+                    a = mid % 32
+                    gray = np.full((2 + mid % 3, 2 + mid % 5, 3), 8 * a,
+                                   np.uint8)
+                    xb = encode_bmp16(gray, bits="555")
+                out["bmp_x_mean"].append(round(parse_bmp(xb)["pixel_mean"], 6))
             yield pd.DataFrame(out)
 
     xtr = media.select("media_id").mapInPandas(
         mk_crawl,
         "media_id long, bmp_mean double, gif_frames int, gif_width int, "
         "gif_height int, gif_mean double, flac_duration double, "
-        "opus_duration double",
+        "opus_duration double, bmp_x_mean double",
     )
 
     def mk_anim(it):
@@ -3035,6 +3068,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gif_mean",
             "flac_duration",
             "opus_duration",
+            "bmp_x_mean",
             "anim_frames",
             "anim_total_delay_cs",
             "anim_last_mean",
