@@ -2480,6 +2480,33 @@ def _mm_features_oracle() -> str:
                    (CAST(doc_id AS BIGINT) * 2654435761) % 2147483648 AS v
             FROM documents)
     ),
+    -- r13 late: the banded hamming join itself, driver-verified (the
+    -- minhash entry's LSH == full-quadratic discipline): Spark runs
+    -- phash_near_dups over a second hash family (pattern bits keyed to
+    -- id - id%3, so consecutive id TRIPLES share a hash exactly -
+    -- planted distance-0 clusters, ~N true pairs, linear) at d=2 and
+    -- counts each row's partners; DuckDB counts them from the FULL
+    -- QUADRATIC bit_count(xor) self-join over the same closed-form
+    -- hashes. d=2 keeps the banded volume small against the pattern
+    -- family's complementary-bit structure (each pair of hash bits
+    -- carries ONE bit of entropy, so band keys have half the nominal
+    -- width; 3 bands of ~21 bits -> ~2^10 keys each).
+    phq AS (
+      SELECT media_id,
+             CAST(-9223372036854775808 + {phash_terms} AS BIGINT) AS ph
+      FROM (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   ((CAST(doc_id AS BIGINT) - CAST(doc_id AS BIGINT) % 3)
+                    * 2654435761) % 2147483648 AS v
+            FROM documents)
+    ),
+    php AS (
+      SELECT a.media_id,
+             CAST((SELECT count(*) FROM phq b
+                   WHERE b.media_id != a.media_id
+                     AND bit_count(xor(a.ph, b.ph)) <= 2)
+                  AS BIGINT) AS phash_near_pairs
+      FROM phq a
+    ),
     -- r13: the video tier. encode_mp4_skeleton -> extract_video_meta on
     -- live rows: mvhd duration is pure arithmetic (ticks/timescale, the
     -- same IEEE divide both sides), tkhd dims and hdlr track counts are
@@ -2523,6 +2550,7 @@ def _mm_features_oracle() -> str:
            fpc.flac_rms, fpc.flac_peak, fpc.flac_n_samples,
            fpc.flac_pcm_duration,
            phs.phash,
+           php.phash_near_pairs,
            vid.mp4_duration, vid.mp4_width, vid.mp4_height,
            vid.mp4_audio_tracks,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
@@ -2538,6 +2566,7 @@ def _mm_features_oracle() -> str:
     JOIN gan USING (media_id)
     JOIN fpc USING (media_id)
     JOIN phs USING (media_id)
+    JOIN php USING (media_id)
     JOIN vid USING (media_id)
     JOIN aud USING (media_id)
     """.format(phash_terms=phash_terms)
@@ -2968,6 +2997,45 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select("media_id").mapInPandas(mk_phash_img, payload_schema)
     ).select("media_id", "phash")
 
+    # r13 late: the banded join, driver-verified — partners within
+    # hamming distance 2 per row via phash_near_dups (exact recall by
+    # pigeonhole), vs the oracle's full-quadratic bit_count self-join;
+    # the hash family plants distance-0 triples (v keyed to id - id%3)
+    # so true pairs are ~N (design notes in the phq CTE comment)
+    from .multimodal.phash import phash_near_dups
+
+    # the triple-keyed hash family is built ARITHMETICALLY (the same
+    # integer expression as the oracle's phq CTE — phash64 itself is
+    # already driver-proven by the phs tier's decode path; this tier
+    # verifies the JOIN, so a second 50k-image decode pass would buy
+    # nothing but wall time)
+    vtrip = (
+        (F.col("media_id") - F.col("media_id") % 3) * F.lit(2654435761)
+    ) % F.lit(2147483648)
+    ph_terms = None
+    for pbit in range(31):
+        t = F.when(
+            F.shiftright(vtrip, pbit).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1 << (62 - 2 * pbit)),
+        ).otherwise(F.lit(1 << (61 - 2 * pbit)))
+        ph_terms = t if ph_terms is None else ph_terms + t
+    trip = media.select(
+        "media_id", (ph_terms + F.lit(-(1 << 63))).alias("phash")
+    )
+    pairs = phash_near_dups(trip, max_distance=2)
+    partners = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("phash_near_pairs"))
+    )
+    php = trip.select("media_id").join(partners, on="media_id", how="left").select(
+        "media_id",
+        F.coalesce(F.col("phash_near_pairs"), F.lit(0)).cast("long").alias(
+            "phash_near_pairs"
+        ),
+    )
+
     def mk_mp4(it):
         # r13 video tier: a structural ISO-BMFF skeleton per document;
         # mvhd ticks/timescale, tkhd dims, hdlr track counts all
@@ -3035,6 +3103,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gan, on="media_id")
         .join(fpc, on="media_id")
         .join(phs, on="media_id")
+        .join(php, on="media_id")
         .join(vid, on="media_id")
         .join(aud, on="media_id")
         .select(
@@ -3077,6 +3146,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flac_n_samples",
             "flac_pcm_duration",
             "phash",
+            "phash_near_pairs",
             "mp4_duration",
             "mp4_width",
             "mp4_height",
