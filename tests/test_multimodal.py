@@ -925,7 +925,10 @@ def test_extract_meta_new_formats_spark(spark):
 @given(
     kind=st.sampled_from(
         ["gif", "bmp", "webp", "flac", "ogg", "mp3", "wav", "jpeg", "png",
-         "mp4"]
+         "mp4",
+         # r13 decoders join the same harness: full FLAC PCM frames,
+         # animated-GIF composition, paletted/RLE/16-bpp BMP, 12-bit JPEG
+         "flac_pcm", "gif_anim", "bmp_pal", "bmp_rle", "bmp16", "jpeg12"]
     ),
     mode=st.sampled_from(["junk", "truncate", "mutate"]),
     seed=st.integers(0, 2**31 - 1),
@@ -937,10 +940,19 @@ def test_media_parser_fuzz(kind, mode, seed):
     unbounded allocation, or interpreter-level error. The Spark kernels
     catch Exception per row, so the property that matters at 100 TB is
     termination, not the exception type."""
+    from person_linkage_case_study_spark.multimodal.flac import (
+        decode_flac_pcm,
+        encode_flac,
+    )
     from person_linkage_case_study_spark.multimodal.media import (
+        decode_gif_frames,
         encode_bmp,
+        encode_bmp16,
+        encode_bmp_paletted,
         encode_flac_streaminfo,
+        encode_gif_animation,
         encode_gif_skeleton,
+        encode_jpeg_baseline,
         encode_jpeg_progressive,
         encode_mp3_frames,
         encode_mp4_skeleton,
@@ -962,12 +974,17 @@ def test_media_parser_fuzz(kind, mode, seed):
         "wav": b"RIFF\x20\x00\x00\x00WAVE", "jpeg": b"\xff\xd8\xff",
         "png": b"\x89PNG\r\n\x1a\n",
         "mp4": b"\x00\x00\x00\x14ftypisom",
+        "flac_pcm": b"fLaC", "gif_anim": b"GIF89a", "bmp_pal": b"BM",
+        "bmp_rle": b"BM", "bmp16": b"BM", "jpeg12": b"\xff\xd8\xff",
     }[kind]
     parser = {
         "gif": parse_gif, "bmp": parse_bmp, "webp": parse_webp,
         "flac": parse_flac, "ogg": parse_ogg, "mp3": parse_mp3,
         "wav": parse_wav, "jpeg": parse_jpeg, "png": parse_png,
         "mp4": parse_mp4,
+        "flac_pcm": decode_flac_pcm, "gif_anim": decode_gif_frames,
+        "bmp_pal": parse_bmp, "bmp_rle": parse_bmp, "bmp16": parse_bmp,
+        "jpeg12": parse_jpeg,
     }[kind]
     if mode == "junk":
         payload = magic + rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
@@ -996,6 +1013,39 @@ def test_media_parser_fuzz(kind, mode, seed):
             ),
             "mp4": lambda: encode_mp4_skeleton(
                 timescale=1000, duration=4000, video_dims=(64, 48)
+            ),
+            "flac_pcm": lambda: encode_flac(
+                np.cumsum(rng.integers(-40, 41, (96, 2)), 0).astype(
+                    np.int64
+                ),
+                8000, block_size=64, subframe="fixed", order=2,
+                stereo="mid_side", partition_order=1,
+            ),
+            "gif_anim": lambda: encode_gif_animation(
+                [
+                    {"indexes": rng.integers(0, 4, (5, 6)).astype(np.uint8),
+                     "delay_cs": 5, "disposal": 2, "transparent": 3},
+                    {"indexes": rng.integers(0, 4, (3, 3)).astype(np.uint8),
+                     "left": 2, "top": 1, "disposal": 3},
+                ],
+                rng.integers(0, 256, (4, 3), np.uint8),
+            ),
+            "bmp_pal": lambda: encode_bmp_paletted(
+                rng.integers(0, 16, (6, 5)).astype(np.uint8),
+                rng.integers(0, 256, (16, 3), np.uint8),
+                bpp=int(rng.choice([4, 8])),
+            ),
+            "bmp_rle": lambda: encode_bmp_paletted(
+                rng.integers(0, 8, (5, 9)).astype(np.uint8),
+                rng.integers(0, 256, (8, 3), np.uint8), rle=True,
+            ),
+            "bmp16": lambda: encode_bmp16(
+                rng.integers(0, 256, (4, 7, 3), np.uint8),
+                bits=str(rng.choice(["555", "565"])),
+            ),
+            "jpeg12": lambda: encode_jpeg_baseline(
+                rng.integers(0, 4096, (9, 13)).astype(np.int64),
+                precision=12,
             ),
         }[kind]()
         if mode == "truncate":
