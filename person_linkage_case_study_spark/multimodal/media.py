@@ -392,28 +392,45 @@ def _png_defilter(raw: bytes, p: int, height: int, stride: int, bpp: int):
             ).reshape(stride).astype(np.int32)
         elif ft in (3, 4):  # Average / Paeth: the predictor mixes the UP
             # neighbor with the reconstructed LEFT, which breaks the
-            # prefix-sum form — sequential in filter UNITS, but every
-            # byte of a unit vectorizes together (r10)
-            ln = line.reshape(npx, bpp)
-            pv = prev.reshape(npx, bpp)
-            pvl = np.vstack((np.zeros((1, bpp), dtype=np.int32), pv[:-1]))
-            rc = np.zeros((npx, bpp), dtype=np.int32)
-            a = np.zeros(bpp, dtype=np.int32)  # reconstructed left
-            for x in range(npx):
-                b = pv[x]
-                if ft == 3:
-                    pred = (a + b) // 2
-                else:
-                    cd = pvl[x]
-                    pa = np.abs(b - cd)
-                    pb = np.abs(a - cd)
-                    pc = np.abs(a + b - 2 * cd)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cd)
-                    )
-                a = (ln[x] + pred) % 256
-                rc[x] = a
-            rec = rc.reshape(stride)
+            # prefix-sum form — inherently sequential along the row.
+            # r13 (MEDIA_BENCH profile): the r10 per-filter-unit numpy
+            # formulation paid ~5 µs of array overhead per 1-4-byte
+            # unit (97% of parse_png wall on Paeth-heavy content);
+            # plain-int byte loops are ~7× faster at these widths and
+            # bit-identical (the hand-built Average/Paeth golden rows
+            # pin both arithmetics)
+            lb = line.tolist()
+            pv = prev.tolist()
+            rl = [0] * stride
+            if ft == 3:
+                for i in range(bpp):
+                    rl[i] = (lb[i] + (pv[i] >> 1)) & 255
+                for i in range(bpp, stride):
+                    rl[i] = (lb[i] + ((rl[i - bpp] + pv[i]) >> 1)) & 255
+            else:
+                for i in range(bpp):
+                    rl[i] = (lb[i] + pv[i]) & 255  # a = c = 0 -> pred b
+                for i in range(bpp, stride):
+                    a = rl[i - bpp]
+                    b = pv[i]
+                    c = pv[i - bpp]
+                    pa = b - c
+                    if pa < 0:
+                        pa = -pa
+                    pb = a - c
+                    if pb < 0:
+                        pb = -pb
+                    pc = a + b - 2 * c
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rl[i] = (lb[i] + pred) & 255
+            rec = np.asarray(rl, dtype=np.int32)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec
