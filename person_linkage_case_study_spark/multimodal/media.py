@@ -153,6 +153,7 @@ def encode_png(
     *,
     bit_depth: int = 8,
     interlace: bool = False,
+    exif: "bytes | None" = None,
 ) -> bytes:
     """Minimal, spec-correct PNG writer (the fixture / round-trip
     counterpart of :func:`parse_png` — no imaging library in this
@@ -217,9 +218,12 @@ def encode_png(
             _png_rows_to_bytes(sub, bit_depth, stride), bpp
         )
     plte = b"" if palette is None else chunk(b"PLTE", pal.tobytes())
+    # r13: optional eXIf chunk (raw TIFF blob, PNG 1.5) ahead of IDAT
+    exif_chunk = b"" if exif is None else chunk(b"eXIf", exif)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + exif_chunk
         + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
@@ -254,6 +258,7 @@ def parse_png(payload: bytes, max_pixels: int | None = None) -> dict:
     pos, idat = 8, bytearray()
     width = height = bit_depth = color_type = interlace = None
     plte = None
+    exif = {"orientation": None, "has_gps": False}
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -268,6 +273,15 @@ def parse_png(payload: bytes, max_pixels: int | None = None) -> dict:
             plte = bytes(body)
         elif tag == b"IDAT":
             idat.extend(body)
+        elif tag == b"eXIf":
+            # r13: PNG carries EXIF too (PNG 1.5 eXIf chunk — the raw
+            # TIFF blob, no JPEG APP1 wrapper); same orientation /
+            # GPS-presence surface as parse_jpeg, corrupt EXIF keeps
+            # defaults, never the whole parse
+            try:
+                exif = parse_exif(bytes(body))
+            except (ValueError, IndexError):
+                pass
         elif tag == b"IEND":
             break
         pos += 12 + length  # len + tag + body + crc
@@ -280,6 +294,8 @@ def parse_png(payload: bytes, max_pixels: int | None = None) -> dict:
         "height": height,
         "channels": channels,
         "bit_depth": bit_depth,
+        "orientation": exif.get("orientation"),
+        "has_gps": exif.get("has_gps", False),
         "pixels": None,
         "pixel_mean": None,
     }
@@ -3486,6 +3502,156 @@ def parse_flac(payload: bytes) -> dict:
     }
 
 
+def _flac_metadata_blocks(payload: bytes):
+    """Yield (block_type, body) for each FLAC metadata block; stops at
+    the last-block flag or a truncated header."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC (bad signature)")
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        (length,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            return  # truncated block: keep the parsed prefix
+        yield hdr & 0x7F, body
+        pos += 4 + length
+        if hdr & 0x80:
+            return
+
+
+def parse_flac_tags(payload: bytes) -> dict:
+    """FLAC VORBIS_COMMENT tag extraction (r13) — the FLAC sibling of
+    :func:`parse_id3_tags`, emitting the same dedup/join key surface
+    (title/artist/album/year/genre). Field names are case-insensitive
+    per the Vorbis-comment spec; DATE maps to ``year`` (leading
+    YYYY). Lengths are LITTLE-endian here (a Vorbis structure embedded
+    in an otherwise big-endian container — the classic trap)."""
+    out: dict = {}
+    for btype, body in _flac_metadata_blocks(payload):
+        if btype != 4:  # VORBIS_COMMENT
+            continue
+        p = 0
+        if p + 4 > len(body):
+            return out
+        (vlen,) = struct.unpack("<I", body[p : p + 4])
+        p += 4 + vlen
+        if p + 4 > len(body):
+            return out
+        (count,) = struct.unpack("<I", body[p : p + 4])
+        p += 4
+        for _ in range(min(count, 4096)):
+            if p + 4 > len(body):
+                break
+            (clen,) = struct.unpack("<I", body[p : p + 4])
+            p += 4
+            if p + clen > len(body):
+                break
+            try:
+                comment = body[p : p + clen].decode("utf-8")
+            except UnicodeDecodeError:
+                p += clen
+                continue
+            p += clen
+            key, _, value = comment.partition("=")
+            key = key.lower()
+            if key in ("title", "artist", "album", "genre"):
+                out.setdefault(key, value or None)
+            elif key == "date" and len(value) >= 4 and value[:4].isdigit():
+                # string, matching the ID3 tag surface (TYER/TDRC)
+                out.setdefault("year", value[:4])
+        break
+    return out
+
+
+def parse_flac_picture(payload: bytes) -> "dict | None":
+    """FLAC PICTURE block parse (r13): embedded cover art — a REAL
+    image payload inside an audio container, the cross-modal edge a
+    crawl pipeline routes back through the image kernels. Returns
+    picture type, MIME, declared dims, and the raw image ``data``
+    (feed it to parse_png/parse_jpeg/extract_image_meta), or None when
+    no PICTURE block exists. All integers BIG-endian per spec."""
+    for btype, body in _flac_metadata_blocks(payload):
+        if btype != 6:  # PICTURE
+            continue
+        p = 0
+
+        def u32():
+            nonlocal p
+            if p + 4 > len(body):
+                raise ValueError("FLAC PICTURE truncated")
+            (v,) = struct.unpack(">I", body[p : p + 4])
+            p += 4
+            return v
+
+        ptype = u32()
+        n = u32()
+        mime = body[p : p + n]
+        p += n
+        n = u32()
+        desc = body[p : p + n]
+        p += n
+        width, height, depth, _colors = u32(), u32(), u32(), u32()
+        dlen = u32()
+        if p + dlen > len(body):
+            raise ValueError("FLAC PICTURE data truncated")
+        return {
+            "picture_type": ptype,
+            "mime": mime.decode("ascii", "replace"),
+            "description": desc.decode("utf-8", "replace"),
+            "width": width,
+            "height": height,
+            "depth": depth,
+            "data": body[p : p + dlen],
+        }
+    return None
+
+
+def add_flac_metadata(flac: bytes, *, tags: "dict | None" = None,
+                      picture: "dict | None" = None) -> bytes:
+    """Fixture helper (r13): insert VORBIS_COMMENT / PICTURE metadata
+    blocks after an existing stream's STREAMINFO (clearing its
+    last-block flag). ``tags`` maps field->value; ``picture`` needs
+    ``data`` and optionally mime/width/height/depth/picture_type."""
+    if flac[:4] != b"fLaC" or len(flac) < 8:
+        raise ValueError("not a FLAC")
+    hdr = flac[4]
+    (length,) = struct.unpack(">I", b"\x00" + flac[5:8])
+    si_end = 8 + length
+    blocks = []
+    if tags:
+        vendor = b"pls-spark"
+        body = struct.pack("<I", len(vendor)) + vendor
+        body += struct.pack("<I", len(tags))
+        for k, v in tags.items():
+            c = f"{k}={v}".encode("utf-8")
+            body += struct.pack("<I", len(c)) + c
+        blocks.append((4, body))
+    if picture:
+        data = picture["data"]
+        mime = picture.get("mime", "image/png").encode("ascii")
+        desc = picture.get("description", "").encode("utf-8")
+        body = struct.pack(">I", picture.get("picture_type", 3))
+        body += struct.pack(">I", len(mime)) + mime
+        body += struct.pack(">I", len(desc)) + desc
+        body += struct.pack(
+            ">IIII", picture.get("width", 0), picture.get("height", 0),
+            picture.get("depth", 24), 0,
+        )
+        body += struct.pack(">I", len(data)) + data
+        blocks.append((6, body))
+    out = bytearray(flac[:4])
+    out.append(hdr & 0x7F)  # STREAMINFO no longer last
+    out += flac[5:si_end]
+    for i, (btype, body) in enumerate(blocks):
+        flag = 0x80 if (hdr & 0x80 and i == len(blocks) - 1) else 0
+        out.append(flag | btype)
+        out += struct.pack(">I", len(body))[1:]
+        out += body
+    out += flac[si_end:]
+    return bytes(out)
+
+
 def parse_ogg(payload: bytes) -> dict:
     """Ogg container metadata parse (r12): identifies the codec from
     the first page's payload (OpusHead / \\x01vorbis), reads channels
@@ -3668,10 +3834,12 @@ ID3_TAGS_SCHEMA = T.StructType(
 
 
 def extract_audio_tags(media: DataFrame) -> DataFrame:
-    """mapInPandas ID3v2 tag extraction (r12): the dedup/join keys an
-    audio curation pipeline carries alongside the signal features.
-    Payloads without a leading ID3v2 tag (or corrupt ones) get NULL
-    columns — the same crawl-garbage contract as every media kernel."""
+    """mapInPandas audio tag extraction: the dedup/join keys an audio
+    curation pipeline carries alongside the signal features — ID3v2
+    frames for MPEG audio (r12), VORBIS_COMMENT fields for FLAC (r13,
+    same column surface). Payloads without tags (or corrupt ones) get
+    NULL columns — the same crawl-garbage contract as every media
+    kernel."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -3679,7 +3847,10 @@ def extract_audio_tags(media: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 try:
-                    tags = parse_id3_tags(b)
+                    if b[:4] == b"fLaC":
+                        tags = parse_flac_tags(b)
+                    else:
+                        tags = parse_id3_tags(b)
                 except Exception:
                     tags = {}
                 rows.append(

@@ -2118,3 +2118,85 @@ def test_bmp_paletted_rle_and_16bpp():
     good = encode_bmp_paletted(idx, pal)
     m = parse_bmp(good[: 14 + 40 + 10])
     assert m["pixels"] is None and m["format"] == "bmp"
+
+
+def test_flac_tags_and_picture_and_png_exif():
+    """r13 metadata trio: FLAC VORBIS_COMMENT tags surface through the
+    same audio-tag columns as ID3v2 (little-endian lengths inside the
+    big-endian container — the classic trap, pinned); a FLAC PICTURE
+    block's embedded cover art round-trips back through the IMAGE
+    decoder (the cross-modal edge); PNG eXIf chunks carry the same
+    orientation / GPS-presence surface as JPEG APP1."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        add_flac_metadata,
+        encode_exif_app1,
+        encode_flac_streaminfo,
+        encode_png,
+        parse_flac,
+        parse_flac_picture,
+        parse_flac_tags,
+        parse_png,
+    )
+
+    rng = np.random.default_rng(47)
+    art_px = rng.integers(0, 256, (9, 11, 3), np.uint8)
+    art = encode_png(art_px)
+    base = encode_flac_streaminfo(44100, 2, 16, 44100)
+    blob = add_flac_metadata(
+        base,
+        tags={"TITLE": "Song A", "Artist": "Band B", "ALBUM": "LP C",
+              "DATE": "1997-04-01", "GENRE": "noise"},
+        picture={"data": art, "mime": "image/png", "width": 11,
+                 "height": 9},
+    )
+    # STREAMINFO still parses through the extended block chain
+    assert parse_flac(blob)["duration_sec"] == 1.0
+    tags = parse_flac_tags(blob)
+    assert tags == {"title": "Song A", "artist": "Band B", "album": "LP C",
+                    "year": "1997", "genre": "noise"}
+    pic = parse_flac_picture(blob)
+    assert pic["mime"] == "image/png" and pic["picture_type"] == 3
+    # cross-modal: the embedded art decodes as a real image
+    inner = parse_png(pic["data"])
+    assert (inner["width"], inner["height"]) == (11, 9)
+    assert (inner["pixels"] == art_px).all()
+    # no tags / no picture: empty dict and None, never a throw
+    assert parse_flac_tags(base) == {} and parse_flac_picture(base) is None
+
+    # PNG eXIf: raw TIFF blob (strip the APP1 'Exif\\0\\0' prefix)
+    tiff = encode_exif_app1(orientation=6, gps=True)[6:]
+    png = encode_png(art_px, exif=tiff)
+    m = parse_png(png)
+    assert m["orientation"] == 6 and m["has_gps"] is True
+    assert (m["pixels"] == art_px).all()  # pixels unaffected by eXIf
+    plain = parse_png(encode_png(art_px))
+    assert plain["orientation"] is None and plain["has_gps"] is False
+
+
+def test_extract_audio_tags_flac_spark(spark):
+    """The tag kernel reads FLAC VORBIS_COMMENT rows alongside ID3v2
+    ones, same columns; corrupt comment blocks NULL out."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        add_flac_metadata,
+        encode_flac_streaminfo,
+        encode_id3_tag,
+        extract_audio_tags,
+    )
+
+    flac = add_flac_metadata(
+        encode_flac_streaminfo(8000, 1, 16, 8000),
+        tags={"title": "F", "artist": "G", "date": "2001"},
+    )
+    bad = bytearray(flac)
+    bad[12] = 0xFF  # corrupt inside the metadata chain
+    id3 = encode_id3_tag({"TIT2": "I", "TPE1": "J", "TALB": "K"})
+    df = spark.createDataFrame(
+        [(1, bytearray(flac)), (2, bytearray(bad)), (3, bytearray(id3)),
+         (4, None)],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in extract_audio_tags(media).collect()}
+    assert (rows[1]["title"], rows[1]["artist"], rows[1]["year"]) == (
+        "F", "G", "2001")
+    assert rows[3]["title"] == "I" and rows[4]["title"] is None
