@@ -3422,11 +3422,14 @@ def encode_ogg(
     sample_rate: int,
     granules: "list[int]",
     pre_skip: int = 0,
+    tags: "dict | None" = None,
 ) -> bytes:
     """Header-valid Ogg stream fixture (r12): an identification page
     (``OpusHead`` or Vorbis ident per ``codec``) followed by one dummy
     page per entry in ``granules`` — the test counterpart of
-    :func:`parse_ogg`'s page walk; payload bytes are filler."""
+    :func:`parse_ogg`'s page walk; payload bytes are filler. ``tags``
+    (late r13) adds a real comment-header page (OpusTags /
+    ``\x03vorbis`` + Vorbis-comment structure) after the ident."""
 
     def page(granule: int, payload: bytes, seq: int, first: bool) -> bytes:
         nseg = (len(payload) + 254) // 255 or 1
@@ -3465,8 +3468,20 @@ def encode_ogg(
     else:
         raise ValueError(f"unknown codec {codec!r}")
     out = page(0, ident, 0, True)
-    for i, g in enumerate(granules, 1):
-        out += page(g, b"\x00" * 20, i, False)
+    seq = 1
+    if tags is not None:
+        vendor = b"pls-spark"
+        body = struct.pack("<I", len(vendor)) + vendor
+        body += struct.pack("<I", len(tags))
+        for k, v in tags.items():
+            c = f"{k}={v}".encode("utf-8")
+            body += struct.pack("<I", len(c)) + c
+        marker = b"OpusTags" if codec == "opus" else b"\x03vorbis"
+        out += page(0, marker + body, seq, False)
+        seq += 1
+    for g in granules:
+        out += page(g, b"\x00" * 20, seq, False)
+        seq += 1
     return out
 
 
@@ -3520,48 +3535,144 @@ def _flac_metadata_blocks(payload: bytes):
             return
 
 
+def _parse_vorbis_comments(body: bytes) -> dict:
+    """Vorbis-comment structure → the shared tag surface
+    (title/artist/album/year/genre): LE u32 vendor length + vendor,
+    LE u32 count, then count × (LE u32 length + "KEY=value" UTF-8).
+    Field names are case-insensitive per spec; DATE maps to ``year``
+    as a string (matching the ID3 TYER/TDRC surface). Shared by FLAC
+    VORBIS_COMMENT blocks and Ogg OpusTags/\\x03vorbis packets —
+    lengths LITTLE-endian in every host container (the classic trap
+    inside big-endian FLAC). Truncation keeps the parsed prefix."""
+    out: dict = {}
+    p = 0
+    if p + 4 > len(body):
+        return out
+    (vlen,) = struct.unpack("<I", body[p : p + 4])
+    p += 4 + vlen
+    if p + 4 > len(body):
+        return out
+    (count,) = struct.unpack("<I", body[p : p + 4])
+    p += 4
+    for _ in range(min(count, 4096)):
+        if p + 4 > len(body):
+            break
+        (clen,) = struct.unpack("<I", body[p : p + 4])
+        p += 4
+        if p + clen > len(body):
+            break
+        try:
+            comment = body[p : p + clen].decode("utf-8")
+        except UnicodeDecodeError:
+            p += clen
+            continue
+        p += clen
+        key, _, value = comment.partition("=")
+        key = key.lower()
+        if key in ("title", "artist", "album", "genre"):
+            out.setdefault(key, value or None)
+        elif key == "date" and len(value) >= 4 and value[:4].isdigit():
+            out.setdefault("year", value[:4])
+    return out
+
+
 def parse_flac_tags(payload: bytes) -> dict:
     """FLAC VORBIS_COMMENT tag extraction (r13) — the FLAC sibling of
     :func:`parse_id3_tags`, emitting the same dedup/join key surface
-    (title/artist/album/year/genre). Field names are case-insensitive
-    per the Vorbis-comment spec; DATE maps to ``year`` (leading
-    YYYY). Lengths are LITTLE-endian here (a Vorbis structure embedded
-    in an otherwise big-endian container — the classic trap)."""
-    out: dict = {}
+    via :func:`_parse_vorbis_comments`."""
     for btype, body in _flac_metadata_blocks(payload):
-        if btype != 4:  # VORBIS_COMMENT
-            continue
-        p = 0
-        if p + 4 > len(body):
-            return out
-        (vlen,) = struct.unpack("<I", body[p : p + 4])
-        p += 4 + vlen
-        if p + 4 > len(body):
-            return out
-        (count,) = struct.unpack("<I", body[p : p + 4])
-        p += 4
-        for _ in range(min(count, 4096)):
-            if p + 4 > len(body):
-                break
-            (clen,) = struct.unpack("<I", body[p : p + 4])
-            p += 4
-            if p + clen > len(body):
-                break
-            try:
-                comment = body[p : p + clen].decode("utf-8")
-            except UnicodeDecodeError:
-                p += clen
-                continue
-            p += clen
-            key, _, value = comment.partition("=")
-            key = key.lower()
-            if key in ("title", "artist", "album", "genre"):
-                out.setdefault(key, value or None)
-            elif key == "date" and len(value) >= 4 and value[:4].isdigit():
-                # string, matching the ID3 tag surface (TYER/TDRC)
-                out.setdefault("year", value[:4])
-        break
+        if btype == 4:  # VORBIS_COMMENT
+            return _parse_vorbis_comments(body)
+    return {}
+
+
+def parse_ogg_tags(payload: bytes) -> dict:
+    """Ogg comment-header tag extraction (late r13): the OpusTags /
+    ``\\x03vorbis`` packet (second packet of the stream, possibly
+    spanning pages) through the same :func:`_parse_vorbis_comments`
+    surface. Walks up to the first 8 pages (comment headers live at
+    the stream head by spec); returns ``{}`` when none is found."""
+    if payload[:4] != b"OggS":
+        return {}
+    joined = bytearray()
+    p = 0
+    for _ in range(8):
+        if payload[p : p + 4] != b"OggS" or p + 27 > len(payload):
+            break
+        nseg = payload[p + 26]
+        lace = payload[p + 27 : p + 27 + nseg]
+        if len(lace) < nseg:
+            break
+        plen = sum(lace)
+        start = p + 27 + nseg
+        joined += payload[start : start + plen]
+        p = start + plen
+        if p >= len(payload):
+            break
+    for marker, skip in ((b"OpusTags", 8), (b"\x03vorbis", 7)):
+        i = bytes(joined).find(marker)
+        if i >= 0:
+            return _parse_vorbis_comments(bytes(joined[i + skip :]))
+    return {}
+
+
+_WAV_INFO_FIELDS = {
+    b"INAM": "title", b"IART": "artist", b"IPRD": "album",
+    b"ICRD": "year", b"IGNR": "genre",
+}
+
+
+def parse_wav_tags(payload: bytes) -> dict:
+    """RIFF LIST/INFO tag extraction (late r13): INAM/IART/IPRD/ICRD/
+    IGNR sub-chunks → the shared tag surface. ICRD keeps its leading
+    YYYY as the year string. Chunks are word-aligned; strings are
+    NUL-padded latin-1/UTF-8 best effort."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return {}
+    out: dict = {}
+    p = 12
+    n = len(payload)
+    while p + 8 <= n:
+        tag = payload[p : p + 4]
+        (length,) = struct.unpack("<I", payload[p + 4 : p + 8])
+        body = payload[p + 8 : p + 8 + length]
+        if tag == b"LIST" and body[:4] == b"INFO":
+            q = 4
+            while q + 8 <= len(body):
+                sub = body[q : q + 4]
+                (slen,) = struct.unpack("<I", body[q + 4 : q + 8])
+                sval = body[q + 8 : q + 8 + slen]
+                field = _WAV_INFO_FIELDS.get(sub)
+                if field:
+                    text = sval.split(b"\x00", 1)[0].decode(
+                        "utf-8", "replace"
+                    )
+                    if field == "year":
+                        if len(text) >= 4 and text[:4].isdigit():
+                            out.setdefault("year", text[:4])
+                    elif text:
+                        out.setdefault(field, text)
+                q += 8 + slen + (slen & 1)
+        p += 8 + length + (length & 1)
     return out
+
+
+def add_wav_info(wav: bytes, tags: dict) -> bytes:
+    """Fixture helper (late r13): append a LIST/INFO chunk to a RIFF
+    WAVE stream (RIFF size patched). ``tags`` uses the shared field
+    names (title/artist/album/year/genre)."""
+    rev = {v: k for k, v in _WAV_INFO_FIELDS.items()}
+    body = bytearray(b"INFO")
+    for field, value in tags.items():
+        sub = rev[field]
+        data = str(value).encode("utf-8") + b"\x00"
+        body += sub + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+    out = bytearray(wav)
+    out += b"LIST" + struct.pack("<I", len(body)) + bytes(body)
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    return bytes(out)
 
 
 def parse_flac_picture(payload: bytes) -> "dict | None":
@@ -3849,6 +3960,10 @@ def extract_audio_tags(media: DataFrame) -> DataFrame:
                 try:
                     if b[:4] == b"fLaC":
                         tags = parse_flac_tags(b)
+                    elif b[:4] == b"OggS":
+                        tags = parse_ogg_tags(b)
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        tags = parse_wav_tags(b)
                     else:
                         tags = parse_id3_tags(b)
                 except Exception:

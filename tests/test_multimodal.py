@@ -2200,3 +2200,50 @@ def test_extract_audio_tags_flac_spark(spark):
     assert (rows[1]["title"], rows[1]["artist"], rows[1]["year"]) == (
         "F", "G", "2001")
     assert rows[3]["title"] == "I" and rows[4]["title"] is None
+
+
+def test_ogg_and_wav_tags(spark):
+    """late r13: the tag surface completes across audio containers —
+    Ogg OpusTags / \\x03vorbis comment packets and RIFF LIST/INFO
+    chunks emit the same title/artist/album/year/genre columns as
+    ID3v2 and FLAC; the Spark kernel routes by signature."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        add_wav_info,
+        encode_ogg,
+        encode_wav,
+        extract_audio_tags,
+        parse_ogg,
+        parse_ogg_tags,
+        parse_wav,
+        parse_wav_tags,
+    )
+
+    opus = encode_ogg("opus", 2, 48000, [960, 1920],
+                      tags={"TITLE": "Oa", "artist": "Ob", "DATE": "2015-06"})
+    vorb = encode_ogg("vorbis", 1, 22050, [22050],
+                      tags={"ALBUM": "Va", "GENRE": "Vg"})
+    assert parse_ogg_tags(opus) == {"title": "Oa", "artist": "Ob",
+                                    "year": "2015"}
+    assert parse_ogg_tags(vorb) == {"album": "Va", "genre": "Vg"}
+    # the tags page does not disturb the duration walk
+    assert parse_ogg(opus)["duration_sec"] == 1920 / 48000
+    assert parse_ogg_tags(encode_ogg("opus", 1, 48000, [960])) == {}
+
+    wav = encode_wav(np.zeros((16, 1), np.int16), sample_rate=8000)
+    tagged = add_wav_info(wav, {"title": "Wt", "album": "Wl",
+                                "year": "1988"})
+    assert parse_wav_tags(tagged) == {"title": "Wt", "album": "Wl",
+                                      "year": "1988"}
+    # RIFF size patched: the PCM parse still works on the tagged file
+    assert parse_wav(tagged)["n_frames"] == 16
+    assert parse_wav_tags(wav) == {}
+
+    df = spark.createDataFrame(
+        [(1, bytearray(opus)), (2, bytearray(tagged)), (3, bytearray(vorb))],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r for r in extract_audio_tags(media).collect()}
+    assert rows[1]["title"] == "Oa" and rows[1]["year"] == "2015"
+    assert rows[2]["title"] == "Wt" and rows[2]["album"] == "Wl"
+    assert rows[3]["album"] == "Va" and rows[3]["title"] is None
