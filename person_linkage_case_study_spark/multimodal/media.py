@@ -2340,8 +2340,14 @@ GIF_FRAME_SCHEMA = T.StructType(
     ]
 )
 
+GIF_FRAME_PNG_SCHEMA = T.StructType(
+    list(GIF_FRAME_SCHEMA) + [T.StructField("frame_png", T.BinaryType())]
+)
 
-def extract_gif_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
+
+def extract_gif_frames(
+    media: DataFrame, max_frames: int = 8, *, as_png: bool = False
+) -> DataFrame:
     """mapInPandas animated-GIF frame explode (r13): one output row per
     RENDERED frame (the post-composition canvas, so disposal and
     transparency are already applied) with its delay and pixel mean —
@@ -2349,7 +2355,13 @@ def extract_gif_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
     plumbing. Non-GIF / corrupt payloads emit zero rows (the explode
     shape's crawl contract: garbage contributes nothing, never a
     throw). ``max_frames`` bounds per-row memory exactly like the
-    decode cap; ``n_frames`` still reports the stream's true count."""
+    decode cap; ``n_frames`` still reports the stream's true count.
+    ``as_png=True`` (late r13) adds a ``frame_png`` column — each
+    rendered canvas re-encoded as a real PNG payload, so frames feed
+    straight back into the image kernels (extract_image_profile,
+    attach_phash, resize_images): the same cross-modal edge as FLAC
+    cover art, GIF-shaped."""
+    schema = GIF_FRAME_PNG_SCHEMA if as_png else GIF_FRAME_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2365,19 +2377,16 @@ def extract_gif_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
                 for k, (frame, delay) in enumerate(
                     zip(d["frames"], d["delays_cs"])
                 ):
-                    rows.append(
-                        (
-                            media_id, k, d["n_frames"], delay,
-                            d["width"], d["height"], float(frame.mean()),
-                        )
+                    row = (
+                        media_id, k, d["n_frames"], delay,
+                        d["width"], d["height"], float(frame.mean()),
                     )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in GIF_FRAME_SCHEMA]
-            )
+                    if as_png:
+                        row += (encode_png(frame),)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, GIF_FRAME_SCHEMA
-    )
+    return media.select("media_id", "payload").mapInPandas(batches, schema)
 
 
 def parse_bmp(payload: bytes) -> dict:

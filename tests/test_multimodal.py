@@ -2247,3 +2247,44 @@ def test_ogg_and_wav_tags(spark):
     assert rows[1]["title"] == "Oa" and rows[1]["year"] == "2015"
     assert rows[2]["title"] == "Wt" and rows[2]["album"] == "Wl"
     assert rows[3]["album"] == "Va" and rows[3]["title"] is None
+
+
+def test_gif_frames_as_png_cross_modal(spark):
+    """late r13: frame explode with as_png=True emits real PNG payloads
+    that feed back through the image kernels — frames of an animation
+    pHash-match standalone PNGs of the same pixels."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_gif_animation,
+        encode_png,
+        extract_gif_frames,
+        extract_image_meta,
+    )
+    from person_linkage_case_study_spark.multimodal.phash import phash64
+
+    rng = np.random.default_rng(53)
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    f0 = rng.integers(0, 8, (40, 40), np.uint8)
+    f1 = rng.integers(0, 8, (40, 40), np.uint8)
+    anim = encode_gif_animation(
+        [{"indexes": f0, "delay_cs": 4}, {"indexes": f1, "delay_cs": 6}], pal
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(anim))], "media_id long, payload binary"
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    frames = extract_gif_frames(media, as_png=True).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 1]
+    # the re-encoded frames decode through the IMAGE kernel...
+    fdf = spark.createDataFrame(
+        [(r["frame_idx"], bytearray(r["frame_png"])) for r in frames],
+        "media_id long, payload binary",
+    )
+    metas = {r["media_id"]: r for r in extract_image_meta(
+        attach_media_payload(fdf, bytes_col="payload", id_col="media_id")
+    ).collect()}
+    assert metas[0]["format"] == "png" and metas[0]["width"] == 40
+    # ...and pHash-match standalone PNGs of the same pixels
+    assert phash64(bytes(frames[0]["frame_png"])) == phash64(
+        encode_png(pal[f0]))
+    assert phash64(bytes(frames[1]["frame_png"])) == phash64(
+        encode_png(pal[f1]))
