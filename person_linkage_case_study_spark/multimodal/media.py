@@ -2931,6 +2931,10 @@ _WAV_ENCODINGS = {
     "pcm32": (1, 32, "<i4"),
     "float32": (3, 32, "<f4"),
     "float64": (3, 64, "<f8"),
+    # r13: G.711 fixtures carry RAW 8-bit code streams (the caller
+    # supplies codes, parse_wav expands them through _g711_table)
+    "alaw": (6, 8, "u1"),
+    "ulaw": (7, 8, "u1"),
 }
 
 
@@ -2998,6 +3002,39 @@ def encode_wav(
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+_G711_TABLES: dict = {}
+
+
+def _g711_table(law: str):
+    """256-entry G.711 expansion table (r13), built from the standard
+    segment/mantissa decode: mu-law complements the code, rebuilds
+    mantissa<<3 + 0x84 bias shifted by the segment, sign bit NEGATIVE
+    when set; A-law xors 0x55, segment 0 is linear (step 8), higher
+    segments shift (mantissa<<4 + 0x108), sign bit POSITIVE when set.
+    int16 outputs, same scale every G.711 codec uses."""
+    import numpy as np
+
+    if law in _G711_TABLES:
+        return _G711_TABLES[law]
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        if law == "ulaw":
+            u = ~code & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x7)
+            out[code] = (0x84 - t) if u & 0x80 else (t - 0x84)
+        else:
+            a = code ^ 0x55
+            seg = (a >> 4) & 0x7
+            t = (a & 0x0F) << 4
+            if seg == 0:
+                t += 8
+            else:
+                t = (t + 0x108) << (seg - 1)
+            out[code] = t if a & 0x80 else -t
+    _G711_TABLES[law] = out
+    return out
 
 
 def parse_wav(payload: bytes) -> dict:
@@ -3084,6 +3121,13 @@ def parse_wav(payload: bytes) -> dict:
         s = np.frombuffer(
             raw, dtype="<f4" if bit_depth == 32 else "<f8"
         ).reshape(n, channels)
+    elif audio_format in (6, 7) and bit_depth == 8:
+        # r13: G.711 A-law (6) / mu-law (7) — the telephony crawl tier;
+        # 8-bit codes expand through the 256-entry table built from the
+        # standard segment/mantissa formulas (test-pinned against an
+        # independent per-code transcription of the G.711 expansion)
+        table = _g711_table("alaw" if audio_format == 6 else "ulaw")
+        s = table[np.frombuffer(raw, dtype=np.uint8)].reshape(n, channels)
     else:
         return meta  # compressed / exotic: metadata-only tier
     meta["samples"] = s

@@ -2288,3 +2288,61 @@ def test_gif_frames_as_png_cross_modal(spark):
         encode_png(pal[f0]))
     assert phash64(bytes(frames[1]["frame_png"])) == phash64(
         encode_png(pal[f1]))
+
+
+def test_wav_g711_alaw_ulaw():
+    """r13: G.711 A-law/mu-law WAV decode — the 256-entry expansion
+    tables are pinned code-by-code against a scalar transcription of
+    the standard's segment arithmetic, anchored by SPEC-LEVEL facts the
+    implementation can't fake (mu-law 0xFF/0x7F decode to exactly 0,
+    A-law 0xD5/0x55 to +/-8, strict magnitude monotonicity across the
+    positive half), and code streams round-trip through
+    encode_wav/parse_wav with exact samples and peak."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        _g711_table,
+        encode_wav,
+        parse_wav,
+    )
+
+    # per-code transcription of the standard's expansion (scalar ints,
+    # vs the table builder's vectorized numpy fill)
+    def ulaw_ref(code):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw_ref(code):
+        a = code ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    ut = _g711_table("ulaw")
+    at = _g711_table("alaw")
+    for code in range(256):
+        assert int(ut[code]) == ulaw_ref(code), ("ulaw", code)
+        assert int(at[code]) == alaw_ref(code), ("alaw", code)
+    # spec anchors: mu-law 0xFF decodes to 0, 0x7F to -1 ... mu-law's
+    # smallest magnitudes; A-law 0xD5 (0x55^0xD5=0x80) is +8
+    assert int(ut[0xFF]) == 0 and int(ut[0x7F]) == 0
+    assert int(at[0xD5]) == 8 and int(at[0x55]) == -8
+    # monotone within the positive half (codes 0x80.. for ulaw after
+    # complement ordering): magnitudes strictly decrease 0x80 -> 0xFF
+    mags = [int(ut[c]) for c in range(0x80, 0x100)]
+    assert all(a > b for a, b in zip(mags, mags[1:])) and mags[-1] == 0
+
+    # round-trip: raw code streams through the RIFF writer
+    rng = np.random.default_rng(59)
+    codes = rng.integers(0, 256, (400, 2)).astype(np.uint8)
+    for enc, table in (("ulaw", ut), ("alaw", at)):
+        m = parse_wav(encode_wav(codes, 8000, encoding=enc))
+        assert m["bit_depth"] == 8 and m["n_frames"] == 400
+        want = table[codes]
+        assert (m["samples"] == want).all()
+        assert m["peak"] == int(np.abs(want.astype(np.int64)).max())
