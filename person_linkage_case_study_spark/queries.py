@@ -2520,6 +2520,41 @@ def _mm_features_oracle() -> str:
              CAST(CAST(doc_id AS BIGINT) % 3 AS INT) AS mp4_audio_tracks
       FROM documents
     ),
+    -- late r13: the G.711 + WAV-tag tier. Constant code streams decode
+    -- through the telephony tables — the full segment/mantissa
+    -- expansion is PURE INTEGER SQL (mu-law on even ids: complement,
+    -- mantissa<<3 + 0x84 bias, segment shift; A-law on odd: 0x55 xor,
+    -- first chord linear), so rms = peak = |expanded value| exactly.
+    -- The same rows carry a LIST/INFO chunk (add_wav_info) read back
+    -- by extract_audio_tags: title/year closed-form strings, and the
+    -- PCM-vs-tags chunk walk proven compatible on live rows.
+    g7 AS (
+      SELECT media_id,
+             CAST(abs(CASE WHEN media_id % 2 = 0 THEN
+               CASE WHEN (xor(c, 255) & 128) != 0
+                    THEN 132 - ((((xor(c, 255) & 15) << 3) + 132)
+                                << ((xor(c, 255) >> 4) & 7))
+                    ELSE ((((xor(c, 255) & 15) << 3) + 132)
+                          << ((xor(c, 255) >> 4) & 7)) - 132 END
+             ELSE
+               CASE WHEN (xor(c, 85) & 128) != 0
+                    THEN CASE ((xor(c, 85) >> 4) & 7)
+                         WHEN 0 THEN ((xor(c, 85) & 15) << 4) + 8
+                         WHEN 1 THEN ((xor(c, 85) & 15) << 4) + 264
+                         ELSE (((xor(c, 85) & 15) << 4) + 264)
+                              << (((xor(c, 85) >> 4) & 7) - 1) END
+                    ELSE -(CASE ((xor(c, 85) >> 4) & 7)
+                         WHEN 0 THEN ((xor(c, 85) & 15) << 4) + 8
+                         WHEN 1 THEN ((xor(c, 85) & 15) << 4) + 264
+                         ELSE (((xor(c, 85) & 15) << 4) + 264)
+                              << (((xor(c, 85) >> 4) & 7) - 1) END) END
+             END) AS DOUBLE) AS g711_peak,
+             't' || CAST(media_id % 50 AS VARCHAR) AS wav_title,
+             CAST(1900 + media_id % 120 AS VARCHAR) AS wav_year
+      FROM (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(doc_id AS BIGINT) % 256 AS c
+            FROM documents)
+    ),
     aud AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
              CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
@@ -2549,6 +2584,7 @@ def _mm_features_oracle() -> str:
            gan.anim_frames, gan.anim_total_delay_cs, gan.anim_last_mean,
            fpc.flac_rms, fpc.flac_peak, fpc.flac_n_samples,
            fpc.flac_pcm_duration,
+           g7.g711_peak, g7.wav_title, g7.wav_year,
            phs.phash,
            php.phash_near_pairs,
            vid.mp4_duration, vid.mp4_width, vid.mp4_height,
@@ -2565,6 +2601,7 @@ def _mm_features_oracle() -> str:
     JOIN xtr USING (media_id)
     JOIN gan USING (media_id)
     JOIN fpc USING (media_id)
+    JOIN g7 USING (media_id)
     JOIN phs USING (media_id)
     JOIN php USING (media_id)
     JOIN vid USING (media_id)
@@ -2617,7 +2654,13 @@ def _mm_features_oracle() -> str:
 # precision 12 under the unchanged constant-block closed form), and
 # the GIF ANIMATION tier (gan CTE — multi-frame compose through the
 # extract_gif_frames explode kernel: true frame count, summed GCE
-# delays, last-canvas mean).
+# delays, last-canvas mean), the banded-hamming-join tier (phq/php
+# CTEs — phash_near_dups partners vs a full-quadratic DuckDB
+# bit_count(xor) self-join over closed-form hashes), the extra-BMP
+# rotation (bmp_x_mean: paletted 8/4-bpp, RLE8, 16-bpp 555), and the
+# G.711 + WAV-tag tier (g7 CTE — mu-law/A-law constant-code streams
+# whose full segment expansion is pure integer SQL, plus LIST/INFO
+# tags read back through extract_audio_tags).
 @query("mm_media_features", oracle=_mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -3068,6 +3111,41 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_audio_tracks").alias("mp4_audio_tracks"),
     )
 
+    def mk_g711(it):
+        # late r13 G.711 + tags tier (closed forms in the g7 CTE):
+        # constant-code streams, mu-law on even ids / A-law on odd,
+        # wrapped with a LIST/INFO tag chunk
+        from .multimodal.media import add_wav_info, encode_wav as _ew
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                codes = np.full((64, 1), mid % 256, np.uint8)
+                enc = "ulaw" if mid % 2 == 0 else "alaw"
+                wav = _ew(codes, 8000, encoding=enc)
+                payloads.append(add_wav_info(wav, {
+                    "title": f"t{mid % 50}",
+                    "year": str(1900 + mid % 120),
+                }))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    from .multimodal.media import extract_audio_tags
+
+    g7_media = media.select("media_id").mapInPandas(mk_g711, payload_schema)
+    g7 = (
+        extract_audio_meta(g7_media)
+        .select("media_id", F.col("peak").alias("g711_peak"))
+        .join(
+            extract_audio_tags(g7_media).select(
+                "media_id",
+                F.col("title").alias("wav_title"),
+                F.col("year").alias("wav_year"),
+            ),
+            on="media_id",
+        )
+    )
+
     def mk_wav(it):
         # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
@@ -3102,6 +3180,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(xtr, on="media_id")
         .join(gan, on="media_id")
         .join(fpc, on="media_id")
+        .join(g7, on="media_id")
         .join(phs, on="media_id")
         .join(php, on="media_id")
         .join(vid, on="media_id")
@@ -3145,6 +3224,9 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flac_peak",
             "flac_n_samples",
             "flac_pcm_duration",
+            "g711_peak",
+            "wav_title",
+            "wav_year",
             "phash",
             "phash_near_pairs",
             "mp4_duration",
