@@ -38,6 +38,16 @@ from __future__ import annotations
 import struct
 
 
+# Decompression-bomb ceiling, the audio analogue of media.py's
+# PURE_JPEG_PIXEL_LIMIT (r13 ADVICE): a crafted stream of CONSTANT
+# subframes at max blocksize amplifies ~8700x (302 bytes -> 655k
+# samples measured), so a ~1 MB crawl payload would expand to billions
+# of Python-int samples and OOM the executor. 1<<25 samples/channel is
+# ~12.7 min of 44.1 kHz audio — beyond any crawl fixture, far below
+# harm. decode_flac_pcm raises ValueError at the cap (the Spark
+# kernels catch and fall back to the STREAMINFO metadata tier).
+FLAC_SAMPLE_LIMIT = 1 << 25
+
 # ---------------------------------------------------------------------------
 # CRCs (FLAC uses CRC-8 poly 0x07 over the frame header and CRC-16 poly
 # 0x8005 over the whole frame, both init 0, MSB-first)
@@ -395,6 +405,17 @@ def decode_flac_pcm(payload: bytes) -> dict:
             blocksize = r.read(16) + 1
         else:
             blocksize = _BLOCKSIZE_CODES[bs_code]
+        # amplification guard (r13 ADVICE): refuse once accumulated
+        # samples reach STREAMINFO's declared total (a frame STARTING
+        # at/after the total is bogus; legal last-block padding only
+        # extends the final frame, clipped below) or the hard
+        # FLAC_SAMPLE_LIMIT ceiling when totals are absent/oversized.
+        cap = min(meta["n_frames"] or FLAC_SAMPLE_LIMIT, FLAC_SAMPLE_LIMIT)
+        if len(chans[0]) >= cap:
+            raise ValueError(
+                "FLAC sample count exceeds STREAMINFO total / "
+                f"FLAC_SAMPLE_LIMIT ({cap})"
+            )
         if sr_code == 0:
             pass  # STREAMINFO rate
         elif sr_code in _SAMPLE_RATE_CODES:
@@ -611,6 +632,14 @@ def encode_flac(
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
+    # min == max == block_size is deliberate even when the tail frame
+    # is short: RFC 9639 §8.2 defines the min field as the minimum
+    # "excluding the last block", and min == max is what declares the
+    # stream FIXED-blocksize — matching the frames' blocking-strategy
+    # bit (0) below. Writing the tail size here (r13 ADVICE suggestion,
+    # rejected) would flip the stream to variable-blocksize while the
+    # frames still claim fixed, a real spec violation; the reference
+    # encoder likewise writes min == max == 4096 with short tails.
     si.write(block_size, 16)  # min blocksize
     si.write(block_size, 16)  # max blocksize
     si.write(0, 24)  # min framesize unknown

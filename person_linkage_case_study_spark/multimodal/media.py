@@ -2773,8 +2773,9 @@ def decode_image(payload: bytes):
     interlaced — see :func:`parse_png`): (h, w, c) uint8, or uint16 for
     16-bit sources. Baseline-sequential JPEG decodes for real too
     (r11), and r12 adds PROGRESSIVE (SOF2) — see
-    :func:`decode_jpeg_pixels`; uncompressed 24/32-bpp BMP via
-    :func:`parse_bmp`. Arithmetic / 12-bit JPEG and anything else fall
+    :func:`decode_jpeg_pixels`, and r13 adds 12-bit SOF1/SOF2 (T.81
+    B.2.2 forbids 12-bit SOF0); uncompressed 24/32-bpp BMP via
+    :func:`parse_bmp`. Arithmetic-coded JPEG and anything else falls
     through to PIL when importable; otherwise NotImplementedError
     (metadata for those tiers is still available via :func:`parse_jpeg`
     / :func:`parse_gif` / :func:`parse_webp`).
@@ -4116,7 +4117,12 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
                                     rms=float(np.sqrt((s * s).mean())),
                                     peak=float(np.abs(s).max()),
                                 )
-                        except (ValueError, struct.error, IndexError):
+                        except Exception:
+                            # blanket, matching every other media
+                            # kernel (r13 ADVICE): an unanticipated
+                            # exception type from the PCM layer must
+                            # not fail the Spark stage — keep the
+                            # STREAMINFO metadata tier instead
                             pass
                     elif b[:4] == b"OggS":
                         m = parse_ogg(b)

@@ -284,6 +284,7 @@ def phash_near_dups(
     id_col: str = "media_id",
     hash_col: str = "phash",
     max_candidate_pairs: "float | None" = 1e10,
+    nbits: "int | None" = None,
 ) -> DataFrame:
     """Hamming near-dup pairs over an (id, hash) frame with EXACT
     recall: ``max_distance + 1`` bands partition the hash bits, so any
@@ -308,6 +309,18 @@ def phash_near_dups(
       plan time instead of a doomed 10¹³-pair shuffle. Pass None to
       skip the (eager) guard job on trusted inputs.
 
+    Eagerness (r13 ADVICE): two construction-time jobs can fire —
+    a 1-row array-width probe (array hashes only; pass ``nbits``
+    explicitly, e.g. 256 from :func:`attach_phash`, to skip it) and
+    the volume guard. When the guard runs, the banded frame is
+    persisted first so the upstream hash lineage executes ONCE — the
+    guard aggregation materializes it and the self-join (which reads
+    it twice) reuses the cache instead of re-decoding expensive
+    inputs three times. The persist is left in place for the consumer
+    (Spark evicts LRU); with ``max_candidate_pairs=None`` and explicit
+    ``nbits`` the function is fully lazy and callers managing their
+    own caching get the plain plan.
+
     Plan shape at 100 TB: one projection builds (band_idx, band_key)
     rows (64-bit shifts, no UDF), the self-join shuffles on the
     compound band key, and the distance filter runs inside codegen
@@ -322,17 +335,19 @@ def phash_near_dups(
         if is_array
         else h0.withColumn("__w", F.array(F.col(hash_col)))
     )
-    if is_array:
+    if not is_array:
+        nbits = 64
+    elif nbits is None:
         # array width isn't in the schema — one bounded 1-row probe
-        # (the semdedup dim-probe shape); an empty frame yields empty
+        # (the semdedup dim-probe shape); an empty frame yields empty.
+        # Callers that know the width (attach_phash emits 64 or 256)
+        # pass nbits= and stay lazy (r13 ADVICE).
         nwords_row = words.select(F.size("__w").alias("n")).limit(1).collect()
         if not nwords_row:
             return hashes.sparkSession.createDataFrame(
                 [], "id_a long, id_b long, distance integer"
             )
         nbits = 64 * nwords_row[0]["n"]
-    else:
-        nbits = 64
     if not 0 <= max_distance < nbits:
         raise ValueError(f"max_distance must be in [0, {nbits})")
     nbands = max_distance + 1
@@ -356,6 +371,11 @@ def phash_near_dups(
     )
 
     if max_candidate_pairs is not None:
+        # persist the narrow banded frame so the guard job below
+        # materializes the hash lineage ONCE and the self-join (two
+        # reads) hits the cache instead of re-running expensive
+        # upstream decodes (r13 ADVICE)
+        h = h.persist()
         # exact pre-filter join volume, one cheap job over the
         # (id, 2-4 longs) frame: Σ over (band, key) buckets of C(n, 2)
         vol_row = (
@@ -368,6 +388,7 @@ def phash_near_dups(
         )
         vol = float(vol_row[0]["pairs"] or 0.0)
         if vol > float(max_candidate_pairs):
+            h.unpersist()
             raise ValueError(
                 f"phash_near_dups: banded join would emit ~{vol:.3g} "
                 f"candidate pairs (> max_candidate_pairs="

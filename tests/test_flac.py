@@ -263,3 +263,47 @@ def test_extract_audio_meta_flac_pcm_spark(spark):
     assert rows[2]["format"] == "flac" and rows[2]["rms"] is None
     assert rows[2]["duration_sec"] == 1.0
     assert rows[3]["format"] == "flac" and rows[3]["rms"] is None
+
+
+def test_amplification_guard_streaminfo_total(monkeypatch):
+    """r13 ADVICE (medium): a crafted stream appending extra valid
+    frames past STREAMINFO's declared total must raise, not balloon —
+    the decoder refuses at the START of any frame whose first sample
+    would land at/after the declared total (legal last-block padding
+    only extends the FINAL frame and is clipped, which stays green)."""
+    n = 192
+    sig = np.full(n, 77, dtype=np.int64)
+    blob = encode_flac(sig, 8000, block_size=192, subframe="constant")
+    # sanity: single-frame stream round-trips
+    assert decode_flac_pcm(blob)["samples"].shape == (n, 1)
+    frame = blob[4 + 4 + 34:]  # fLaC + STREAMINFO block header + body
+    bomb = blob + frame  # duplicate frame: sample 192 >= total 192
+    with pytest.raises(ValueError, match="exceeds STREAMINFO"):
+        decode_flac_pcm(bomb)
+
+
+def test_amplification_guard_hard_ceiling(monkeypatch):
+    """With STREAMINFO totals absent (0), the FLAC_SAMPLE_LIMIT hard
+    ceiling (audio analogue of PURE_JPEG_PIXEL_LIMIT) bounds the
+    CONSTANT-subframe ~8700x amplification; an oversized declared
+    total is clamped to the same ceiling."""
+    import person_linkage_case_study_spark.multimodal.flac as flacmod
+
+    n = 192
+    sig = np.full(n, -5, dtype=np.int64)
+    blob = bytearray(encode_flac(sig, 8000, block_size=192,
+                                 subframe="constant"))
+    # zero the 36-bit total-samples field (last 36 of STREAMINFO's
+    # 144-bit fixed part: byte 13 low nibble + bytes 14-17, offset +8)
+    blob[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        blob[8 + i] = 0
+    frame = bytes(blob[4 + 4 + 34:])
+    stream3 = bytes(blob) + frame + frame  # 3 frames, 576 samples
+    # unknown total + generous ceiling: decodes all three frames
+    monkeypatch.setattr(flacmod, "FLAC_SAMPLE_LIMIT", 1000)
+    assert decode_flac_pcm(stream3)["samples"].shape == (3 * n, 1)
+    # ceiling reached at the third frame's start (384 >= 384)
+    monkeypatch.setattr(flacmod, "FLAC_SAMPLE_LIMIT", 2 * n)
+    with pytest.raises(ValueError, match="FLAC_SAMPLE_LIMIT"):
+        decode_flac_pcm(stream3)
