@@ -428,3 +428,86 @@ def phash_near_dups(
         .distinct()
     )
     return pairs
+
+
+def canonical_images(
+    hashes: DataFrame,
+    *,
+    max_distance: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_candidate_pairs: "float | None" = 1e10,
+    nbits: "int | None" = None,
+) -> DataFrame:
+    """(id, canonical_id) for every image in a pHash near-dup pair —
+    the IMAGE twin of ``dedup.cluster.canonical_documents`` (r13
+    verdict item #1): :func:`phash_near_dups` emits the edges and
+    min-label ``connected_components`` resolves transitive clusters,
+    so PNG / progressive-JPEG / BMP / 16-bit re-encodings of the same
+    pixels (whose pHashes sit within ``max_distance``) collapse to one
+    survivor, the cluster's minimum id. Images in no pair are their
+    own canonicals and are simply absent here; attach corpus-wide with
+    a left join + coalesce (or use :func:`image_survivors`).
+
+    At 100 TB the edge table is tiny next to the corpus (pairs inside
+    the banded-join volume guard), the component iteration runs on
+    that small edge set only, and the survivor join back is one
+    key-partitioned (or broadcast) join — the same shape as the text
+    pipeline's cluster stage.
+    """
+    from ..dedup.cluster import connected_components
+
+    pairs = phash_near_dups(
+        hashes,
+        max_distance=max_distance,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_candidate_pairs=max_candidate_pairs,
+        nbits=nbits,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("id").alias(id_col), F.col("component").alias("canonical_id")
+    )
+
+
+def image_survivors(
+    media: DataFrame,
+    *,
+    max_distance: int = 3,
+    use_256: bool = False,
+    id_col: str = "media_id",
+    max_candidate_pairs: "float | None" = 1e10,
+) -> DataFrame:
+    """The full image-dedup capstone in one call: ``(media_id,
+    payload)`` rows → ONE decode pass (``extract_image_profile``:
+    meta + byte features + both hash widths) → banded near-dup join →
+    connected components → keep each cluster's canonical survivor
+    plus every undecodable-or-unpaired image. Returns the profile
+    columns for the surviving rows (payloads can be re-attached by id).
+
+    ``use_256`` switches to the 256-bit hash (wider bands — the scale
+    remedy when the volume guard refuses a 64-bit radius). Undecodable
+    payloads (``phash`` NULL) are kept: dedup must never silently drop
+    what it cannot read — downstream quality filters own that call.
+    """
+    from .media import extract_image_profile
+
+    prof = extract_image_profile(media)
+    hash_col, nbits = ("phash256", 256) if use_256 else ("phash", 64)
+    canon = canonical_images(
+        prof.where(F.col(hash_col).isNotNull()).select(id_col, hash_col),
+        max_distance=max_distance,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_candidate_pairs=max_candidate_pairs,
+        nbits=nbits,
+    )
+    return (
+        prof.join(canon, on=id_col, how="left")
+        .where(
+            F.col("canonical_id").isNull()
+            | (F.col("canonical_id") == F.col(id_col))
+        )
+        .drop("canonical_id")
+    )
