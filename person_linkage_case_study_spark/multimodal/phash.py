@@ -493,7 +493,10 @@ def image_survivors(
     """
     from .media import extract_image_profile
 
-    prof = extract_image_profile(media)
+    # the profile (narrow: meta + features + hashes, NO payloads) is
+    # read twice — hash input and the survivor keep-join — and its
+    # lineage contains the decode pass; persist so payloads decode ONCE
+    prof = extract_image_profile(media).persist()
     hash_col, nbits = ("phash256", 256) if use_256 else ("phash", 64)
     canon = canonical_images(
         prof.where(F.col(hash_col).isNotNull()).select(id_col, hash_col),

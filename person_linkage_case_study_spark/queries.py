@@ -1090,7 +1090,25 @@ def _curation_oracle() -> str:
         FROM qd LEFT JOIN canon USING (doc_id)
         WHERE canon.canonical_id IS NULL OR canon.canonical_id = qd.doc_id
     ),
-    p AS (SELECT doc_id, n_tokens, {seq} AS seq_id FROM surv)
+    -- r14 IMAGE leg: the Spark side synthesizes a REAL image per text
+    -- survivor (lossless PNG-8 / BMP / PNG-16 rotating by doc_id % 3)
+    -- whose pixels are keyed by the doc TRIPLE (doc_id - doc_id % 3),
+    -- then runs decode -> pHash -> banded join -> connected components
+    -- -> canonical keep. In-family re-encodings hash identically
+    -- (lossless) and distinct families sit >= 6 bits apart for every
+    -- doc_id < 200k (no two family keys v = (f*2654435761) mod 2^31
+    -- within 2 bits — verified exhaustively), so at max_distance=3 the
+    -- image clusters are EXACTLY the triples: survivor = min doc_id
+    -- present in the family, the closed form below.
+    surv_img AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   min(doc_id) OVER (PARTITION BY doc_id - doc_id % 3)
+                       AS fam_min
+            FROM surv
+        ) WHERE doc_id = fam_min
+    ),
+    p AS (SELECT doc_id, n_tokens, {seq} AS seq_id FROM surv_img)
     SELECT seq_id, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM p GROUP BY seq_id
@@ -1116,6 +1134,75 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("canonical_id").isNull() | (F.col("canonical_id") == F.col("doc_id")))
         .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
     )
+
+    # r14: the IMAGE leg (r13 verdict #1) — every text survivor carries
+    # a synthesized image; real lossless encodes rotate PNG-8 / BMP-24 /
+    # PNG-16 by doc_id % 3 while the PIXELS are keyed by the doc TRIPLE
+    # (the php tier's sign-pattern plane, queries ~line 3020), so
+    # re-encodings of the same pixels collapse through the full capstone
+    # path: extract_image_profile (ONE decode) -> phash_near_dups ->
+    # connected_components -> min-id survivor (image_survivors). The
+    # oracle's surv_img CTE holds the closed form (clusters == triples;
+    # separation argument in its comment).
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .multimodal.phash import image_survivors
+
+    def mk_img(it):
+        from .multimodal.media import encode_bmp, encode_png
+        from .multimodal.phash import _dct_basis_n
+
+        a = _dct_basis_n(32)
+        cache: dict = {}
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fam = did - did % 3
+                px = cache.get(fam)
+                if px is None:
+                    v = (fam * 2654435761) % (1 << 31)
+                    sign = np.zeros(64)
+                    for p in range(31):
+                        b = (v >> p) & 1
+                        sign[1 + 2 * p] = 1.0 if b else -1.0
+                        sign[2 + 2 * p] = -1.0 if b else 1.0
+                    sign[63] = -1.0
+                    coef = np.zeros((32, 32))
+                    coef[:8, :8] = (31.0 * sign).reshape(8, 8)
+                    px = np.round(128.0 + a.T @ coef @ a).astype(np.uint8)
+                    cache[fam] = px
+                k = did % 3
+                if k == 0:
+                    pay = encode_png(px[:, :, None])
+                elif k == 1:
+                    pay = encode_bmp(np.repeat(px[:, :, None], 3, axis=2))
+                else:
+                    pay = encode_png(
+                        (px.astype(np.uint16) * 257)[:, :, None], bit_depth=16
+                    )
+                payloads.append(pay)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    img_payload_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    # the survivor frame (2 narrow columns) feeds the image synth, the
+    # keep-join, AND packing — checkpoint so the minhash/ngram/CC text
+    # lineage above runs ONCE, not once per downstream action
+    survivors = survivors.localCheckpoint()
+    media = survivors.select("doc_id").mapInPandas(mk_img, img_payload_schema)
+    img_keep = image_survivors(media).select(
+        F.col("media_id").alias("doc_id")
+    )
+    survivors = survivors.join(img_keep, on="doc_id", how="semi")
     packed = pack_sequences(survivors, ["doc_id"], "n_tokens", target_tokens=2048, seed=23)
     return packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
