@@ -93,6 +93,15 @@ HEADLINE = [
     "mm_media_features",
 ]
 
+# r14 (r13 verdict "what's wrong #2"): entries whose python-worker
+# churn + GC pressure could contaminate neighboring timings. They run
+# in a STRICTLY-LAST phase behind their own calibration fence (nothing
+# in the same suite executes after them, and A/B suites are each fresh
+# subprocesses, so common-query timings can't inherit their weather),
+# and the A/B comparable subtotal EXCLUDES them — they're still
+# reported per-query so media-kernel regressions stay visible.
+HEAVY = ["mm_media_features"]
+
 
 def run_cascade_ri_scale(sf_dir: str) -> None:
     """Exclusive mode (``--mode=cascade_ri_scale`` or
@@ -143,7 +152,8 @@ def run_ab(sf_dir: str) -> None:
     import tempfile
 
     base_ref = None
-    rounds = 2
+    rounds = 3  # r14: was 2 — one more alternation ~halves per-query
+    # noise (r13 verdict "what's wrong #3")
     for a in sys.argv[1:]:
         if a.startswith("--base="):
             base_ref = a.split("=", 1)[1]
@@ -199,7 +209,12 @@ def run_ab(sf_dir: str) -> None:
         }
         for side, payloads in runs.items()
     }
-    common = sorted(set(floors["base"]) & set(floors["head"]))
+    # the comparable subtotal covers queries BOTH trees have, minus the
+    # HEAVY phase (r14: media-entry weather must not masquerade as a
+    # code delta — heavy entries stay visible per-query below)
+    common_all = sorted(set(floors["base"]) & set(floors["head"]))
+    common = [q for q in common_all if q not in HEAVY]
+    heavy_common = [q for q in common_all if q in HEAVY]
     sub_base = round(sum(floors["base"][q] for q in common), 3)
     sub_head = round(sum(floors["head"][q] for q in common), 3)
     payload = {
@@ -215,6 +230,10 @@ def run_ab(sf_dir: str) -> None:
         "per_query": {
             q: {"base": floors["base"][q], "head": floors["head"][q]}
             for q in common
+        },
+        "heavy_per_query": {
+            q: {"base": floors["base"][q], "head": floors["head"][q]}
+            for q in heavy_common
         },
         "only_in_head": sorted(set(floors["head"]) - set(floors["base"])),
         "only_in_base": sorted(set(floors["base"]) - set(floors["head"])),
@@ -308,7 +327,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
-    for i, name in enumerate(HEADLINE):
+    # two phases: every common query first, HEAVY entries strictly last
+    # (see the HEAVY comment) with a calibration fence between the
+    # phases so the probe history brackets the common set cleanly
+    common_q = [n for n in HEADLINE if n not in HEAVY]
+    heavy_q = [n for n in HEADLINE if n in HEAVY]
+    for i, name in enumerate(common_q + heavy_q):
         fn = qs[name]
         reps = []
         for _ in range(reps_n):
@@ -318,7 +342,7 @@ def main() -> None:
         raw_runs[name] = reps
         timings[name] = min(reps)
         medians[name] = median(reps)
-        if i == len(HEADLINE) // 2:
+        if i == len(common_q) // 2 or i == len(common_q) - 1:
             calib_runs.append(round(calibration(), 3))
     calib_runs.append(round(calibration(), 3))
     calib = median(calib_runs, 3)
@@ -340,6 +364,7 @@ def main() -> None:
             "queries_median": medians,
             "value_median": round(sum(medians.values()), 2),
             "reps": reps_n,
+            "heavy_phase": heavy_q,
             "sf": sf,
             "calibration_sec": calib,
             "calibration_runs": calib_runs,

@@ -149,12 +149,115 @@ def kernel_32way(rows: int):
     }
 
 
+def profile_ab(rows: int = 4000):
+    """r13 verdict "what's wrong #4": the one-pass profile win was
+    asserted (decode is ~all the cost), never measured. Times the
+    3-consumer pipeline both ways over the SAME materialized payload
+    frame: CHAINED = extract_image_meta + extract_media_features +
+    attach_phash (three kernels, three decodes) joined on media_id,
+    vs COMBINED = extract_image_profile (one decode). Best-of-2 each,
+    alternating, so host drift hits both arms."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from person_linkage_case_study_spark.multimodal.media import (
+        extract_image_meta,
+        extract_image_profile,
+        extract_media_features,
+    )
+    from person_linkage_case_study_spark.multimodal.phash import attach_phash
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("bench_media_profile_ab")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(it):
+        import pandas as pd
+
+        from person_linkage_case_study_spark.multimodal.media import (
+            encode_png,
+        )
+
+        rng = np.random.default_rng(99)
+        grad = (
+            np.add.outer(np.arange(128), np.arange(128)) // 2
+            + rng.integers(-4, 5, (128, 128))
+        ).astype(np.uint8)
+        payload = encode_png(grad[:, :, None])
+        for pdf in it:
+            yield pd.DataFrame(
+                {"media_id": pdf["id"], "payload": [payload] * len(pdf)}
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    media = (
+        spark.range(rows).repartition(32).mapInPandas(synth, schema).persist()
+    )
+    media.count()  # materialize: synth cost is NOT timed
+
+    def chained() -> float:
+        t0 = time.time()
+        meta = extract_image_meta(media)
+        feat = extract_media_features(media)
+        ph = attach_phash(media)
+        meta.join(feat, "media_id").join(ph, "media_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    def combined() -> float:
+        t0 = time.time()
+        extract_image_profile(media).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    combined()  # warm the python workers / plans once
+    chained()
+    runs = {"chained": [], "combined": []}
+    for _ in range(2):
+        runs["chained"].append(chained())
+        runs["combined"].append(combined())
+    media.unpersist()
+    spark.stop()
+    ch, co = min(runs["chained"]), min(runs["combined"])
+    return {
+        "rows": rows,
+        "chained_sec": ch,
+        "combined_sec": co,
+        "speedup": round(ch / co, 2) if co else None,
+        "raw": runs,
+        "note": "3 consumers (meta+features+phash) chained vs one-pass "
+        "extract_image_profile, same persisted 128x128-PNG frame",
+    }
+
+
 def main():
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rows = int(pos[0]) if pos else 0
+    if "--profile-ab" in sys.argv:
+        print(
+            json.dumps(
+                {"metric": "media_profile_ab", **profile_ab(rows or 4000)}
+            )
+        )
+        return
     payload = {
         "metric": "media_throughput",
         "single_core": single_core(),
         "kernel_32way": kernel_32way(rows),
+        "profile_ab": profile_ab(),
     }
     print(json.dumps(payload))
 
