@@ -366,3 +366,61 @@ def test_image_survivors_256bit_path(spark):
     surv = image_survivors(df, max_distance=10, use_256=True)
     ids = sorted(r["media_id"] for r in surv.select("media_id").collect())
     assert ids == [1, 3]
+
+
+def test_gif_frames_near_dup_with_still_reencodings(spark):
+    """r13 verdict item #6: animated-GIF frames (exploded to real PNG
+    payloads via extract_gif_frames(as_png=True)) near-dup against
+    still re-encodings of the same pixels through the banded pHash
+    join, and collapse with them to one survivor through the
+    canonicalization capstone."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_gif_animation,
+        extract_gif_frames,
+    )
+    from person_linkage_case_study_spark.multimodal.phash import (
+        canonical_images,
+    )
+
+    rng = np.random.default_rng(3)
+    # 64-entry grayscale-ramp palette, smooth index planes
+    pal = np.stack([np.arange(0, 256, 4)] * 3, axis=1).astype(np.uint8)
+    y, x = np.mgrid[0:40, 0:40]
+    f0 = ((np.sin(x / 5.0) + np.cos(y / 6.0) + 2) * 15).astype(np.uint8)
+    f1 = ((np.cos(x / 4.0) + np.sin(y / 5.0) + 2) * 15).astype(np.uint8)
+    gif = encode_gif_animation(
+        [
+            {"indexes": f0, "delay_cs": 5},
+            {"indexes": f1, "delay_cs": 5},
+        ],
+        pal,
+    )
+    gdf = spark.createDataFrame(
+        [(100, bytearray(gif))], "media_id long, payload binary"
+    )
+    frames = extract_gif_frames(gdf, as_png=True).select(
+        # re-key each frame so it lives alongside the stills
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame_png").alias("payload"),
+    )
+    stills = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(pal[f0]))),   # still of frame 0
+            (2, bytearray(encode_bmp(pal[f0]))),   # BMP re-encode
+            (3, bytearray(encode_png(pal[f1]))),   # still of frame 1
+        ],
+        "media_id long, payload binary",
+    )
+    corpus = stills.unionByName(frames)  # ids: 1, 2, 3, 1000, 1001
+    from person_linkage_case_study_spark.multimodal.media import (
+        extract_image_profile,
+    )
+
+    prof = extract_image_profile(corpus).where(F.col("phash").isNotNull())
+    canon = canonical_images(
+        prof.select("media_id", "phash"), max_distance=3, nbits=64
+    )
+    mapping = {r["media_id"]: r["canonical_id"] for r in canon.collect()}
+    # frame 0 (id 1000) clusters with its stills (1, 2); frame 1
+    # (id 1001) with its still (3); the two clusters stay apart
+    assert mapping == {1: 1, 2: 1, 1000: 1, 3: 3, 1001: 3}
