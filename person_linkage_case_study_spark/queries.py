@@ -2642,6 +2642,37 @@ def _mm_features_oracle() -> str:
                    CAST(doc_id AS BIGINT) % 256 AS c
             FROM documents)
     ),
+    -- r14: the MPEG-1 Layer I tier. encode_layer1 plants one active
+    -- subband of alternating max-code / zero-code samples at
+    -- nb = 2 + id%14 bits, scalefactor index 3·(id%9) so the
+    -- scalefactor is the DYADIC 2^(1-k) (exact in both engines); the
+    -- requantized values are the pure closed forms of ISO 11172-3's
+    -- affine de-map:  vp = 2^nb/(2^nb−1) · sf  (max code: s'''+2^(1-nb)
+    -- collapses to exactly 1.0, so ONE rounding),  vm = that times
+    -- (1 − 2^(1-nb)) (code 0). RMS over the (12·32·nch) subband array
+    -- has 6·nch of each magnitude per channel -> sqrt((vp²+vm²)/64),
+    -- identical mono/stereo. Bitrate pinned 64 kbps; 6dp rounding
+    -- absorbs the ≤ few-ulp cross-engine pow()/summation drift
+    -- (values ≥ ~1.4e-3 by k ≤ 8).
+    mpg AS (
+      SELECT media_id,
+             CASE WHEN media_id % 2 = 0 THEN 'mono' ELSE 'stereo' END
+                 AS mp3_mode,
+             CAST(64 AS INT) AS mp3_bitrate_kbps,
+             CAST(1 AS INT) AS mp3_sb_active,
+             round(sqrt((vp * vp + vm * vm) / 64.0), 6) AS mp3_sb_rms,
+             round(vp, 6) AS mp3_sb_peak
+      FROM (
+        SELECT media_id,
+               (pow(2.0, nb) / (pow(2.0, nb) - 1)) * pow(2.0, 1 - k) AS vp,
+               (pow(2.0, nb) / (pow(2.0, nb) - 1)) * (1 - pow(2.0, 1 - nb))
+                   * pow(2.0, 1 - k) AS vm
+        FROM (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     2 + CAST(doc_id AS BIGINT) % 14 AS nb,
+                     CAST(doc_id AS BIGINT) % 9 AS k
+              FROM documents)
+      )
+    ),
     aud AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
              CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
@@ -2676,6 +2707,8 @@ def _mm_features_oracle() -> str:
            php.phash_near_pairs,
            vid.mp4_duration, vid.mp4_width, vid.mp4_height,
            vid.mp4_audio_tracks,
+           mpg.mp3_mode, mpg.mp3_bitrate_kbps, mpg.mp3_sb_active,
+           mpg.mp3_sb_rms, mpg.mp3_sb_peak,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
            aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
@@ -2692,6 +2725,7 @@ def _mm_features_oracle() -> str:
     JOIN phs USING (media_id)
     JOIN php USING (media_id)
     JOIN vid USING (media_id)
+    JOIN mpg USING (media_id)
     JOIN aud USING (media_id)
     """.format(phash_terms=phash_terms)
 
@@ -3233,6 +3267,54 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    def mk_mp3l1(it):
+        # r14 MPEG-1 Layer I tier (closed forms in the oracle's mpg
+        # CTE): one frame, one active subband (id % 32) carrying
+        # alternating max-code / zero-code samples at nb = 2 + id%14
+        # bits, scalefactor index 3·(id % 9) so the scalefactor is the
+        # dyadic 2^(1-k); mono on even ids, stereo with the same
+        # pattern in both channels on odd — every requantized value is
+        # an exact closed form of (nb, k). Bitrate pinned 64 kbps so
+        # the oracle's bitrate column is constant.
+        from .multimodal.mpeg_audio import encode_layer1
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                nch = 1 if mid % 2 == 0 else 2
+                a = 1 + mid % 14
+                nb = a + 1
+                sb = mid % 32
+                alloc = np.zeros((nch, 32), np.int64)
+                scf = np.zeros((nch, 32), np.int64)
+                codes = np.zeros((12, nch, 32), np.int64)
+                for ch in range(nch):
+                    alloc[ch, sb] = a
+                    scf[ch, sb] = 3 * (mid % 9)
+                    codes[::2, ch, sb] = (1 << nb) - 1
+                payloads.append(
+                    encode_layer1(
+                        [{"alloc": alloc, "scf": scf, "codes": codes}],
+                        mode="mono" if nch == 1 else "stereo",
+                        bitrate_kbps=64,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    from .multimodal.mpeg_audio import extract_mp3_subband_features
+
+    mpg = extract_mp3_subband_features(
+        media.select("media_id").mapInPandas(mk_mp3l1, payload_schema)
+    ).select(
+        "media_id",
+        "mp3_mode",
+        "mp3_bitrate_kbps",
+        F.col("sb_active").alias("mp3_sb_active"),
+        F.round("sb_rms", 6).alias("mp3_sb_rms"),
+        F.round("sb_peak", 6).alias("mp3_sb_peak"),
+    )
+
     def mk_wav(it):
         # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
@@ -3271,6 +3353,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(phs, on="media_id")
         .join(php, on="media_id")
         .join(vid, on="media_id")
+        .join(mpg, on="media_id")
         .join(aud, on="media_id")
         .select(
             "media_id",
@@ -3320,6 +3403,11 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mp4_width",
             "mp4_height",
             "mp4_audio_tracks",
+            "mp3_mode",
+            "mp3_bitrate_kbps",
+            "mp3_sb_active",
+            "mp3_sb_rms",
+            "mp3_sb_peak",
             "audio_channels",
             "sample_rate",
             "n_frames",
