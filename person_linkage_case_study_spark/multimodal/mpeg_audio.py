@@ -31,8 +31,19 @@ real-world audio wrongly. So:
   subband→PCM→subband machinery is real, runnable, and round-trip
   TESTED — drop the ISO table in and the identical code is
   spec-true;
-* Layer II stays metadata-only (``media.parse_mp3``), gated the same
-  honest way the arithmetic-JPEG tier is gated on PIL.
+* Layer II (r14): the complete §2.4.3.3 frame layer decodes for real
+  too — variable-width allocation fields, scfsi-folded scalefactors,
+  grouped base-3/5/9 triplet codes, bit-level CRC-16 — because Table
+  3-B.4's C/D requantization constants turn out to be CLOSED FORMS
+  (C = 2^nb/nlevels, D = (2^(nb−1) − (nlevels−1)/2)/2^(nb−1),
+  verified digit-for-digit against the published libmad table for all
+  17 classes; :func:`layer2_quant`). Only the per-(samplerate,
+  bitrate) allocation tables (3-B.2a–d) are genuinely numeric spec
+  data, so :func:`decode_layer2` takes ``alloc_table=`` and raises a
+  ValueError naming the tables when none is supplied;
+  :func:`design_alloc_table` builds a deterministic, clearly non-spec
+  table with the real structure for fixtures — drop a transcribed ISO
+  table into the same shape and the identical code is spec-true.
 
 Frame-layer decode alone is the valuable part for the oracle: the
 requantized SUBBAND samples are exact rationals of (alloc, code, sf),
@@ -296,6 +307,417 @@ def encode_layer1(
         if crc:
             prot = bytes((h2, h3)) + body[:alloc_bytes_end]
             frame += _crc16_ffff(prot).to_bytes(2, "big")
+        frame += body
+        frame += b"\x00" * (frame_len - len(frame))
+        out += frame
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Layer II (r14): closed-form frame layer, table-gated allocation data
+# ---------------------------------------------------------------------------
+
+
+#: MPEG-1 Layer II bitrate table (kbit/s), ISO 11172-3 Table 2.4.2.3;
+#: index 0 = free format (unsupported here), 15 forbidden.
+_BR_TABLE_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                320, 384)
+
+#: Layer II quantization classes that appear in the spec's allocation
+#: tables (Table 3-B.2a-d column sets): steps -> grouped?  Grouping
+#: (three samples in one base-nlevels code) applies exactly to the
+#: 3/5/9-step classes (ISO 11172-3 §2.4.3.3.4).
+_L2_GROUPED = frozenset((3, 5, 9))
+_L2_NLEVELS = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+               8191, 16383, 32767, 65535)
+
+
+def layer2_quant(nlevels: int):
+    """``(code_bits, grouped, C, D)`` for a Layer II quantization class.
+
+    Table 3-B.4's C and D columns are CLOSED FORMS, not free numeric
+    data (verified digit-for-digit against the public libmad
+    ``layer12.c`` table for all 17 classes): with ``nb =
+    ceil(log2(nlevels))`` per-sample bits,
+
+        C = 2^nb / nlevels
+        D = (2^(nb-1) - (nlevels-1)/2) / 2^(nb-1)
+
+    (for the 2^k - 1 classes this collapses to the Layer I shape
+    C = 2^k/(2^k - 1), D = 2^(1-k); for the grouped 5/9-step classes
+    the unused upper half of the code range pushes D to 1/2).
+    ``code_bits`` is the bitstream cost of ONE read: ceil(log2(n^3))
+    bits for one grouped triplet (5/7/10 bits), else nb bits for one
+    sample."""
+    if nlevels not in _L2_NLEVELS:
+        raise ValueError(f"not a Layer II quantization class: {nlevels}")
+    nb = max(2, (nlevels).bit_length())
+    if (1 << nb) < nlevels:
+        nb += 1
+    # bit_length of nlevels: for 2^k-1 -> k; for 5 -> 3; for 9 -> 4. OK.
+    c = (1 << nb) / float(nlevels)
+    d = ((1 << (nb - 1)) - (nlevels - 1) / 2.0) / float(1 << (nb - 1))
+    grouped = nlevels in _L2_GROUPED
+    bits = (nlevels**3 - 1).bit_length() if grouped else nb
+    return bits, grouped, c, d
+
+
+def _requant_l2(code: int, nlevels: int) -> float:
+    """Exact Layer II requantization: MSB-invert the nb-bit code (for
+    grouped classes the base-nlevels DIGIT), two's-complement
+    fraction, then s'' = C * (s''' + D). Closed form throughout."""
+    nb = max(2, (nlevels).bit_length())
+    if (1 << nb) < nlevels:
+        nb += 1
+    v = code ^ (1 << (nb - 1))
+    if v & (1 << (nb - 1)):
+        v -= 1 << nb
+    s3 = v / float(1 << (nb - 1))
+    _, _, c, d = layer2_quant(nlevels)
+    return c * (s3 + d)
+
+
+def design_alloc_table():
+    """A DETERMINISTIC, CLEARLY NON-SPEC Layer II allocation table for
+    fixtures and tests (the Table 3-B.2a-d analogue of
+    :func:`design_prototype_window`): ISO's per-(samplerate, bitrate)
+    allocation tables are numeric spec data this container does not
+    ship and which must not be fabricated from memory. This table has
+    the same STRUCTURE the real ones do — an ``sblimit``, and per
+    subband an allocation-field width plus the ordered tuple of
+    quantization classes its nonzero codes select — and deliberately
+    exercises every machinery branch: grouped 3/5/9-step classes,
+    ungrouped 7..65535, and 2/3/4-bit allocation fields. Drop a
+    transcribed ISO table into the same shape and
+    :func:`decode_layer2` / :func:`encode_layer2` are spec-true."""
+    wide = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+            8191, 65535)
+    mid = (3, 5, 9, 15, 31, 63, 127)
+    narrow = (3, 5, 65535)
+    rows = []
+    for _ in range(4):
+        rows.append((4, wide))
+    for _ in range(4):
+        rows.append((3, mid))
+    for _ in range(4):
+        rows.append((2, narrow))
+    return {"sblimit": 12, "rows": tuple(rows)}
+
+
+def _check_alloc_table(tab):
+    sblimit = tab["sblimit"]
+    rows = tab["rows"]
+    if not 1 <= sblimit <= 32 or len(rows) != sblimit:
+        raise ValueError("alloc table: sblimit/rows mismatch")
+    for bits, levels in rows:
+        if not 2 <= bits <= 4:
+            raise ValueError("alloc table: field width must be 2..4")
+        if len(levels) > (1 << bits) - 1:
+            raise ValueError("alloc table: more classes than codes")
+        for nl in levels:
+            if nl not in _L2_NLEVELS:
+                raise ValueError(f"alloc table: bad class {nl}")
+    return sblimit, rows
+
+
+def _crc16_bits(crc: int, value: int, nbits: int) -> int:
+    """Feed ``nbits`` MSB-first bits into a CRC-16/0x8005 register —
+    Layer II's protected region (allocation + scfsi) is not
+    byte-aligned, so the byte-table CRC cannot cover it."""
+    for i in range(nbits - 1, -1, -1):
+        bit = (value >> i) & 1
+        hi = (crc >> 15) & 1
+        crc = (crc << 1) & 0xFFFF
+        if hi ^ bit:
+            crc ^= 0x8005
+    return crc
+
+
+def decode_layer2(payload: bytes, alloc_table=None) -> dict:
+    """Decode MPEG-1 Layer II frames in ``payload`` to requantized
+    SUBBAND samples: ``{sample_rate, channels, mode, bitrate_kbps,
+    n_frames, subbands}`` with ``subbands`` shaped
+    (n_frames * 36, channels, 32).
+
+    The complete §2.4.3.3 frame layer is here and exact — variable-
+    width allocation fields, scfsi-folded scalefactors, grouped
+    (base-3/5/9 triplet) and ungrouped sample codes, bit-level CRC-16
+    over header+allocation+scfsi, and the closed-form Table 3-B.4
+    requantization (:func:`layer2_quant`). What is NOT here is the
+    table DATA: ISO picks the allocation table per (samplerate,
+    bitrate/channel) from Tables 3-B.2a-d, numeric spec tables that
+    neither ship in this container nor can be honestly re-derived —
+    so ``alloc_table`` must be supplied (:func:`design_alloc_table`
+    for fixtures, or a transcribed ISO table for real audio) and
+    ``None`` raises a ValueError naming the missing table, the
+    :func:`synthesize_pcm` / Table 3-B.3 discipline."""
+    import numpy as np
+
+    if alloc_table is None:
+        raise ValueError(
+            "Layer II allocation tables (ISO 11172-3 Tables 3-B.2a-d) "
+            "are numeric spec data not shipped here; pass alloc_table= "
+            "(design_alloc_table() for fixtures, or a transcription of "
+            "the ISO table for real audio)"
+        )
+    sblimit, rows = _check_alloc_table(alloc_table)
+    b = bytes(payload)
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = (((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+                | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F))
+        pos = 10 + size + (10 if b[5] & 0x10 else 0)
+    frames = []
+    sr0 = ch0 = mode0 = br0 = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError("MPEG lost frame sync")
+        h1, h2, h3 = b[pos + 1], b[pos + 2], b[pos + 3]
+        if (h1 >> 3) & 0x3 != 0x3:
+            raise ValueError("not MPEG-1")
+        if (h1 >> 1) & 0x3 != 0x2:
+            raise ValueError("not Layer II")
+        protected = not (h1 & 1)
+        br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x3
+        padding = (h2 >> 1) & 1
+        mode, mode_ext = h3 >> 6, (h3 >> 4) & 0x3
+        if br_idx == 0:
+            raise ValueError("free-format bitrate unsupported")
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError("forbidden bitrate/samplerate index")
+        br = _BR_TABLE_L2[br_idx]
+        sr = _SR_TABLE[sr_idx]
+        frame_len = 144 * br * 1000 // sr + padding
+        if pos + frame_len > len(b):
+            raise ValueError("MPEG truncated inside frame")
+        nch = 1 if mode == 3 else 2
+        bound = min(4 * (mode_ext + 1), sblimit) if mode == 1 else sblimit
+        if sr0 is None:
+            sr0, ch0, mode0, br0 = sr, nch, mode, br
+        elif (sr, nch) != (sr0, ch0):
+            raise ValueError("MPEG frame parameter change mid-stream")
+
+        r = _BitReader(b, pos + 4)
+        crc_read = r.read(16) if protected else None
+        crc = _crc16_bits(_crc16_bits(0xFFFF, h2, 8), h3, 8)
+        alloc = [[0] * 32 for _ in range(nch)]
+        for sb in range(sblimit):
+            bits = rows[sb][0]
+            for ch in range(nch if sb < bound else 1):
+                a = r.read(bits)
+                crc = _crc16_bits(crc, a, bits)
+                if a > len(rows[sb][1]):
+                    raise ValueError("allocation code beyond table row")
+                alloc[ch][sb] = a
+            if sb >= bound and nch == 2:
+                alloc[1][sb] = alloc[0][sb]
+        scfsi = [[0] * 32 for _ in range(nch)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    s = r.read(2)
+                    crc = _crc16_bits(crc, s, 2)
+                    scfsi[ch][sb] = s
+        if protected and crc != crc_read:
+            raise ValueError("MPEG CRC-16 mismatch")
+        # scalefactors: one per 12-sample third, folded by scfsi
+        # (§2.4.3.3.3: 0 -> three transmitted; 1 -> two, first covers
+        # thirds 0+1; 3 -> two, second covers thirds 1+2; 2 -> one
+        # covers all three)
+        scf = [[(0, 0, 0)] * 32 for _ in range(nch)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if not alloc[ch][sb]:
+                    continue
+                si = scfsi[ch][sb]
+                n = {0: 3, 1: 2, 2: 1, 3: 2}[si]
+                got = []
+                for _ in range(n):
+                    idx = r.read(6)
+                    if idx == 63:
+                        raise ValueError("forbidden scalefactor index 63")
+                    got.append(idx)
+                if si == 0:
+                    scf[ch][sb] = (got[0], got[1], got[2])
+                elif si == 1:
+                    scf[ch][sb] = (got[0], got[0], got[1])
+                elif si == 3:
+                    scf[ch][sb] = (got[0], got[1], got[1])
+                else:
+                    scf[ch][sb] = (got[0], got[0], got[0])
+        out = np.zeros((36, nch, 32))
+        for gr in range(12):
+            for sb in range(sblimit):
+                chs = range(nch) if sb < bound else (0,)
+                for ch in chs:
+                    a = alloc[ch][sb]
+                    if not a:
+                        continue
+                    nlevels = rows[sb][1][a - 1]
+                    bits, grouped, _, _ = layer2_quant(nlevels)
+                    if grouped:
+                        c = r.read(bits)
+                        if c >= nlevels**3:
+                            raise ValueError(
+                                "grouped code beyond nlevels^3")
+                        triplet = (c % nlevels,
+                                   (c // nlevels) % nlevels,
+                                   c // (nlevels * nlevels))
+                    else:
+                        triplet = tuple(r.read(bits) for _ in range(3))
+                        for t in triplet:
+                            if t >= nlevels:
+                                # the all-ones nb-bit code is unused by
+                                # an (2^nb - 1)-step quantizer
+                                raise ValueError(
+                                    "sample code beyond nlevels")
+                    part = gr // 4
+                    for k in range(3):
+                        s2 = _requant_l2(triplet[k], nlevels)
+                        for cch in (range(nch) if sb >= bound else (ch,)):
+                            out[3 * gr + k, cch, sb] = (
+                                LAYER1_SF[scf[cch][sb][part]] * s2
+                            )
+        frames.append(out)
+        pos += frame_len
+    if pos != len(b):
+        raise ValueError("MPEG trailing garbage")
+    if not frames:
+        raise ValueError("no Layer II frames")
+    return {
+        "sample_rate": sr0,
+        "channels": ch0,
+        "mode": ("stereo", "joint_stereo", "dual_channel", "mono")[mode0],
+        "bitrate_kbps": br0,
+        "n_frames": len(frames),
+        "subbands": np.concatenate(frames, axis=0),
+    }
+
+
+def encode_layer2(
+    frames,
+    *,
+    alloc_table,
+    sample_rate: int = 32000,
+    mode: str = "mono",
+    mode_extension: int = 0,
+    crc: bool = True,
+    bitrate_kbps: "int | None" = None,
+) -> bytes:
+    """Layer II fixture encoder (the :func:`encode_layer1` twin).
+    ``frames`` is a list of dicts with ``alloc`` (nch, 32) allocation
+    CODES into ``alloc_table``'s per-subband class tuples, ``scf``
+    (nch, 32, 3) scalefactor indices 0-62 (one per 12-sample third),
+    ``scfsi`` (nch, 32) in 0-3 (the encoder writes the folded subset,
+    so thirds a scfsi value shares must carry EQUAL scf indices), and
+    ``codes`` (36, nch, 32) integer sample codes (< nlevels of the
+    selected class; for grouped classes each sample's digit). Joint
+    stereo shares allocation and codes above the bound."""
+    import numpy as np
+
+    from .flac import _BitWriter
+
+    mode_bits = {"stereo": 0, "joint_stereo": 1, "dual_channel": 2,
+                 "mono": 3}[mode]
+    nch = 1 if mode == "mono" else 2
+    sblimit, rows = _check_alloc_table(alloc_table)
+    bound = (min(4 * (mode_extension + 1), sblimit)
+             if mode == "joint_stereo" else sblimit)
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    out = bytearray()
+    for f in frames:
+        alloc = np.asarray(f["alloc"], dtype=np.int64).reshape(nch, 32)
+        scf = np.asarray(f["scf"], dtype=np.int64).reshape(nch, 32, 3)
+        scfsi = np.asarray(f["scfsi"], dtype=np.int64).reshape(nch, 32)
+        codes = np.asarray(f["codes"], dtype=np.int64).reshape(36, nch, 32)
+        if scf.max() > 62 or scf.min() < 0:
+            raise ValueError("scalefactor indices are 0..62")
+        w = _BitWriter()
+        # body first (we need its alloc+scfsi bits for the CRC; the
+        # CRC also covers header bytes 2-3, folded in below)
+        bits_protected = []  # (value, nbits) in wire order
+        for sb in range(sblimit):
+            bits = rows[sb][0]
+            for ch in range(nch if sb < bound else 1):
+                a = int(alloc[ch][sb])
+                if not 0 <= a <= len(rows[sb][1]):
+                    raise ValueError("allocation code beyond table row")
+                w.write(a, bits)
+                bits_protected.append((a, bits))
+            if sb >= bound and nch == 2 and alloc[1][sb] != alloc[0][sb]:
+                raise ValueError("joint stereo shares alloc above bound")
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    s = int(scfsi[ch][sb])
+                    w.write(s, 2)
+                    bits_protected.append((s, 2))
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if not alloc[ch][sb]:
+                    continue
+                si = int(scfsi[ch][sb])
+                v = scf[ch][sb]
+                if si == 0:
+                    send = (v[0], v[1], v[2])
+                elif si == 1:
+                    if v[0] != v[1]:
+                        raise ValueError("scfsi=1 shares thirds 0,1")
+                    send = (v[0], v[2])
+                elif si == 3:
+                    if v[1] != v[2]:
+                        raise ValueError("scfsi=3 shares thirds 1,2")
+                    send = (v[0], v[1])
+                else:
+                    if not (v[0] == v[1] == v[2]):
+                        raise ValueError("scfsi=2 shares all thirds")
+                    send = (v[0],)
+                for idx in send:
+                    w.write(int(idx), 6)
+        for gr in range(12):
+            for sb in range(sblimit):
+                chs = range(nch) if sb < bound else (0,)
+                for ch in chs:
+                    a = int(alloc[ch][sb])
+                    if not a:
+                        continue
+                    nlevels = rows[sb][1][a - 1]
+                    bits, grouped, _, _ = layer2_quant(nlevels)
+                    tr = [int(codes[3 * gr + k][ch][sb]) for k in range(3)]
+                    for t in tr:
+                        if not 0 <= t < nlevels:
+                            raise ValueError("sample code out of range")
+                    if grouped:
+                        w.write(tr[0] + nlevels * tr[1]
+                                + nlevels * nlevels * tr[2], bits)
+                    else:
+                        for t in tr:
+                            w.write(t, bits)
+        w.align()
+        body = w.bytes()
+        need = 4 + (2 if crc else 0) + len(body)
+        if bitrate_kbps is None:
+            for cand in _BR_TABLE_L2[1:]:
+                if 144 * cand * 1000 // sample_rate >= need:
+                    br = cand
+                    break
+            else:
+                raise ValueError("frame payload exceeds 384 kbps slot")
+        else:
+            br = bitrate_kbps
+        br_idx = _BR_TABLE_L2.index(br)
+        frame_len = 144 * br * 1000 // sample_rate
+        if frame_len < need:
+            raise ValueError("payload exceeds pinned bitrate's slot")
+        h1 = 0xE0 | (0x3 << 3) | (0x2 << 1) | (0 if crc else 1)
+        h2 = (br_idx << 4) | (sr_idx << 2)
+        h3 = (mode_bits << 6) | ((mode_extension & 0x3) << 4)
+        frame = bytearray((0xFF, h1, h2, h3))
+        if crc:
+            crc_reg = _crc16_bits(_crc16_bits(0xFFFF, h2, 8), h3, 8)
+            for v, n in bits_protected:
+                crc_reg = _crc16_bits(crc_reg, v, n)
+            frame += crc_reg.to_bytes(2, "big")
         frame += body
         frame += b"\x00" * (frame_len - len(frame))
         out += frame

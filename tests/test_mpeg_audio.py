@@ -318,3 +318,176 @@ def test_scalefactor_table_closed_form():
     for i in range(60):
         assert LAYER1_SF[i + 3] == pytest.approx(LAYER1_SF[i] / 2, rel=0)
     assert len(LAYER1_SF) == 63
+
+
+# ---------------------------------------------------------------------------
+# Layer II (r14)
+# ---------------------------------------------------------------------------
+
+from person_linkage_case_study_spark.multimodal.mpeg_audio import (  # noqa: E402
+    _requant_l2,
+    decode_layer2,
+    design_alloc_table,
+    encode_layer2,
+    layer2_quant,
+)
+
+
+def test_layer2_quant_closed_form_vs_published_table():
+    """The closed forms C = 2^nb/nlevels and
+    D = (2^(nb-1) - (nlevels-1)/2)/2^(nb-1) reproduce every row of the
+    published Table 3-B.4 (via the public libmad layer12.c lineage)
+    digit-for-digit, and grouping/bit costs match §2.4.3.3.4."""
+    published = {
+        3: (1.33333333333, 0.50000000000), 5: (1.60000000000, 0.50000000000),
+        7: (1.14285714286, 0.25000000000), 9: (1.77777777778, 0.50000000000),
+        15: (1.06666666667, 0.12500000000), 31: (1.03225806452, 0.06250000000),
+        63: (1.01587301587, 0.03125000000), 127: (1.00787401575, 0.01562500000),
+        255: (1.00392156863, 0.00781250000), 511: (1.00195694716, 0.00390625000),
+        1023: (1.00097751711, 0.00195312500), 2047: (1.00048851979, 0.00097656250),
+        4095: (1.00024420024, 0.00048828125), 8191: (1.00012208522, 0.00024414062),
+        16383: (1.00006103888, 0.00012207031), 32767: (1.00003051851, 0.00006103516),
+        65535: (1.00001525902, 0.00003051758),
+    }
+    for nl, (c_pub, d_pub) in published.items():
+        bits, grouped, c, d = layer2_quant(nl)
+        assert abs(c - c_pub) < 5e-12 * c_pub
+        assert abs(d - d_pub) < 5e-9
+        assert grouped == (nl in (3, 5, 9))
+        if grouped:
+            assert bits == (nl**3 - 1).bit_length()  # 5 / 7 / 10
+    assert layer2_quant(3)[:2] == (5, True)
+    assert layer2_quant(5)[:2] == (7, True)
+    assert layer2_quant(9)[:2] == (10, True)
+    assert layer2_quant(65535)[:2] == (16, False)
+    with pytest.raises(ValueError, match="quantization class"):
+        layer2_quant(11)
+
+
+def _l2_random_frame(rng, tab, nch, bound):
+    sblimit, rows = tab["sblimit"], tab["rows"]
+    alloc = np.zeros((nch, 32), dtype=np.int64)
+    scfsi = np.zeros((nch, 32), dtype=np.int64)
+    scf = np.zeros((nch, 32, 3), dtype=np.int64)
+    codes = np.zeros((36, nch, 32), dtype=np.int64)
+    for sb in range(sblimit):
+        shared = rng.integers(0, len(rows[sb][1]) + 1)
+        for ch in range(nch):
+            a = rng.integers(0, len(rows[sb][1]) + 1) if sb < bound else shared
+            alloc[ch][sb] = a
+            if not a:
+                continue
+            si = rng.integers(0, 4)
+            scfsi[ch][sb] = si
+            v = rng.integers(0, 63, size=3)
+            if si == 1:
+                v[1] = v[0]
+            elif si == 2:
+                v[1] = v[2] = v[0]
+            elif si == 3:
+                v[2] = v[1]
+            scf[ch][sb] = v
+            nl = rows[sb][1][a - 1]
+            if sb < bound or ch == 0:
+                codes[:, ch, sb] = rng.integers(0, nl, size=36)
+    if nch == 2:
+        codes[:, 1, bound:] = codes[:, 0, bound:]
+    return {"alloc": alloc, "scfsi": scfsi, "scf": scf, "codes": codes}
+
+
+def _l2_expected(frames, tab, nch, bound):
+    from person_linkage_case_study_spark.multimodal.mpeg_audio import LAYER1_SF
+
+    sblimit, rows = tab["sblimit"], tab["rows"]
+    outs = []
+    for f in frames:
+        out = np.zeros((36, nch, 32))
+        for gr in range(12):
+            part = gr // 4
+            for sb in range(sblimit):
+                for ch in range(nch):
+                    a = int(f["alloc"][ch][sb])
+                    if not a:
+                        continue
+                    nl = rows[sb][1][a - 1]
+                    src = 0 if sb >= bound else ch
+                    for k in range(3):
+                        out[3 * gr + k, ch, sb] = LAYER1_SF[
+                            int(f["scf"][ch][sb][part])
+                        ] * _requant_l2(int(f["codes"][3 * gr + k][src][sb]), nl)
+        outs.append(out)
+    return np.concatenate(outs, axis=0)
+
+
+def test_layer2_roundtrip_exact_all_modes():
+    """encode_layer2 -> decode_layer2 reproduces the closed-form
+    expected subbands EXACTLY (float64 ==) for mono / stereo /
+    joint-stereo, multi-frame, CRC on and off — every allocation
+    width, every grouped and ungrouped class in the fixture table,
+    every scfsi fold exercised by the seeded frames."""
+    tab = design_alloc_table()
+    rng = np.random.default_rng(4242)
+    for mode, mext, nch in (
+        ("mono", 0, 1), ("stereo", 0, 2), ("joint_stereo", 1, 2),
+    ):
+        bound = (min(4 * (mext + 1), tab["sblimit"])
+                 if mode == "joint_stereo" else tab["sblimit"])
+        frames = [_l2_random_frame(rng, tab, nch, bound) for _ in range(3)]
+        for crc in (True, False):
+            blob = encode_layer2(frames, alloc_table=tab, mode=mode,
+                                 mode_extension=mext, crc=crc,
+                                 sample_rate=44100)
+            d = decode_layer2(blob, alloc_table=tab)
+            exp = _l2_expected(frames, tab, nch, bound)
+            assert (d["channels"], d["n_frames"], d["sample_rate"]) == (
+                nch, 3, 44100)
+            assert d["subbands"].shape == exp.shape == (108, nch, 32)
+            assert np.abs(d["subbands"] - exp).max() == 0.0
+        # scfsi actually folds: the stream must be shorter than the
+        # all-scfsi-0 encoding whenever any subband shares
+        f0 = {**frames[0], "scfsi": np.zeros((nch, 32), dtype=np.int64),
+              "scf": np.repeat(frames[0]["scf"][:, :, :1], 3, axis=2)}
+        blob0 = encode_layer2([f0], alloc_table=tab, mode=mode,
+                              mode_extension=mext, sample_rate=44100)
+        assert decode_layer2(blob0, alloc_table=tab)["n_frames"] == 1
+
+
+def test_layer2_gate_crc_and_garbage_paths():
+    tab = design_alloc_table()
+    rng = np.random.default_rng(7)
+    frames = [_l2_random_frame(rng, tab, 1, tab["sblimit"])]
+    blob = encode_layer2(frames, alloc_table=tab, mode="mono")
+
+    # the honest gate: no table -> ValueError naming Tables 3-B.2a-d
+    with pytest.raises(ValueError, match="3-B.2"):
+        decode_layer2(blob)
+    # bit flip inside the protected allocation region -> CRC catches
+    bad = bytearray(blob)
+    bad[7] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        decode_layer2(bytes(bad), alloc_table=tab)
+    # truncation inside a frame
+    with pytest.raises(ValueError, match="truncated"):
+        decode_layer2(blob[: len(blob) - 1], alloc_table=tab)
+    # trailing garbage after the last frame
+    with pytest.raises(ValueError):
+        decode_layer2(blob + b"\x00\x01", alloc_table=tab)
+    # a Layer I stream is rejected, not mis-decoded
+    from person_linkage_case_study_spark.multimodal.mpeg_audio import (
+        encode_layer1,
+    )
+
+    l1 = encode_layer1([{
+        "alloc": np.zeros((1, 32), dtype=np.int64),
+        "scf": np.zeros((1, 32), dtype=np.int64),
+        "codes": np.zeros((12, 1, 32), dtype=np.int64),
+    }])
+    with pytest.raises(ValueError, match="Layer II"):
+        decode_layer2(l1, alloc_table=tab)
+    # ID3v2 prefix skipped
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    d = decode_layer2(tag + blob, alloc_table=tab)
+    assert d["n_frames"] == 1
+    # malformed alloc table dies loudly
+    with pytest.raises(ValueError, match="alloc table"):
+        decode_layer2(blob, alloc_table={"sblimit": 2, "rows": ((5, (3,)),) * 2})
