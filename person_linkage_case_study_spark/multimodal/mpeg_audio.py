@@ -878,17 +878,24 @@ def _mp3_subband_schema():
     )
 
 
-def extract_mp3_subband_features(media):
+def extract_mp3_subband_features(media, layer: int = 1, alloc_table=None):
     """Arrow-batched mapInPandas kernel over (media_id, payload):
-    Layer I frame-layer decode (:func:`decode_layer1`) → subband-domain
-    features — sample rate / channels / mode / bitrate / frame count,
-    the count of subbands carrying signal, and the RMS / peak of the
-    requantized subband samples (exact closed forms of the fixture's
-    (alloc, code, scf) triples — the mm_media_features oracle tier).
+    MPEG-1 audio frame-layer decode (:func:`decode_layer1`, or
+    :func:`decode_layer2` with ``layer=2`` and its required
+    ``alloc_table``) → subband-domain features — sample rate /
+    channels / mode / bitrate / frame count, the count of subbands
+    carrying signal, and the RMS / peak of the requantized subband
+    samples (exact closed forms of the fixture's (alloc, code, scf)
+    triples — the mm_media_features oracle tiers).
     Undecodable payloads yield NULL feature columns, never a throw
     (the crawl-garbage contract every media kernel follows)."""
     import numpy as np
     import pandas as pd
+
+    if layer not in (1, 2):
+        raise ValueError("layer must be 1 or 2")
+    if layer == 2:
+        _check_alloc_table(alloc_table)  # fail at plan time, not in tasks
 
     schema = _mp3_subband_schema()
 
@@ -897,8 +904,11 @@ def extract_mp3_subband_features(media):
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    d = decode_layer1(
-                        bytes(payload) if payload is not None else b""
+                    raw = bytes(payload) if payload is not None else b""
+                    d = (
+                        decode_layer1(raw)
+                        if layer == 1
+                        else decode_layer2(raw, alloc_table)
                     )
                     sb = d["subbands"]
                     rows.append(

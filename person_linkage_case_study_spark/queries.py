@@ -2673,6 +2673,37 @@ def _mm_features_oracle() -> str:
               FROM documents)
       )
     ),
+    -- r14 Layer II tier: one active subband sb = id % 12 whose
+    -- quantization class nl comes from the fixture allocation table's
+    -- row (15 wide / 7 mid / 3 narrow classes — the Spark kernel's
+    -- design_alloc_table), code pattern max/middle alternation,
+    -- scfsi=2 single dyadic scalefactor 2^(1-k). Requantization closed
+    -- form at the max code: C*(s'''+D) collapses to (nl-1)/nl; the
+    -- middle code is exactly 0. So peak = 2^(1-k)*(nl-1)/nl and, with
+    -- 18 nonzero of 36*32*nch entries, rms = peak/8 (mono == stereo).
+    mp2 AS (
+      SELECT media_id,
+             CASE WHEN media_id % 2 = 0 THEN 'mono' ELSE 'stereo' END
+                 AS mp2_mode,
+             CAST(1 AS INT) AS mp2_sb_active,
+             round(vp / 8.0, 6) AS mp2_sb_rms,
+             round(vp, 6) AS mp2_sb_peak
+      FROM (
+        SELECT media_id, pow(2.0, 1 - k) * (nl - 1.0) / nl AS vp
+        FROM (
+          SELECT media_id, media_id % 9 AS k,
+                 CASE
+                   WHEN media_id % 12 < 4 THEN
+                     ([3,5,7,9,15,31,63,127,255,511,1023,2047,4095,
+                       8191,65535])[1 + CAST(media_id % 15 AS INT)]
+                   WHEN media_id % 12 < 8 THEN
+                     ([3,5,9,15,31,63,127])[1 + CAST(media_id % 7 AS INT)]
+                   ELSE ([3,5,65535])[1 + CAST(media_id % 3 AS INT)]
+                 END AS nl
+          FROM (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents)
+        )
+      )
+    ),
     aud AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
              CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
@@ -2709,6 +2740,8 @@ def _mm_features_oracle() -> str:
            vid.mp4_audio_tracks,
            mpg.mp3_mode, mpg.mp3_bitrate_kbps, mpg.mp3_sb_active,
            mpg.mp3_sb_rms, mpg.mp3_sb_peak,
+           mp2.mp2_mode, mp2.mp2_sb_active, mp2.mp2_sb_rms,
+           mp2.mp2_sb_peak,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
            aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
@@ -2726,6 +2759,7 @@ def _mm_features_oracle() -> str:
     JOIN php USING (media_id)
     JOIN vid USING (media_id)
     JOIN mpg USING (media_id)
+    JOIN mp2 USING (media_id)
     JOIN aud USING (media_id)
     """.format(phash_terms=phash_terms)
 
@@ -3315,6 +3349,64 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sb_peak", 6).alias("mp3_sb_peak"),
     )
 
+    def mk_mp2(it):
+        # r14 Layer II tier (closed forms in the oracle's mp2 CTE): one
+        # frame, one active subband sb = id % 12 whose quantization
+        # class is the (id % len)-th entry of the fixture table's row
+        # (design_alloc_table: 15/7/3-class rows exercise grouped
+        # 3/5/9-step AND ungrouped codes, and 4/3/2-bit allocation
+        # fields). Even sample indices carry the class's MAX code
+        # ((nl-1)/nl after requantization), odd the exact-zero middle
+        # code; scfsi=2 folds to ONE scalefactor 3*(id%9) = the dyadic
+        # 2^(1-k). So peak = 2^(1-k)*(nl-1)/nl and, with 18 nonzero of
+        # 36*nch*32 entries, rms = peak/8 — identical mono/stereo.
+        from .multimodal.mpeg_audio import design_alloc_table, encode_layer2
+
+        tab = design_alloc_table()
+        rows_tab = tab["rows"]
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                nch = 1 if mid % 2 == 0 else 2
+                sb = mid % tab["sblimit"]
+                levels = rows_tab[sb][1]
+                a = 1 + mid % len(levels)
+                nl = levels[a - 1]
+                alloc = np.zeros((nch, 32), np.int64)
+                scfsi = np.full((nch, 32), 2, np.int64)
+                scf = np.zeros((nch, 32, 3), np.int64)
+                codes = np.zeros((36, nch, 32), np.int64)
+                for ch in range(nch):
+                    alloc[ch, sb] = a
+                    scf[ch, sb, :] = 3 * (mid % 9)
+                    codes[::2, ch, sb] = nl - 1
+                    codes[1::2, ch, sb] = (nl - 1) // 2
+                payloads.append(
+                    encode_layer2(
+                        [{"alloc": alloc, "scfsi": scfsi, "scf": scf,
+                          "codes": codes}],
+                        alloc_table=tab,
+                        mode="mono" if nch == 1 else "stereo",
+                        bitrate_kbps=48,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    from .multimodal.mpeg_audio import design_alloc_table as _dat
+
+    mp2 = extract_mp3_subband_features(
+        media.select("media_id").mapInPandas(mk_mp2, payload_schema),
+        layer=2,
+        alloc_table=_dat(),
+    ).select(
+        "media_id",
+        F.col("mp3_mode").alias("mp2_mode"),
+        F.col("sb_active").alias("mp2_sb_active"),
+        F.round("sb_rms", 6).alias("mp2_sb_rms"),
+        F.round("sb_peak", 6).alias("mp2_sb_peak"),
+    )
+
     def mk_wav(it):
         # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
@@ -3354,6 +3446,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(php, on="media_id")
         .join(vid, on="media_id")
         .join(mpg, on="media_id")
+        .join(mp2, on="media_id")
         .join(aud, on="media_id")
         .select(
             "media_id",
@@ -3408,6 +3501,10 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mp3_sb_active",
             "mp3_sb_rms",
             "mp3_sb_peak",
+            "mp2_mode",
+            "mp2_sb_active",
+            "mp2_sb_rms",
+            "mp2_sb_peak",
             "audio_channels",
             "sample_rate",
             "n_frames",
