@@ -4406,6 +4406,8 @@ def parse_mp4(payload: bytes) -> dict:
     brand = None
     duration = None
     width = height = None
+    video_codec = None
+    n_samples = fps = None
     n_video = n_audio = 0
     found_moov = False
     for tag, body, bend in boxes(0, n):
@@ -4435,6 +4437,8 @@ def parse_mp4(payload: bytes) -> dict:
                 elif t2 == b"trak":
                     handler = None
                     tw = th = None
+                    med_ts = trk_codec = None
+                    ns = ticks = None
                     for t3, b3, e3 in boxes(b2, e2):
                         if t3 == b"tkhd" and e3 - b3 >= 84:
                             # width/height: 16.16 fixed point, last 8
@@ -4447,10 +4451,75 @@ def parse_mp4(payload: bytes) -> dict:
                             for t4, b4, e4 in boxes(b3, e3):
                                 if t4 == b"hdlr" and e4 - b4 >= 12:
                                     handler = payload[b4 + 8 : b4 + 12]
+                                elif t4 == b"mdhd" and e4 - b4 >= 16:
+                                    # media timescale: v1 needs 24 body
+                                    # bytes (same truncation discipline
+                                    # as the r13 mvhd fix — a short v1
+                                    # body must not fall through to v0
+                                    # offsets)
+                                    if payload[b4] == 1:
+                                        if e4 - b4 >= 24:
+                                            med_ts = int.from_bytes(
+                                                payload[b4 + 20 : b4 + 24],
+                                                "big",
+                                            )
+                                    else:
+                                        med_ts = int.from_bytes(
+                                            payload[b4 + 12 : b4 + 16], "big"
+                                        )
+                                elif t4 == b"minf":
+                                    # r14: sample tables — stsd first
+                                    # sample-entry fourcc (the codec id),
+                                    # stts sample count + total decode
+                                    # ticks (frame count and, with mdhd,
+                                    # the average frame rate)
+                                    for t5, b5, e5 in boxes(b4, e4):
+                                        if t5 != b"stbl":
+                                            continue
+                                        for t6, b6, e6 in boxes(b5, e5):
+                                            if (
+                                                t6 == b"stsd"
+                                                and e6 - b6 >= 16
+                                            ):
+                                                trk_codec = payload[
+                                                    b6 + 12 : b6 + 16
+                                                ].decode("ascii", "replace")
+                                            elif (
+                                                t6 == b"stts"
+                                                and e6 - b6 >= 8
+                                            ):
+                                                cnt = int.from_bytes(
+                                                    payload[b6 + 4 : b6 + 8],
+                                                    "big",
+                                                )
+                                                p6 = b6 + 8
+                                                ns = ticks = 0
+                                                for _ in range(cnt):
+                                                    if p6 + 8 > e6:
+                                                        break  # keep prefix
+                                                    sc = int.from_bytes(
+                                                        payload[p6 : p6 + 4],
+                                                        "big",
+                                                    )
+                                                    sd = int.from_bytes(
+                                                        payload[
+                                                            p6 + 4 : p6 + 8
+                                                        ],
+                                                        "big",
+                                                    )
+                                                    ns += sc
+                                                    ticks += sc * sd
+                                                    p6 += 8
                     if handler == b"vide":
                         n_video += 1
                         if width is None and tw:
                             width, height = tw, th
+                        if video_codec is None and trk_codec:
+                            video_codec = trk_codec
+                        if n_samples is None and ns:
+                            n_samples = ns
+                            if ticks and med_ts:
+                                fps = ns / (ticks / med_ts)
                     elif handler == b"soun":
                         n_audio += 1
     if brand is None and not found_moov:
@@ -4463,6 +4532,11 @@ def parse_mp4(payload: bytes) -> dict:
         "height": height,
         "n_video_tracks": n_video,
         "n_audio_tracks": n_audio,
+        # r14 sample-table tier (first video track): stsd codec fourcc,
+        # stts frame count, and stts ticks / mdhd timescale -> avg fps
+        "video_codec": video_codec,
+        "n_samples": n_samples,
+        "fps": fps,
     }
 
 
@@ -4473,11 +4547,20 @@ def encode_mp4_skeleton(
     duration: int = 0,
     video_dims: "tuple[int, int] | None" = None,
     n_audio_tracks: int = 0,
+    video_codec: "str | None" = None,
+    video_stts: "list[tuple[int, int]] | None" = None,
+    media_timescale: int = 2400,
+    video_sample_size: int = 0,
 ) -> bytes:
     """Structure-valid ISO-BMFF fixture (late r12) — the test
     counterpart of :func:`parse_mp4`: ftyp + moov(mvhd + one trak per
     declared track with tkhd dims and a vide/soun hdlr); no sample
-    data, nothing decodable (same contract as the other skeletons)."""
+    data, nothing decodable (same contract as the other skeletons).
+    r14: ``video_codec`` / ``video_stts`` (a list of (sample_count,
+    sample_delta) runs) add a real sample-table stack to the video
+    trak — mdhd(media_timescale, Σcount·delta) + stbl(stsd with the
+    codec fourcc, stts, stsz) — so frame count and average fps have
+    closed forms for the oracle tier."""
 
     def box(tag: bytes, body: bytes) -> bytes:
         return struct.pack(">I", len(body) + 8) + tag + body
@@ -4488,7 +4571,37 @@ def encode_mp4_skeleton(
             b"\x00" * 76 + struct.pack(">II", w << 16, h << 16),
         )
         hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
-        return box(b"trak", tkhd + box(b"mdia", hdlr))
+        mdia_children = hdlr
+        if handler == b"vide" and (
+            video_codec is not None or video_stts is not None
+        ):
+            runs = video_stts or []
+            ticks = sum(c * d for c, d in runs)
+            n = sum(c for c, _ in runs)
+            mdhd = box(
+                b"mdhd",
+                b"\x00" * 12
+                + struct.pack(">II", media_timescale, ticks)
+                + b"\x00" * 4,
+            )
+            entry = (
+                struct.pack(">I", 16)
+                + (video_codec or "xxxx").encode("ascii")[:4].ljust(4, b"\x00")
+                + b"\x00" * 8
+            )
+            stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+            stts = box(
+                b"stts",
+                b"\x00" * 4
+                + struct.pack(">I", len(runs))
+                + b"".join(struct.pack(">II", c, d) for c, d in runs),
+            )
+            stsz = box(
+                b"stsz",
+                b"\x00" * 4 + struct.pack(">II", video_sample_size, n),
+            )
+            mdia_children = hdlr + mdhd + box(b"minf", box(b"stbl", stsd + stts + stsz))
+        return box(b"trak", tkhd + box(b"mdia", mdia_children))
 
     mvhd = box(
         b"mvhd", b"\x00" * 12 + struct.pack(">II", timescale, duration)
@@ -4515,6 +4628,9 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_video_tracks", T.IntegerType()),
         T.StructField("n_audio_tracks", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
     ]
 )
 
@@ -4540,9 +4656,7 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
                     except Exception:
                         m = None
                 if m is None:
-                    rows.append(
-                        (media_id, None, None, None, None, None, None, None)
-                    )
+                    rows.append((media_id,) + (None,) * 10)
                 else:
                     rows.append(
                         (
@@ -4554,6 +4668,9 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
                             m["height"],
                             m["n_video_tracks"],
                             m["n_audio_tracks"],
+                            m["video_codec"],
+                            m["n_samples"],
+                            m["fps"],
                         )
                     )
             yield pd.DataFrame(
@@ -4561,6 +4678,7 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
                 columns=[
                     "media_id", "format", "brand", "duration_sec", "width",
                     "height", "n_video_tracks", "n_audio_tracks",
+                    "video_codec", "n_samples", "fps",
                 ],
             )
 

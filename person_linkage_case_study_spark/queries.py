@@ -2604,7 +2604,16 @@ def _mm_features_oracle() -> str:
                    / 1000, 6) AS mp4_duration,
              CAST(16 * (1 + CAST(doc_id AS BIGINT) % 5) AS INT) AS mp4_width,
              CAST(16 * (1 + CAST(doc_id AS BIGINT) % 4) AS INT) AS mp4_height,
-             CAST(CAST(doc_id AS BIGINT) % 3 AS INT) AS mp4_audio_tracks
+             CAST(CAST(doc_id AS BIGINT) % 3 AS INT) AS mp4_audio_tracks,
+             -- r14 sample tables: stsd fourcc cycles; stts plants
+             -- 6*(1+id%4) samples at delta 100*(1+id%3) against a 2400
+             -- mdhd timescale, so fps = 2400/delta = 24/(1+id%3) (the
+             -- divide is exact: n*delta/2400 is a dyadic rational here)
+             (['avc1','hev1','mp4v','av01'])
+                 [1 + CAST(CAST(doc_id AS BIGINT) % 4 AS INT)] AS mp4_codec,
+             CAST(6 * (1 + CAST(doc_id AS BIGINT) % 4) AS BIGINT)
+                 AS mp4_n_samples,
+             round(24.0 / (1 + CAST(doc_id AS BIGINT) % 3), 6) AS mp4_fps
       FROM documents
     ),
     -- late r13: the G.711 + WAV-tag tier. Constant code streams decode
@@ -2737,7 +2746,8 @@ def _mm_features_oracle() -> str:
            phs.phash,
            php.phash_near_pairs,
            vid.mp4_duration, vid.mp4_width, vid.mp4_height,
-           vid.mp4_audio_tracks,
+           vid.mp4_audio_tracks, vid.mp4_codec, vid.mp4_n_samples,
+           vid.mp4_fps,
            mpg.mp3_mode, mpg.mp3_bitrate_kbps, mpg.mp3_sb_active,
            mpg.mp3_sb_rms, mpg.mp3_sb_peak,
            mp2.mp2_mode, mp2.mp2_sb_active, mp2.mp2_sb_rms,
@@ -3237,9 +3247,14 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mk_mp4(it):
         # r13 video tier: a structural ISO-BMFF skeleton per document;
         # mvhd ticks/timescale, tkhd dims, hdlr track counts all
-        # arithmetic in doc_id
+        # arithmetic in doc_id. r14: a real sample-table stack on the
+        # video trak — codec fourcc cycles a 4-entry list, stts carries
+        # 6*(1+id%4) samples at delta 100*(1+id%3) ticks against a 2400
+        # mdhd timescale, so n_samples and fps = 24/(1+id%3) are closed
+        # forms.
         from .multimodal.media import encode_mp4_skeleton
 
+        codecs = ("avc1", "hev1", "mp4v", "av01")
         for pdf in it:
             payloads = []
             for mid in pdf["media_id"]:
@@ -3250,6 +3265,9 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         duration=500 * (1 + mid % 9),
                         video_dims=(16 * (1 + mid % 5), 16 * (1 + mid % 4)),
                         n_audio_tracks=mid % 3,
+                        video_codec=codecs[mid % 4],
+                        video_stts=[(6 * (1 + mid % 4), 100 * (1 + mid % 3))],
+                        media_timescale=2400,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
@@ -3264,6 +3282,9 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").alias("mp4_width"),
         F.col("height").alias("mp4_height"),
         F.col("n_audio_tracks").alias("mp4_audio_tracks"),
+        F.col("video_codec").alias("mp4_codec"),
+        F.col("n_samples").alias("mp4_n_samples"),
+        F.round("fps", 6).alias("mp4_fps"),
     )
 
     def mk_g711(it):
@@ -3496,6 +3517,9 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mp4_width",
             "mp4_height",
             "mp4_audio_tracks",
+            "mp4_codec",
+            "mp4_n_samples",
+            "mp4_fps",
             "mp3_mode",
             "mp3_bitrate_kbps",
             "mp3_sb_active",

@@ -2346,3 +2346,56 @@ def test_wav_g711_alaw_ulaw():
         want = table[codes]
         assert (m["samples"] == want).all()
         assert m["peak"] == int(np.abs(want.astype(np.int64)).max())
+
+
+def test_mp4_sample_tables_r14():
+    """r14: the stbl walk — stsd codec fourcc, stts frame count, and
+    stts-ticks / mdhd-timescale -> average fps — with truncation and
+    absence degrading to None, never garbage."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    # two stts runs: 12 @ 100 + 6 @ 200 ticks = 2400 ticks at ts 2400
+    # -> 18 samples in exactly 1s of media time -> 18.0 fps
+    b = encode_mp4_skeleton(
+        timescale=1000, duration=3000, video_dims=(64, 48),
+        n_audio_tracks=1, video_codec="avc1",
+        video_stts=[(12, 100), (6, 200)], media_timescale=2400,
+    )
+    m = parse_mp4(b)
+    assert m["video_codec"] == "avc1"
+    assert m["n_samples"] == 18
+    assert m["fps"] == 18.0
+    assert m["duration_sec"] == 3.0 and m["width"] == 64
+    assert m["n_audio_tracks"] == 1
+
+    # no sample tables (the r13 skeleton shape): Nones, not zeros
+    m0 = parse_mp4(encode_mp4_skeleton(
+        timescale=1000, duration=1000, video_dims=(16, 16)))
+    assert m0["video_codec"] is None and m0["n_samples"] is None
+    assert m0["fps"] is None
+
+    # codec without stts: fourcc lands, fps stays None
+    mc = parse_mp4(encode_mp4_skeleton(
+        timescale=1000, duration=1000, video_dims=(16, 16),
+        video_codec="hev1"))
+    assert mc["video_codec"] == "hev1" and mc["fps"] is None
+
+    # audio-only file never reports video sample info
+    ma = parse_mp4(encode_mp4_skeleton(
+        timescale=1000, duration=1000, n_audio_tracks=2,
+        video_codec="avc1", video_stts=[(6, 100)]))
+    assert ma["video_codec"] is None and ma["n_samples"] is None
+
+    # byte-truncation anywhere keeps a valid prefix or drops the trak
+    # (a cut before any whole ftyp/moov raises per the documented
+    # contract) — never a half-read garbage value
+    for cut in range(8, len(b), 7):
+        try:
+            mt = parse_mp4(b[:cut])
+        except ValueError:
+            continue
+        assert mt["fps"] in (None, 18.0)
+        assert mt["n_samples"] in (None, 18)
