@@ -243,9 +243,75 @@ def profile_ab(rows: int = 4000):
     }
 
 
+def mpeg_throughput(n_frames: int = 200):
+    """Single-core MPEG-1 audio frame-layer decode throughput (r14):
+    dense stereo Layer I (all 32 subbands at 6-bit codes) and dense
+    mono Layer II over the fixture allocation table (all 12 subbands,
+    random classes incl. grouped) — requantized subband samples/sec,
+    the frame-layer analogue of the FLAC MS/s numbers."""
+    from person_linkage_case_study_spark.multimodal.mpeg_audio import (
+        decode_layer1,
+        decode_layer2,
+        design_alloc_table,
+        encode_layer1,
+        encode_layer2,
+    )
+
+    rng = np.random.default_rng(7)
+    l1_frames = []
+    for _ in range(n_frames):
+        l1_frames.append({
+            "alloc": np.full((2, 32), 5, np.int64),  # nb = 6
+            "scf": rng.integers(0, 63, (2, 32)),
+            "codes": rng.integers(0, 64, (12, 2, 32)),
+        })
+    blob1 = encode_layer1(l1_frames, mode="stereo")
+    t0 = time.time()
+    d1 = decode_layer1(blob1)
+    w1 = time.time() - t0
+    s1 = int(d1["subbands"].size)
+
+    tab = design_alloc_table()
+    rows_tab = tab["rows"]
+    l2_frames = []
+    for _ in range(n_frames):
+        alloc = np.zeros((1, 32), np.int64)
+        scf = np.zeros((1, 32, 3), np.int64)
+        codes = np.zeros((36, 1, 32), np.int64)
+        for sb in range(tab["sblimit"]):
+            a = int(rng.integers(1, len(rows_tab[sb][1]) + 1))
+            alloc[0, sb] = a
+            scf[0, sb, :] = rng.integers(0, 63)
+            codes[:, 0, sb] = rng.integers(0, rows_tab[sb][1][a - 1], 36)
+        l2_frames.append({
+            "alloc": alloc, "scf": scf, "codes": codes,
+            "scfsi": np.full((1, 32), 2, np.int64),
+        })
+    blob2 = encode_layer2(l2_frames, alloc_table=tab, mode="mono")
+    t0 = time.time()
+    d2 = decode_layer2(blob2, alloc_table=tab)
+    w2 = time.time() - t0
+    s2 = int(d2["subbands"].size)
+    return {
+        "layer1": {"frames": n_frames, "subband_samples": s1,
+                   "wall_sec": round(w1, 3),
+                   "samples_per_sec": round(s1 / w1, 1) if w1 else None},
+        "layer2": {"frames": n_frames, "subband_samples": s2,
+                   "wall_sec": round(w2, 3),
+                   "samples_per_sec": round(s2 / w2, 1) if w2 else None},
+        "note": "single-core frame-layer decode (requantized subband "
+        "samples/s); stereo L1 all-32-subbands nb=6, mono L2 fixture "
+        "table all-12-subbands random classes",
+    }
+
+
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     rows = int(pos[0]) if pos else 0
+    if "--mpeg" in sys.argv:
+        print(json.dumps({"metric": "mpeg_throughput",
+                          **mpeg_throughput(rows or 200)}))
+        return
     if "--profile-ab" in sys.argv:
         print(
             json.dumps(
