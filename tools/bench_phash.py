@@ -169,6 +169,33 @@ def main():
     results = {}
     for name, (nwords, d) in configs.items():
         results[name] = run_config(spark, n, k, nwords, d, ceiling)
+    # r14 capstone rung: edges -> connected components -> canonical
+    # survivor on the h64_d3 corpus. Every planted pair (i, n+i) is one
+    # 2-image cluster keeping min id = i, so removed == planted exactly
+    # (uniform 64-bit hashes make accidental d<=3 collisions vanishingly
+    # rare; any would surface as removed != planted).
+    from person_linkage_case_study_spark.multimodal.phash import (
+        canonical_images,
+    )
+
+    hashes = build_corpus(spark, n, k, 1, 3).cache()
+    hashes.count()
+    t0 = time.time()
+    canon = canonical_images(
+        hashes, max_distance=3, max_candidate_pairs=ceiling
+    ).cache()
+    paired = canon.count()
+    clusters = canon.select("canonical_id").distinct().count()
+    wall = round(time.time() - t0, 2)
+    results["capstone_h64_d3"] = {
+        "wall_sec": wall,
+        "paired_images": paired,
+        "clusters": clusters,
+        "removed": paired - clusters,
+        "removed_equals_planted": (paired - clusters) == k,
+    }
+    canon.unpersist()
+    hashes.unpersist()
     print(
         json.dumps(
             {
