@@ -921,6 +921,32 @@ def test_extract_meta_new_formats_spark(spark):
     assert rows[3]["format"] is None and rows[4]["format"] is None
 
 
+def _l2_fuzz_fixture(rng):
+    """A valid-by-construction Layer II frame over the fixture table
+    (random allocations/classes/codes) for the truncate/mutate arms."""
+    from person_linkage_case_study_spark.multimodal.mpeg_audio import (
+        design_alloc_table,
+        encode_layer2,
+    )
+
+    tab = design_alloc_table()
+    rows = tab["rows"]
+    alloc = np.zeros((1, 32), np.int64)
+    scf = np.zeros((1, 32, 3), np.int64)
+    codes = np.zeros((36, 1, 32), np.int64)
+    for sb in range(tab["sblimit"]):
+        a = int(rng.integers(0, len(rows[sb][1]) + 1))
+        alloc[0, sb] = a
+        if a:
+            scf[0, sb, :] = rng.integers(0, 63)
+            codes[:, 0, sb] = rng.integers(0, rows[sb][1][a - 1], 36)
+    return encode_layer2(
+        [{"alloc": alloc, "scf": scf, "codes": codes,
+          "scfsi": np.full((1, 32), 2, np.int64)}],
+        alloc_table=tab, mode="mono",
+    )
+
+
 @settings(max_examples=120, deadline=None)
 @given(
     kind=st.sampled_from(
@@ -928,7 +954,9 @@ def test_extract_meta_new_formats_spark(spark):
          "mp4",
          # r13 decoders join the same harness: full FLAC PCM frames,
          # animated-GIF composition, paletted/RLE/16-bpp BMP, 12-bit JPEG
-         "flac_pcm", "gif_anim", "bmp_pal", "bmp_rle", "bmp16", "jpeg12"]
+         "flac_pcm", "gif_anim", "bmp_pal", "bmp_rle", "bmp16", "jpeg12",
+         # r14: MPEG-1 Layer I/II frame-layer decode, mp4 sample tables
+         "mpeg_l1", "mpeg_l2", "mp4_stbl"]
     ),
     mode=st.sampled_from(["junk", "truncate", "mutate"]),
     seed=st.integers(0, 2**31 - 1),
@@ -967,6 +995,13 @@ def test_media_parser_fuzz(kind, mode, seed):
         parse_webp,
     )
 
+    from person_linkage_case_study_spark.multimodal.mpeg_audio import (
+        decode_layer1,
+        decode_layer2,
+        design_alloc_table,
+        encode_layer1,
+    )
+
     rng = np.random.default_rng(seed)
     magic = {
         "gif": b"GIF89a", "bmp": b"BM", "webp": b"RIFF\x20\x00\x00\x00WEBP",
@@ -976,6 +1011,8 @@ def test_media_parser_fuzz(kind, mode, seed):
         "mp4": b"\x00\x00\x00\x14ftypisom",
         "flac_pcm": b"fLaC", "gif_anim": b"GIF89a", "bmp_pal": b"BM",
         "bmp_rle": b"BM", "bmp16": b"BM", "jpeg12": b"\xff\xd8\xff",
+        "mpeg_l1": b"\xff\xff", "mpeg_l2": b"\xff\xfd",
+        "mp4_stbl": b"\x00\x00\x00\x14ftypisom",
     }[kind]
     parser = {
         "gif": parse_gif, "bmp": parse_bmp, "webp": parse_webp,
@@ -985,6 +1022,9 @@ def test_media_parser_fuzz(kind, mode, seed):
         "flac_pcm": decode_flac_pcm, "gif_anim": decode_gif_frames,
         "bmp_pal": parse_bmp, "bmp_rle": parse_bmp, "bmp16": parse_bmp,
         "jpeg12": parse_jpeg,
+        "mpeg_l1": decode_layer1,
+        "mpeg_l2": lambda p: decode_layer2(p, design_alloc_table()),
+        "mp4_stbl": parse_mp4,
     }[kind]
     if mode == "junk":
         payload = magic + rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
@@ -1046,6 +1086,21 @@ def test_media_parser_fuzz(kind, mode, seed):
             "jpeg12": lambda: encode_jpeg_baseline(
                 rng.integers(0, 4096, (9, 13)).astype(np.int64),
                 precision=12,
+            ),
+            "mpeg_l1": lambda: encode_layer1(
+                # alloc <= 5 (nb <= 6): all-32-subband stereo fits the
+                # 448 kbps slot; higher widths legitimately refuse
+                [{
+                    "alloc": rng.integers(0, 6, (2, 32)),
+                    "scf": rng.integers(0, 63, (2, 32)),
+                    "codes": np.zeros((12, 2, 32), np.int64),
+                }],
+                mode="stereo",
+            ),
+            "mpeg_l2": lambda: _l2_fuzz_fixture(rng),
+            "mp4_stbl": lambda: encode_mp4_skeleton(
+                timescale=1000, duration=4000, video_dims=(64, 48),
+                video_codec="avc1", video_stts=[(12, 100), (6, 200)],
             ),
         }[kind]()
         if mode == "truncate":
