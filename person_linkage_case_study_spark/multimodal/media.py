@@ -3168,6 +3168,44 @@ _MP3_RATES = {
 _MP3_RESYNC_WINDOW = 1 << 16
 
 
+def _l3_sideinfo(payload: bytes, p: int, nch: int, protected: bool):
+    """MPEG-1 Layer III SIDE INFO for the frame at ``p`` (r14):
+    ``(global_gains, short_flags)`` over the frame's (granule, channel)
+    cells. The side-info bit layout (ISO 11172-3 §2.4.1.7) is pure
+    closed-form structure — main_data_begin(9), private(5/3),
+    scfsi(4/ch), then per cell part2_3_length(12) big_values(9)
+    global_gain(8) scalefac_compress(4) and the 22-bit window-switching
+    or normal region block — no Huffman tables are needed to READ it,
+    so loudness (global_gain) and transient-density (short-block)
+    signals are available without the sample decoder. 136 bits mono /
+    256 stereo, matching the Xing-offset constants used since r12."""
+    from .flac import _BitReader
+
+    r = _BitReader(payload, p + 4 + (2 if protected else 0))
+    r.read(9)                       # main_data_begin
+    r.read(5 if nch == 1 else 3)    # private bits
+    for _ in range(nch):
+        r.read(4)                   # scfsi
+    gains, shorts = [], []
+    for _gr in range(2):
+        for _ch in range(nch):
+            r.read(12)              # part2_3_length
+            r.read(9)               # big_values
+            gains.append(r.read(8))  # global_gain
+            r.read(4)               # scalefac_compress
+            if r.read(1):           # window_switching_flag
+                shorts.append(r.read(2) == 2)  # block_type 2 = short
+                r.read(1)           # mixed_block_flag
+                r.read(10)          # 2 x table_select(5)
+                r.read(9)           # 3 x subblock_gain(3)
+            else:
+                shorts.append(False)
+                r.read(15)          # 3 x table_select(5)
+                r.read(7)           # region0_count(4) + region1_count(3)
+            r.read(3)               # preflag, scalefac_scale, count1table
+    return gains, shorts
+
+
 def parse_mp3(payload: bytes) -> dict:
     """MPEG-audio (MP3 and Layer I/II siblings) FRAME-HEADER parse: skip
     an ID3v2 tag if present, then walk the frame sequence — each 4-byte
@@ -3283,6 +3321,7 @@ def parse_mp3(payload: bytes) -> dict:
     spf = None  # samples per frame (constant across a consistent stream)
     vbr_tag: str | None = None
     vbr_frames = None
+    l3_gain_sum = l3_granules = l3_short = 0
 
     def resync(p: int) -> int | None:
         """Bounded forward scan for the next plausible frame start: the
@@ -3333,6 +3372,20 @@ def parse_mp3(payload: bytes) -> dict:
         duration += samples / sr
         bitrate_sum += br
         bitrates.add(br)
+        if lay == 3 and ver == "1":
+            # r14: side-info stats on MPEG-1 Layer III audio frames
+            # (header/VBR frames were skipped above). Auxiliary — a
+            # malformed side region keeps the frame-walk metadata.
+            try:
+                g, s = _l3_sideinfo(
+                    payload, pos, 1 if mode == 3 else 2,
+                    not (payload[pos + 1] & 1),
+                )
+                l3_gain_sum += sum(g)
+                l3_granules += len(g)
+                l3_short += sum(s)
+            except Exception:
+                pass
         pos += frame_len
     if n_frames == 0:
         raise ValueError("no valid MPEG audio frame")
@@ -3354,6 +3407,15 @@ def parse_mp3(payload: bytes) -> dict:
         "samples": None,
         "rms": None,
         "peak": None,
+        # r14 Layer III side-info stats (MPEG-1 audio frames only):
+        # mean global_gain (loudness proxy) and short-block share
+        # (transient density) over all (granule, channel) cells
+        "l3_gain_mean": (
+            l3_gain_sum / l3_granules if l3_granules else None
+        ),
+        "l3_short_share": (
+            l3_short / l3_granules if l3_granules else None
+        ),
     }
 
 
@@ -3369,6 +3431,8 @@ def encode_mp3_frames(
     id3_footer: bool = False,
     vbr_tag: str | None = None,
     vbr_frame_count: int | None = None,
+    global_gain: int | None = None,
+    short_blocks: "tuple[bool, bool] | None" = None,
 ) -> bytes:
     """Header-valid MPEG-audio fixture stream: ``n_frames`` frames with
     correct 4-byte headers and zeroed payloads (the parser never reads
@@ -3381,7 +3445,12 @@ def encode_mp3_frames(
     covers neither header nor footer); ``vbr_tag`` ("xing" / "info" /
     "vbri") prepends one HEADER frame carrying that tag at its correct
     offset — with the frame-count field when ``vbr_frame_count`` is
-    given — which parse_mp3 must exclude from the audio frame count."""
+    given — which parse_mp3 must exclude from the audio frame count.
+
+    r14: ``global_gain`` / ``short_blocks`` (per-granule flags, applied
+    to every channel) write a REAL MPEG-1 Layer III side-info region
+    into each audio frame — the :func:`_l3_sideinfo` counterpart, so
+    gain/short-block stats have closed forms for the oracle tier."""
     vclass = 1 if version == "1" else 2
     br_idx = _MP3_BITRATES[vclass][layer].index(bitrate_kbps)
     sr_idx = _MP3_RATES[version].index(sample_rate)
@@ -3397,7 +3466,44 @@ def encode_mp3_frames(
         frame_len = 144 * br // sr
     else:
         frame_len = (1152 if version == "1" else 576) // 8 * br // sr
-    frame = bytes((0xFF, h1, h2, h3)) + b"\x00" * (frame_len - 4)
+    side = b""
+    if layer == 3 and version == "1" and (
+        global_gain is not None or short_blocks is not None
+    ):
+        from .flac import _BitWriter
+
+        nch = 1 if channels == 1 else 2
+        w = _BitWriter()
+        w.write(0, 9)                       # main_data_begin
+        w.write(0, 5 if nch == 1 else 3)    # private bits
+        for _ in range(nch):
+            w.write(0, 4)                   # scfsi
+        g = int(global_gain or 0)
+        if not 0 <= g <= 255:
+            raise ValueError("global_gain is 0..255")
+        sbl = short_blocks or (False, False)
+        for gr in range(2):
+            for _ch in range(nch):
+                w.write(0, 12)              # part2_3_length
+                w.write(0, 9)               # big_values
+                w.write(g, 8)               # global_gain
+                w.write(0, 4)               # scalefac_compress
+                if sbl[gr]:
+                    w.write(1, 1)           # window_switching_flag
+                    w.write(2, 2)           # block_type: short
+                    w.write(0, 1)           # mixed_block_flag
+                    w.write(0, 10)          # 2 x table_select
+                    w.write(0, 9)           # 3 x subblock_gain
+                else:
+                    w.write(0, 1)
+                    w.write(0, 15)          # 3 x table_select
+                    w.write(0, 7)           # region counts
+                w.write(0, 3)               # pre/scale/count1
+        w.align()                           # 136 / 256 bits: byte-exact
+        side = w.bytes()
+    frame = bytes((0xFF, h1, h2, h3)) + side + b"\x00" * (
+        frame_len - 4 - len(side)
+    )
     header_frame = b""
     if vbr_tag is not None:
         buf = bytearray(frame)
@@ -4166,6 +4272,44 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, AUDIO_META_SCHEMA
+    )
+
+
+L3_SIDEINFO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("l3_gain_mean", T.DoubleType()),
+        T.StructField("l3_short_share", T.DoubleType()),
+    ]
+)
+
+
+def extract_mp3_sideinfo_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas Layer III side-info stats over payload batches (r14):
+    mean global_gain and short-block share from :func:`parse_mp3`'s
+    side-info walk — loudness / transient-density curation signals that
+    need no Huffman decode. NULL columns for non-MPEG or non-Layer-III
+    payloads (crawl-garbage contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    m = parse_mp3(b)
+                    rows.append(
+                        (media_id, m["l3_gain_mean"], m["l3_short_share"])
+                    )
+                except Exception:
+                    rows.append((media_id, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "l3_gain_mean", "l3_short_share"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, L3_SIDEINFO_SCHEMA
     )
 
 

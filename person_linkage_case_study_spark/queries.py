@@ -2713,6 +2713,19 @@ def _mm_features_oracle() -> str:
         )
       )
     ),
+    -- r14 Layer III side-info tier: global_gain constant per stream
+    -- (64+id%128 in every granule/channel cell -> the mean is that
+    -- integer exactly) and granule 1 short-blocked when id%3==0 ->
+    -- short share 0.5, else 0.0, channel-count invariant.
+    l3 AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             round(CAST(64 + CAST(doc_id AS BIGINT) % 128 AS DOUBLE), 6)
+                 AS l3_gain_mean,
+             round(CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0
+                        THEN 0.5 ELSE 0.0 END AS DOUBLE), 6)
+                 AS l3_short_share
+      FROM documents
+    ),
     aud AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
              CAST(CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN 2 ELSE 1 END
@@ -2752,6 +2765,7 @@ def _mm_features_oracle() -> str:
            mpg.mp3_sb_rms, mpg.mp3_sb_peak,
            mp2.mp2_mode, mp2.mp2_sb_active, mp2.mp2_sb_rms,
            mp2.mp2_sb_peak,
+           l3.l3_gain_mean, l3.l3_short_share,
            aud.audio_channels, aud.sample_rate, aud.n_frames,
            aud.duration_sec, aud.rms, aud.peak
     FROM b LEFT JOIN ent USING (media_id) LEFT JOIN heads USING (media_id)
@@ -2770,6 +2784,7 @@ def _mm_features_oracle() -> str:
     JOIN vid USING (media_id)
     JOIN mpg USING (media_id)
     JOIN mp2 USING (media_id)
+    JOIN l3 USING (media_id)
     JOIN aud USING (media_id)
     """.format(phash_terms=phash_terms)
 
@@ -3428,6 +3443,38 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sb_peak", 6).alias("mp2_sb_peak"),
     )
 
+    def mk_l3(it):
+        # r14 Layer III side-info tier (closed forms in the oracle's
+        # l3 CTE): real side-info regions with global_gain 64+id%128 in
+        # every (granule, channel) cell and granule 1 short-blocked
+        # when id%3==0 — so gain_mean = 64+id%128 and short_share =
+        # 0.5*(id%3==0) exactly, mono/stereo alternating by parity.
+        from .multimodal.media import encode_mp3_frames
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                payloads.append(
+                    encode_mp3_frames(
+                        3,
+                        channels=1 if mid % 2 == 0 else 2,
+                        global_gain=64 + mid % 128,
+                        short_blocks=(False, mid % 3 == 0),
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    from .multimodal.media import extract_mp3_sideinfo_stats
+
+    l3 = extract_mp3_sideinfo_stats(
+        media.select("media_id").mapInPandas(mk_l3, payload_schema)
+    ).select(
+        "media_id",
+        F.round("l3_gain_mean", 6).alias("l3_gain_mean"),
+        F.round("l3_short_share", 6).alias("l3_short_share"),
+    )
+
     def mk_wav(it):
         # +/-A square wave: every sample magnitude A => RMS = peak = A
         for pdf in it:
@@ -3468,6 +3515,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vid, on="media_id")
         .join(mpg, on="media_id")
         .join(mp2, on="media_id")
+        .join(l3, on="media_id")
         .join(aud, on="media_id")
         .select(
             "media_id",
@@ -3529,6 +3577,8 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mp2_sb_active",
             "mp2_sb_rms",
             "mp2_sb_peak",
+            "l3_gain_mean",
+            "l3_short_share",
             "audio_channels",
             "sample_rate",
             "n_frames",

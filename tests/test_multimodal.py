@@ -2454,3 +2454,57 @@ def test_mp4_sample_tables_r14():
             continue
         assert mt["fps"] in (None, 18.0)
         assert mt["n_samples"] in (None, 18)
+
+
+def test_l3_sideinfo_stats_r14():
+    """r14: MPEG-1 Layer III side-info walk — global_gain mean and
+    short-block share without any Huffman decode; header frames
+    excluded; MPEG-2 and non-L3 streams report None."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp3_frames,
+        parse_mp3,
+    )
+
+    m = parse_mp3(encode_mp3_frames(5, global_gain=100,
+                                    short_blocks=(False, True)))
+    assert m["l3_gain_mean"] == 100.0 and m["l3_short_share"] == 0.5
+    m = parse_mp3(encode_mp3_frames(3, channels=1, global_gain=7,
+                                    short_blocks=(True, True)))
+    assert m["l3_gain_mean"] == 7.0 and m["l3_short_share"] == 1.0
+    # zero-filled payloads parse as gain 0, no short blocks
+    m = parse_mp3(encode_mp3_frames(2))
+    assert m["l3_gain_mean"] == 0.0 and m["l3_short_share"] == 0.0
+    # a Xing header frame carries side info too but is not audio
+    m = parse_mp3(encode_mp3_frames(4, global_gain=50, vbr_tag="xing",
+                                    vbr_frame_count=4))
+    assert m["l3_gain_mean"] == 50.0
+    # MPEG-2 LSF: different side-info layout, stats stay None
+    m = parse_mp3(encode_mp3_frames(2, version="2", sample_rate=22050,
+                                    bitrate_kbps=64))
+    assert m["l3_gain_mean"] is None and m["l3_short_share"] is None
+    # Layer II stream: no Layer III side info
+    m = parse_mp3(encode_mp3_frames(2, layer=2))
+    assert m["l3_gain_mean"] is None
+
+
+def test_extract_mp3_sideinfo_stats_spark(spark):
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp3_frames,
+        extract_mp3_sideinfo_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mp3_frames(3, global_gain=90,
+                                            short_blocks=(True, False)))),
+            (2, bytearray(b"not audio at all")),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    media = attach_media_payload(df, bytes_col="payload", id_col="media_id")
+    rows = {r["media_id"]: r
+            for r in extract_mp3_sideinfo_stats(media).collect()}
+    assert rows[1]["l3_gain_mean"] == 90.0
+    assert rows[1]["l3_short_share"] == 0.5
+    assert rows[2]["l3_gain_mean"] is None and rows[3]["l3_gain_mean"] is None
