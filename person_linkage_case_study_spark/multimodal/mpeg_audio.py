@@ -67,6 +67,14 @@ from .flac import _CRC16_TABLE, _BitReader
 #: form 2 · 2^(−idx/3). Index 63 ('111111') is forbidden.
 LAYER1_SF = tuple(2.0 * 2.0 ** (-i / 3.0) for i in range(63))
 
+#: Decoded-output ceiling (requantized subband samples), the
+#: :data:`flac.FLAC_SAMPLE_LIMIT` analogue (r14 review): minimal
+#: 32-byte Layer I frames amplify ~192x into (12, 2, 32) float64
+#: arrays, so a large crawl payload must refuse loudly instead of
+#: OOM-killing the Python worker mid-concatenate. 2^25 samples
+#: ~= 256 MB of float64 — far above any real fixture, far below heap.
+MPEG_SAMPLE_LIMIT = 1 << 25
+
 _SR_TABLE = {0: 44100, 1: 48000, 2: 32000}  # MPEG-1 sampling_frequency
 #: MPEG-1 Layer I bitrate table (kbit/s), index 0 = free (unsupported
 #: here), 15 = forbidden.
@@ -164,6 +172,7 @@ def decode_layer1(payload: bytes) -> dict:
         )
         pos = 10 + size + (10 if b[5] & 0x10 else 0)
     frames = []
+    total_samples = 0
     sr0 = ch0 = mode0 = br0 = None
     slot_layout = None
     while pos + 4 <= len(b):
@@ -282,6 +291,13 @@ def decode_layer1(payload: bytes) -> dict:
                 req[:, k_of[acs]]
             )
         frames.append(out)
+        total_samples += out.size
+        if total_samples > MPEG_SAMPLE_LIMIT:
+            raise ValueError(
+                "MPEG decoded-sample ceiling exceeded "
+                f"({total_samples} > {MPEG_SAMPLE_LIMIT}) — refusing the "
+                "amplification (the FLAC_SAMPLE_LIMIT analogue)"
+            )
         pos += frame_len
     if pos != len(b):
         raise ValueError("MPEG trailing garbage")
@@ -331,6 +347,14 @@ def encode_layer1(
         codes = np.asarray(f["codes"], dtype=np.int64).reshape(12, nch, 32)
         if alloc.max() > 14 or alloc.min() < 0:
             raise ValueError("allocation codes are 0..14")
+        if nch == 2 and bound < 32 and not (
+            alloc[0, bound:] == alloc[1, bound:]
+        ).all():
+            # the decoder mirrors the shared allocation to both
+            # channels (and then expects BOTH channels' scalefactors),
+            # so an unmirrored fixture would desync — the encode_layer2
+            # validation, r14 review
+            raise ValueError("joint stereo shares alloc above bound")
         if scf.max() > 62 or scf.min() < 0:
             raise ValueError("scalefactor indices are 0..62")
         # body bits: alloc + scf + samples
@@ -447,9 +471,7 @@ def _requant_l2(code: int, nlevels: int) -> float:
     """Exact Layer II requantization: MSB-invert the nb-bit code (for
     grouped classes the base-nlevels DIGIT), two's-complement
     fraction, then s'' = C * (s''' + D). Closed form throughout."""
-    nb = max(2, (nlevels).bit_length())
-    if (1 << nb) < nlevels:
-        nb += 1
+    nb = max(2, (nlevels - 1).bit_length())
     v = code ^ (1 << (nb - 1))
     if v & (1 << (nb - 1)):
         v -= 1 << nb
@@ -486,6 +508,13 @@ def design_alloc_table():
 
 
 def _check_alloc_table(tab):
+    if tab is None:
+        raise ValueError(
+            "Layer II allocation tables (ISO 11172-3 Tables 3-B.2a-d) "
+            "are numeric spec data not shipped here; pass alloc_table= "
+            "(design_alloc_table() for fixtures, or a transcription of "
+            "the ISO table for real audio)"
+        )
     sblimit = tab["sblimit"]
     rows = tab["rows"]
     if not 1 <= sblimit <= 32 or len(rows) != sblimit:
@@ -549,6 +578,7 @@ def decode_layer2(payload: bytes, alloc_table=None) -> dict:
                 | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F))
         pos = 10 + size + (10 if b[5] & 0x10 else 0)
     frames = []
+    total_samples = 0
     sr0 = ch0 = mode0 = br0 = None
     slot_layout = None
     while pos + 4 <= len(b):
@@ -707,6 +737,13 @@ def decode_layer2(payload: bytes, alloc_table=None) -> dict:
             for cch in chs:
                 out[:, cch, sb] = sfv[sb, cch][part36] * vals
         frames.append(out)
+        total_samples += out.size
+        if total_samples > MPEG_SAMPLE_LIMIT:
+            raise ValueError(
+                "MPEG decoded-sample ceiling exceeded "
+                f"({total_samples} > {MPEG_SAMPLE_LIMIT}) — refusing the "
+                "amplification (the FLAC_SAMPLE_LIMIT analogue)"
+            )
         pos += frame_len
     if pos != len(b):
         raise ValueError("MPEG trailing garbage")

@@ -1160,6 +1160,18 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
+                if did >= 200_000:
+                    # the surv_img oracle's closed form (clusters ==
+                    # doc triples) rests on the family keys
+                    # (fam*2654435761) mod 2^31 sitting >= 6 bits apart,
+                    # verified exhaustively for doc_id < 200k only —
+                    # fail LOUDLY rather than let a larger corpus
+                    # silently diverge from the oracle (r14 review)
+                    raise ValueError(
+                        "corpus_curation_pipeline image leg: family-key "
+                        "separation verified for doc_id < 200000 only; "
+                        "re-verify the key spacing before larger corpora"
+                    )
                 fam = did - did % 3
                 px = cache.get(fam)
                 if px is None:

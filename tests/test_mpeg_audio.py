@@ -491,3 +491,69 @@ def test_layer2_gate_crc_and_garbage_paths():
     # malformed alloc table dies loudly
     with pytest.raises(ValueError, match="alloc table"):
         decode_layer2(blob, alloc_table={"sblimit": 2, "rows": ((5, (3,)),) * 2})
+
+
+def test_r14_review_guards():
+    """r14 review fixes: decoded-sample ceiling on both layers (the
+    FLAC_SAMPLE_LIMIT analogue), encode_layer1's joint-stereo
+    shared-allocation validation, and the curated Layer II gate error
+    from the kernel-level table check."""
+    from person_linkage_case_study_spark.multimodal.mpeg_audio import (
+        MPEG_SAMPLE_LIMIT,
+        _check_alloc_table,
+    )
+
+    # ceiling: enough minimal frames to cross 2^25 subband samples
+    # would be ~43k frames of real bytes — instead prove the guard
+    # arithmetic by decoding a stream sized just over a small patched
+    # limit is impractical here, so assert the refusal path directly:
+    # a mono frame yields 384 samples; the guard triggers at
+    # > MPEG_SAMPLE_LIMIT accumulated. Build a 3-frame stream, then
+    # check the constant is wired by monkeypatching the module limit.
+    import person_linkage_case_study_spark.multimodal.mpeg_audio as M
+
+    frames = [{
+        "alloc": np.zeros((1, 32), np.int64),
+        "scf": np.zeros((1, 32), np.int64),
+        "codes": np.zeros((12, 1, 32), np.int64),
+    }] * 3
+    blob = M.encode_layer1(frames)
+    assert M.decode_layer1(blob)["n_frames"] == 3
+    old = M.MPEG_SAMPLE_LIMIT
+    try:
+        M.MPEG_SAMPLE_LIMIT = 500  # below 2 frames' 768 samples
+        with pytest.raises(ValueError, match="ceiling"):
+            M.decode_layer1(blob)
+        tab = M.design_alloc_table()
+        l2 = M.encode_layer2([{
+            "alloc": np.zeros((1, 32), np.int64),
+            "scf": np.zeros((1, 32, 3), np.int64),
+            "scfsi": np.zeros((1, 32), np.int64),
+            "codes": np.zeros((36, 1, 32), np.int64),
+        }] * 2, alloc_table=tab, mode="mono")
+        M.MPEG_SAMPLE_LIMIT = 1000  # below 2 frames' 2304 samples
+        with pytest.raises(ValueError, match="ceiling"):
+            M.decode_layer2(l2, alloc_table=tab)
+    finally:
+        M.MPEG_SAMPLE_LIMIT = old
+    assert MPEG_SAMPLE_LIMIT == 1 << 25
+
+    # joint-stereo fixture must mirror allocation above the bound
+    bad = {
+        "alloc": np.zeros((2, 32), np.int64),
+        "scf": np.zeros((2, 32), np.int64),
+        "codes": np.zeros((12, 2, 32), np.int64),
+    }
+    bad["alloc"][0, 10] = 3  # bound = 8 at mode_extension=1
+    with pytest.raises(ValueError, match="shares alloc"):
+        M.encode_layer1([bad], mode="joint_stereo", mode_extension=1)
+    good = {k: v.copy() for k, v in bad.items()}
+    good["alloc"][1, 10] = 3
+    d = M.decode_layer1(
+        M.encode_layer1([good], mode="joint_stereo", mode_extension=1)
+    )
+    assert d["n_frames"] == 1
+
+    # kernel-level gate: curated error, not a TypeError
+    with pytest.raises(ValueError, match="3-B.2"):
+        _check_alloc_table(None)
