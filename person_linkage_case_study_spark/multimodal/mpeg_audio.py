@@ -146,6 +146,49 @@ def _bit_fields_const(bits, start: int, w: int, count: int):
     )
 
 
+def _skip_id3v2(b: bytes) -> int:
+    """Byte offset past a leading ID3v2 tag (0 when none) — shared by
+    both layer decoders (r14 review dedup; ``media.parse_mp3`` keeps
+    its own richer variant with v2.4-footer handling)."""
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+        return 10 + size + (10 if b[5] & 0x10 else 0)
+    return 0
+
+
+def _frame_header(b: bytes, pos: int, layer: int):
+    """Validated MPEG-1 Layer ``layer`` (1 or 2) frame header at
+    ``pos`` → ``(protected, br, sr, mode, mode_ext, nch, frame_len)``,
+    raising the uniform ValueErrors both decoders share (r14 review
+    dedup of the twin header walks)."""
+    if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+        raise ValueError("MPEG lost frame sync")
+    h1, h2, h3 = b[pos + 1], b[pos + 2], b[pos + 3]
+    if (h1 >> 3) & 0x3 != 0x3:
+        raise ValueError("not MPEG-1")
+    if (h1 >> 1) & 0x3 != (4 - layer):
+        raise ValueError(f"not Layer {'I' * layer}")
+    protected = not (h1 & 1)  # protection_bit 0 => CRC present
+    br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x3
+    padding = (h2 >> 1) & 1
+    mode, mode_ext = h3 >> 6, (h3 >> 4) & 0x3
+    if br_idx == 0:
+        raise ValueError("free-format bitrate unsupported")
+    if br_idx == 15 or sr_idx == 3:
+        raise ValueError("forbidden bitrate/samplerate index")
+    br = (_BR_TABLE_L1 if layer == 1 else _BR_TABLE_L2)[br_idx]
+    sr = _SR_TABLE[sr_idx]
+    if layer == 1:
+        frame_len = (12 * br * 1000 // sr + padding) * 4
+    else:
+        frame_len = 144 * br * 1000 // sr + padding
+    nch = 1 if mode == 3 else 2
+    return protected, br, sr, mode, mode_ext, nch, frame_len
+
+
 def decode_layer1(payload: bytes) -> dict:
     """Decode every MPEG-1 Layer I frame in ``payload`` to requantized
     SUBBAND samples. Returns ``{sample_rate, channels, mode,
@@ -164,39 +207,17 @@ def decode_layer1(payload: bytes) -> dict:
     import numpy as np
 
     b = bytes(payload)
-    pos = 0
-    if b[:3] == b"ID3" and len(b) >= 10:
-        size = (
-            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
-            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
-        )
-        pos = 10 + size + (10 if b[5] & 0x10 else 0)
+    pos = _skip_id3v2(b)
     frames = []
     total_samples = 0
     sr0 = ch0 = mode0 = br0 = None
     slot_layout = None
     while pos + 4 <= len(b):
-        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
-            raise ValueError("MPEG lost frame sync")
-        h1, h2, h3 = b[pos + 1], b[pos + 2], b[pos + 3]
-        if (h1 >> 3) & 0x3 != 0x3:
-            raise ValueError("not MPEG-1")
-        if (h1 >> 1) & 0x3 != 0x3:
-            raise ValueError("not Layer I")
-        protected = not (h1 & 1)  # protection_bit 0 => CRC present
-        br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x3
-        padding = (h2 >> 1) & 1
-        mode, mode_ext = h3 >> 6, (h3 >> 4) & 0x3
-        if br_idx == 0:
-            raise ValueError("free-format bitrate unsupported")
-        if br_idx == 15 or sr_idx == 3:
-            raise ValueError("forbidden bitrate/samplerate index")
-        br = _BR_TABLE_L1[br_idx]
-        sr = _SR_TABLE[sr_idx]
-        frame_len = (12 * br * 1000 // sr + padding) * 4
+        protected, br, sr, mode, mode_ext, nch, frame_len = _frame_header(
+            b, pos, 1
+        )
         if pos + frame_len > len(b):
             raise ValueError("MPEG truncated inside frame")
-        nch = 1 if mode == 3 else 2
         bound = 4 * (mode_ext + 1) if mode == 1 else 32
         if sr0 is None:
             sr0, ch0, mode0, br0 = sr, nch, mode, br
@@ -572,37 +593,17 @@ def decode_layer2(payload: bytes, alloc_table=None) -> dict:
         )
     sblimit, rows = _check_alloc_table(alloc_table)
     b = bytes(payload)
-    pos = 0
-    if b[:3] == b"ID3" and len(b) >= 10:
-        size = (((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
-                | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F))
-        pos = 10 + size + (10 if b[5] & 0x10 else 0)
+    pos = _skip_id3v2(b)
     frames = []
     total_samples = 0
     sr0 = ch0 = mode0 = br0 = None
     slot_layout = None
     while pos + 4 <= len(b):
-        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
-            raise ValueError("MPEG lost frame sync")
-        h1, h2, h3 = b[pos + 1], b[pos + 2], b[pos + 3]
-        if (h1 >> 3) & 0x3 != 0x3:
-            raise ValueError("not MPEG-1")
-        if (h1 >> 1) & 0x3 != 0x2:
-            raise ValueError("not Layer II")
-        protected = not (h1 & 1)
-        br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x3
-        padding = (h2 >> 1) & 1
-        mode, mode_ext = h3 >> 6, (h3 >> 4) & 0x3
-        if br_idx == 0:
-            raise ValueError("free-format bitrate unsupported")
-        if br_idx == 15 or sr_idx == 3:
-            raise ValueError("forbidden bitrate/samplerate index")
-        br = _BR_TABLE_L2[br_idx]
-        sr = _SR_TABLE[sr_idx]
-        frame_len = 144 * br * 1000 // sr + padding
+        protected, br, sr, mode, mode_ext, nch, frame_len = _frame_header(
+            b, pos, 2
+        )
         if pos + frame_len > len(b):
             raise ValueError("MPEG truncated inside frame")
-        nch = 1 if mode == 3 else 2
         bound = min(4 * (mode_ext + 1), sblimit) if mode == 1 else sblimit
         if sr0 is None:
             sr0, ch0, mode0, br0 = sr, nch, mode, br
