@@ -1041,7 +1041,9 @@ def test_media_parser_fuzz(kind, mode, seed):
             "flac": lambda: encode_flac_streaminfo(44100, 2, 16, 44100),
             "ogg": lambda: encode_ogg("opus", 2, 48000, [960, 1920]),
             "mp3": lambda: encode_mp3_frames(6, vbr_tag="xing",
-                                             vbr_frame_count=6),
+                                             vbr_frame_count=6,
+                                             global_gain=100,
+                                             short_blocks=(False, True)),
             "wav": lambda: encode_wav(
                 rng.integers(-999, 999, (20, 2)).astype(np.int16)
             ),
