@@ -4552,6 +4552,7 @@ def parse_mp4(payload: bytes) -> dict:
     width = height = None
     video_codec = None
     n_samples = fps = None
+    n_keyframes = total_sample_bytes = max_sample_bytes = n_chunks = None
     n_video = n_audio = 0
     found_moov = False
     for tag, body, bend in boxes(0, n):
@@ -4583,6 +4584,8 @@ def parse_mp4(payload: bytes) -> dict:
                     tw = th = None
                     med_ts = trk_codec = None
                     ns = ticks = None
+                    n_key = sz_total = sz_max = n_chunk = None
+                    saw_stss = False
                     for t3, b3, e3 in boxes(b2, e2):
                         if t3 == b"tkhd" and e3 - b3 >= 84:
                             # width/height: 16.16 fixed point, last 8
@@ -4636,11 +4639,21 @@ def parse_mp4(payload: bytes) -> dict:
                                                     payload[b6 + 4 : b6 + 8],
                                                     "big",
                                                 )
+                                                if b6 + 8 + 8 * cnt > e6:
+                                                    # declared entries
+                                                    # overrun the box: a
+                                                    # partial sum would
+                                                    # report an under-
+                                                    # counted n_samples /
+                                                    # fps as if complete —
+                                                    # refuse like the
+                                                    # short-v1 mdhd branch
+                                                    # (r14 ADVICE)
+                                                    ns = ticks = None
+                                                    continue
                                                 p6 = b6 + 8
                                                 ns = ticks = 0
                                                 for _ in range(cnt):
-                                                    if p6 + 8 > e6:
-                                                        break  # keep prefix
                                                     sc = int.from_bytes(
                                                         payload[p6 : p6 + 4],
                                                         "big",
@@ -4654,6 +4667,77 @@ def parse_mp4(payload: bytes) -> dict:
                                                     ns += sc
                                                     ticks += sc * sd
                                                     p6 += 8
+                                            elif (
+                                                t6 == b"stsz"
+                                                and e6 - b6 >= 12
+                                            ):
+                                                # r15 sample-SIZE table:
+                                                # fixed sample_size short-
+                                                # circuits; else the per-
+                                                # sample u32 list (declared
+                                                # count must FIT — same
+                                                # no-partial discipline as
+                                                # stts)
+                                                fixed = int.from_bytes(
+                                                    payload[b6 + 4 : b6 + 8],
+                                                    "big",
+                                                )
+                                                cnt = int.from_bytes(
+                                                    payload[b6 + 8 : b6 + 12],
+                                                    "big",
+                                                )
+                                                if fixed:
+                                                    sz_total = fixed * cnt
+                                                    sz_max = fixed if cnt else 0
+                                                elif b6 + 12 + 4 * cnt <= e6:
+                                                    sizes = [
+                                                        int.from_bytes(
+                                                            payload[
+                                                                b6 + 12 + 4 * i
+                                                                : b6 + 16 + 4 * i
+                                                            ],
+                                                            "big",
+                                                        )
+                                                        for i in range(cnt)
+                                                    ]
+                                                    sz_total = sum(sizes)
+                                                    sz_max = (
+                                                        max(sizes) if sizes else 0
+                                                    )
+                                            elif (
+                                                t6 == b"stss"
+                                                and e6 - b6 >= 8
+                                            ):
+                                                # r15 sync-sample table:
+                                                # the keyframe count is the
+                                                # entry count (entries must
+                                                # fit; a PRESENT-but-corrupt
+                                                # stss must not fall back to
+                                                # the absent-box "all sync"
+                                                # reading)
+                                                saw_stss = True
+                                                cnt = int.from_bytes(
+                                                    payload[b6 + 4 : b6 + 8],
+                                                    "big",
+                                                )
+                                                if b6 + 8 + 4 * cnt <= e6:
+                                                    n_key = cnt
+                                            elif t6 in (
+                                                b"stco",
+                                                b"co64",
+                                            ) and e6 - b6 >= 8:
+                                                # r15 chunk-offset table:
+                                                # u32 (stco) or u64 (co64)
+                                                # offsets, count only
+                                                cnt = int.from_bytes(
+                                                    payload[b6 + 4 : b6 + 8],
+                                                    "big",
+                                                )
+                                                esz = (
+                                                    4 if t6 == b"stco" else 8
+                                                )
+                                                if b6 + 8 + esz * cnt <= e6:
+                                                    n_chunk = cnt
                     if handler == b"vide":
                         n_video += 1
                         if width is None and tw:
@@ -4664,6 +4748,22 @@ def parse_mp4(payload: bytes) -> dict:
                             n_samples = ns
                             if ticks and med_ts:
                                 fps = ns / (ticks / med_ts)
+                        if n_keyframes is None:
+                            # absent stss means EVERY sample is a sync
+                            # sample (ISO 14496-12 §8.6.2) — but only
+                            # when a sample count exists to fall back on;
+                            # a present-but-corrupt stss yields None
+                            # (falling back would fabricate keyframe
+                            # density from a table that overran its box)
+                            if n_key is not None:
+                                n_keyframes = n_key
+                            elif not saw_stss:
+                                n_keyframes = ns
+                        if total_sample_bytes is None and sz_total is not None:
+                            total_sample_bytes = sz_total
+                            max_sample_bytes = sz_max
+                        if n_chunks is None and n_chunk is not None:
+                            n_chunks = n_chunk
                     elif handler == b"soun":
                         n_audio += 1
     if brand is None and not found_moov:
@@ -4681,6 +4781,14 @@ def parse_mp4(payload: bytes) -> dict:
         "video_codec": video_codec,
         "n_samples": n_samples,
         "fps": fps,
+        # r15 sample-SIZE/OFFSET tables (first video track): stss sync
+        # count (absent stss -> every sample sync), stsz byte totals,
+        # stco/co64 chunk count — what a frame-sampling pipeline needs
+        # to seek (keyframe density, per-sample byte budget)
+        "n_keyframes": n_keyframes,
+        "total_sample_bytes": total_sample_bytes,
+        "max_sample_bytes": max_sample_bytes,
+        "n_chunks": n_chunks,
     }
 
 
@@ -4695,6 +4803,10 @@ def encode_mp4_skeleton(
     video_stts: "list[tuple[int, int]] | None" = None,
     media_timescale: int = 2400,
     video_sample_size: int = 0,
+    video_sample_sizes: "list[int] | None" = None,
+    video_sync_samples: "list[int] | None" = None,
+    video_chunk_offsets: "list[int] | None" = None,
+    use_co64: bool = False,
 ) -> bytes:
     """Structure-valid ISO-BMFF fixture (late r12) — the test
     counterpart of :func:`parse_mp4`: ftyp + moov(mvhd + one trak per
@@ -4704,7 +4816,11 @@ def encode_mp4_skeleton(
     sample_delta) runs) add a real sample-table stack to the video
     trak — mdhd(media_timescale, Σcount·delta) + stbl(stsd with the
     codec fourcc, stts, stsz) — so frame count and average fps have
-    closed forms for the oracle tier."""
+    closed forms for the oracle tier. r15: ``video_sample_sizes``
+    (variable-size stsz entry list), ``video_sync_samples`` (an stss
+    box with those 1-based keyframe indices), and
+    ``video_chunk_offsets`` (an stco box, or co64 when ``use_co64``)
+    complete the seek-relevant sample tables."""
 
     def box(tag: bytes, body: bytes) -> bytes:
         return struct.pack(">I", len(body) + 8) + tag + body
@@ -4740,11 +4856,41 @@ def encode_mp4_skeleton(
                 + struct.pack(">I", len(runs))
                 + b"".join(struct.pack(">II", c, d) for c, d in runs),
             )
-            stsz = box(
-                b"stsz",
-                b"\x00" * 4 + struct.pack(">II", video_sample_size, n),
-            )
-            mdia_children = hdlr + mdhd + box(b"minf", box(b"stbl", stsd + stts + stsz))
+            if video_sample_sizes is not None:
+                stsz = box(
+                    b"stsz",
+                    b"\x00" * 4
+                    + struct.pack(">II", 0, len(video_sample_sizes))
+                    + b"".join(
+                        struct.pack(">I", s) for s in video_sample_sizes
+                    ),
+                )
+            else:
+                stsz = box(
+                    b"stsz",
+                    b"\x00" * 4 + struct.pack(">II", video_sample_size, n),
+                )
+            stbl_children = stsd + stts + stsz
+            if video_sync_samples is not None:
+                stbl_children += box(
+                    b"stss",
+                    b"\x00" * 4
+                    + struct.pack(">I", len(video_sync_samples))
+                    + b"".join(
+                        struct.pack(">I", s) for s in video_sync_samples
+                    ),
+                )
+            if video_chunk_offsets is not None:
+                fmt, tag6 = (">Q", b"co64") if use_co64 else (">I", b"stco")
+                stbl_children += box(
+                    tag6,
+                    b"\x00" * 4
+                    + struct.pack(">I", len(video_chunk_offsets))
+                    + b"".join(
+                        struct.pack(fmt, o) for o in video_chunk_offsets
+                    ),
+                )
+            mdia_children = hdlr + mdhd + box(b"minf", box(b"stbl", stbl_children))
         return box(b"trak", tkhd + box(b"mdia", mdia_children))
 
     mvhd = box(
@@ -4775,6 +4921,10 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("video_codec", T.StringType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("fps", T.DoubleType()),
+        T.StructField("n_keyframes", T.LongType()),
+        T.StructField("total_sample_bytes", T.LongType()),
+        T.StructField("max_sample_bytes", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
     ]
 )
 
@@ -4800,7 +4950,7 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
                     except Exception:
                         m = None
                 if m is None:
-                    rows.append((media_id,) + (None,) * 10)
+                    rows.append((media_id,) + (None,) * 14)
                 else:
                     rows.append(
                         (
@@ -4815,6 +4965,10 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
                             m["video_codec"],
                             m["n_samples"],
                             m["fps"],
+                            m["n_keyframes"],
+                            m["total_sample_bytes"],
+                            m["max_sample_bytes"],
+                            m["n_chunks"],
                         )
                     )
             yield pd.DataFrame(
@@ -4822,7 +4976,8 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
                 columns=[
                     "media_id", "format", "brand", "duration_sec", "width",
                     "height", "n_video_tracks", "n_audio_tracks",
-                    "video_codec", "n_samples", "fps",
+                    "video_codec", "n_samples", "fps", "n_keyframes",
+                    "total_sample_bytes", "max_sample_bytes", "n_chunks",
                 ],
             )
 

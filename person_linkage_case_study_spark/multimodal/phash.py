@@ -231,15 +231,25 @@ def _signed_mask(width: int) -> int:
     return m - (1 << 64) if m >= (1 << 63) else m
 
 
-def _band_key_expr(words_col: str, off: int, width: int):
+def _band_key_expr(words, off: int, width: int):
     """JVM-side expression packing hash bits [off, off+width) — global
-    bit 0 is the MSB of word 0 — into one long band key. Exact
-    (injective) packing whenever width ≤ 63; wider bands (only
-    max_distance ≤ 3 on the 256-bit hash) fold their word pieces with
-    xor-rotates, which can only ADD collisions — extra candidates the
-    bit_count filter removes, never a missed pair, so exact recall is
-    preserved either way. Pure shifts/and/xor: no overflow surface
-    under ANSI mode, whole-stage-codegen throughout."""
+    bit 0 is the MSB of word 0 — into one long band key. ``words`` is
+    either the name of an array<long> column (words fetched via
+    ``element_at``) or a list of per-word LongType column names (the
+    r15 flat-word path: no array allocation in the banded frame, so
+    the exchange rows are pure fixed-width longs). Exact (injective)
+    packing whenever width ≤ 63; wider bands (only max_distance ≤ 3 on
+    the 256-bit hash) fold their word pieces with xor-rotates, which
+    can only ADD collisions — extra candidates the bit_count filter
+    removes, never a missed pair, so exact recall is preserved either
+    way. Pure shifts/and/xor: no overflow surface under ANSI mode,
+    whole-stage-codegen throughout."""
+
+    def word(wi: int):
+        if isinstance(words, str):
+            return F.element_at(F.col(words), wi + 1)
+        return F.col(words[wi])
+
     pieces = []
     p = off
     while p < off + width:
@@ -247,7 +257,7 @@ def _band_key_expr(words_col: str, off: int, width: int):
         start = p % 64  # MSB-first offset within the word
         take = min(64 - start, off + width - p)
         shift = 64 - start - take  # right-align the piece
-        col = F.element_at(F.col(words_col), wi + 1)
+        col = word(wi)
         piece = F.shiftrightunsigned(col, shift) if shift else col
         if take < 64:
             piece = piece.bitwiseAND(F.lit(_signed_mask(take)))
@@ -277,6 +287,64 @@ def _band_key_expr(words_col: str, off: int, width: int):
     return key
 
 
+def _banded_frame(
+    h0: DataFrame,
+    id_col: str,
+    hash_col: str,
+    nbits: int,
+    max_distance: int,
+):
+    """The shared banding projection (r15 flat-word layout —
+    PHASH_BENCH_r14 found the 256-bit path 3.3× slower than 64-bit at
+    1.6M images; the cost was the banded explode shuffling an
+    array<long> per row): split the hash into per-word LongType
+    columns BEFORE banding and posexplode only the band-key longs, so
+    every exchange row is fixed-width longs (no array headers, no
+    per-row allocation) and downstream distance terms stay inside
+    whole-stage codegen. Returns ``(banded_df, word_cols,
+    base_band_width)``; ``banded_df`` columns are ``id``, the word
+    columns, ``band_idx``, ``band_key``."""
+    is_array = isinstance(h0.schema[hash_col].dataType, T.ArrayType)
+    nwords = nbits // 64
+    word_cols = [f"__w{i}" for i in range(nwords)]
+    if is_array:
+        flat = h0.select(
+            F.col(id_col).alias("id"),
+            *[
+                F.element_at(F.col(hash_col), i + 1).alias(c)
+                for i, c in enumerate(word_cols)
+            ],
+        )
+    else:
+        flat = h0.select(
+            F.col(id_col).alias("id"), F.col(hash_col).alias(word_cols[0])
+        )
+    nbands = max_distance + 1
+    base, extra = divmod(nbits, nbands)
+    band_keys = []
+    offset = 0
+    for i in range(nbands):
+        width = base + (1 if i < extra else 0)
+        band_keys.append(_band_key_expr(word_cols, offset, width))
+        offset += width
+    h = flat.select(
+        "id",
+        *word_cols,
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
+    return h, word_cols, base
+
+
+def _hamming_dist(word_cols: "list[str]", suffix: str = "_b"):
+    """Static per-word ``bit_count(xor)`` sum — full codegen, no
+    higher-order-function lambdas."""
+    dist = None
+    for c in word_cols:
+        term = F.bit_count(F.col(c).bitwiseXOR(F.col(f"{c}{suffix}")))
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def phash_near_dups(
     hashes: DataFrame,
     *,
@@ -285,6 +353,7 @@ def phash_near_dups(
     hash_col: str = "phash",
     max_candidate_pairs: "float | None" = 1e10,
     nbits: "int | None" = None,
+    cleanup: "list | None" = None,
 ) -> DataFrame:
     """Hamming near-dup pairs over an (id, hash) frame with EXACT
     recall: ``max_distance + 1`` bands partition the hash bits, so any
@@ -316,10 +385,14 @@ def phash_near_dups(
     persisted first so the upstream hash lineage executes ONCE — the
     guard aggregation materializes it and the self-join (which reads
     it twice) reuses the cache instead of re-decoding expensive
-    inputs three times. The persist is left in place for the consumer
-    (Spark evicts LRU); with ``max_candidate_pairs=None`` and explicit
-    ``nbits`` the function is fully lazy and callers managing their
-    own caching get the plain plan.
+    inputs three times. Pass a ``cleanup`` list to receive the
+    persisted frame — unpersist its members once your consuming action
+    has run (r14 ADVICE: repeated invocations otherwise accumulate
+    cached decode output and lean on LRU eviction); without it the
+    persist is left in place for the consumer. With
+    ``max_candidate_pairs=None`` and explicit ``nbits`` the function
+    is fully lazy and callers managing their own caching get the
+    plain plan.
 
     Plan shape at 100 TB: one projection builds (band_idx, band_key)
     rows (64-bit shifts, no UDF), the self-join shuffles on the
@@ -330,11 +403,6 @@ def phash_near_dups(
         hashes.schema[hash_col].dataType, T.ArrayType
     )
     h0 = hashes.where(F.col(hash_col).isNotNull())
-    words = (
-        h0.withColumn("__w", F.col(hash_col))
-        if is_array
-        else h0.withColumn("__w", F.array(F.col(hash_col)))
-    )
     if not is_array:
         nbits = 64
     elif nbits is None:
@@ -342,7 +410,9 @@ def phash_near_dups(
         # (the semdedup dim-probe shape); an empty frame yields empty.
         # Callers that know the width (attach_phash emits 64 or 256)
         # pass nbits= and stay lazy (r13 ADVICE).
-        nwords_row = words.select(F.size("__w").alias("n")).limit(1).collect()
+        nwords_row = (
+            h0.select(F.size(hash_col).alias("n")).limit(1).collect()
+        )
         if not nwords_row:
             return hashes.sparkSession.createDataFrame(
                 [], "id_a long, id_b long, distance integer"
@@ -350,24 +420,16 @@ def phash_near_dups(
         nbits = 64 * nwords_row[0]["n"]
     if not 0 <= max_distance < nbits:
         raise ValueError(f"max_distance must be in [0, {nbits})")
-    nbands = max_distance + 1
-    base, extra = divmod(nbits, nbands)
-    bands = []
-    offset = 0
-    for i in range(nbands):
-        width = base + (1 if i < extra else 0)
-        bands.append(
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                _band_key_expr("__w", offset, width).alias("band_key"),
-            )
-        )
-        offset += width
-
-    h = words.select(
-        F.col(id_col).alias("id"),
-        F.col("__w").alias("h"),
-        F.explode(F.array(*bands)).alias("band"),
+    # r15 flat-word layout (PHASH_BENCH_r14 found the 256-bit path 3.3×
+    # slower than 64-bit at 1.6M images — the cost was the banded
+    # explode shuffling an array<long> per row): split the hash into
+    # per-word LongType columns BEFORE banding, posexplode only the
+    # band-key longs, and sum per-word bit_count(xor) terms statically.
+    # Every exchange row is fixed-width longs (no array headers, no
+    # per-row allocation) and the distance filter stays inside
+    # whole-stage codegen end to end.
+    h, word_cols, base = _banded_frame(
+        h0, id_col, hash_col, nbits, max_distance
     )
 
     if max_candidate_pairs is not None:
@@ -376,10 +438,12 @@ def phash_near_dups(
         # reads) hits the cache instead of re-running expensive
         # upstream decodes (r13 ADVICE)
         h = h.persist()
+        if cleanup is not None:
+            cleanup.append(h)
         # exact pre-filter join volume, one cheap job over the
-        # (id, 2-4 longs) frame: Σ over (band, key) buckets of C(n, 2)
+        # all-longs frame: Σ over (band, key) buckets of C(n, 2)
         vol_row = (
-            h.groupBy("band")
+            h.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).cast("double").alias("n"))
             .agg(
                 F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs")
@@ -402,22 +466,17 @@ def phash_near_dups(
 
     right = h.select(
         F.col("id").alias("id_b"),
-        F.col("h").alias("h_b"),
-        F.col("band").alias("band_b"),
+        *[F.col(c).alias(f"{c}_b") for c in word_cols],
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("h"),
-            F.col("h_b"),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    dist = _hamming_dist(word_cols)
     pairs = (
         h.join(
             right,
-            (F.col("band") == F.col("band_b")) & (F.col("id") < F.col("id_b")),
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("id") < F.col("id_b")),
         )
         .select(
             F.col("id").alias("id_a"),
@@ -428,6 +487,69 @@ def phash_near_dups(
         .distinct()
     )
     return pairs
+
+
+def phash_near_dups_between(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    max_distance: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    nbits: "int | None" = None,
+) -> DataFrame:
+    """Hamming near-dup pairs ACROSS two (id, hash) frames — the
+    image twin of ``dedup.minhash.minhash_candidate_pairs_between``,
+    built for the streaming incremental image dedup (match a
+    micro-batch's hashes against the accumulated store). Same
+    pigeonhole banding as :func:`phash_near_dups` (recall 1.0 by
+    construction), same flat-word plan shape; no ``id <`` constraint
+    because the two sides are disjoint populations by contract.
+    Returns ``(id_l, id_r, distance)``, each cross pair once.
+
+    Fully lazy when ``nbits`` is given (both frames must share the
+    hash width); the per-micro-batch volume guard belongs to the
+    caller — streaming batches are bounded by the trigger size, and
+    the store side joins via the band keys, so cost tracks candidate
+    collisions, not |store|.
+    """
+    l0 = left.where(F.col(hash_col).isNotNull())
+    r0 = right.where(F.col(hash_col).isNotNull())
+    if nbits is None:
+        if not isinstance(left.schema[hash_col].dataType, T.ArrayType):
+            nbits = 64
+        else:
+            probe = l0.select(F.size(hash_col).alias("n")).limit(1).collect()
+            if not probe:
+                return left.sparkSession.createDataFrame(
+                    [], "id_l long, id_r long, distance integer"
+                )
+            nbits = 64 * probe[0]["n"]
+    if not 0 <= max_distance < nbits:
+        raise ValueError(f"max_distance must be in [0, {nbits})")
+    hl, word_cols, _ = _banded_frame(l0, id_col, hash_col, nbits, max_distance)
+    hr, _, _ = _banded_frame(r0, id_col, hash_col, nbits, max_distance)
+    hr = hr.select(
+        F.col("id").alias("id_r"),
+        *[F.col(c).alias(f"{c}_r") for c in word_cols],
+        F.col("band_idx").alias("band_idx_r"),
+        F.col("band_key").alias("band_key_r"),
+    )
+    dist = _hamming_dist(word_cols, suffix="_r")
+    return (
+        hl.join(
+            hr,
+            (F.col("band_idx") == F.col("band_idx_r"))
+            & (F.col("band_key") == F.col("band_key_r")),
+        )
+        .select(
+            F.col("id").alias("id_l"),
+            "id_r",
+            dist.alias("distance"),
+        )
+        .where(F.col("distance") <= max_distance)
+        .distinct()
+    )
 
 
 def canonical_images(
@@ -457,6 +579,7 @@ def canonical_images(
     """
     from ..dedup.cluster import connected_components
 
+    held: list = []
     pairs = phash_near_dups(
         hashes,
         max_distance=max_distance,
@@ -464,8 +587,15 @@ def canonical_images(
         hash_col=hash_col,
         max_candidate_pairs=max_candidate_pairs,
         nbits=nbits,
+        cleanup=held,
     )
     comps = connected_components(pairs, "id_a", "id_b")
+    # connected_components is EAGER (it localCheckpoints the edge set and
+    # every label round), so the banded frame's cache has served both its
+    # consumers by now — release it instead of leaning on LRU eviction
+    # (r14 ADVICE)
+    for frame in held:
+        frame.unpersist()
     return comps.select(
         F.col("id").alias(id_col), F.col("component").alias("canonical_id")
     )
@@ -478,6 +608,7 @@ def image_survivors(
     use_256: bool = False,
     id_col: str = "media_id",
     max_candidate_pairs: "float | None" = 1e10,
+    cleanup: "list | None" = None,
 ) -> DataFrame:
     """The full image-dedup capstone in one call: ``(media_id,
     payload)`` rows → ONE decode pass (``extract_image_profile``:
@@ -490,6 +621,11 @@ def image_survivors(
     remedy when the volume guard refuses a 64-bit radius). Undecodable
     payloads (``phash`` NULL) are kept: dedup must never silently drop
     what it cannot read — downstream quality filters own that call.
+
+    The decoded profile stays persisted because the RETURNED frame
+    reads it; pass a ``cleanup`` list to receive it and unpersist once
+    your consuming action has run (r14 ADVICE — repeated invocations,
+    e.g. bench reps, otherwise accumulate cached decode output).
     """
     from .media import extract_image_profile
 
@@ -497,6 +633,8 @@ def image_survivors(
     # read twice — hash input and the survivor keep-join — and its
     # lineage contains the decode pass; persist so payloads decode ONCE
     prof = extract_image_profile(media).persist()
+    if cleanup is not None:
+        cleanup.append(prof)
     hash_col, nbits = ("phash256", 256) if use_256 else ("phash", 64)
     canon = canonical_images(
         prof.where(F.col(hash_col).isNotNull()).select(id_col, hash_col),

@@ -1160,18 +1160,6 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did >= 200_000:
-                    # the surv_img oracle's closed form (clusters ==
-                    # doc triples) rests on the family keys
-                    # (fam*2654435761) mod 2^31 sitting >= 6 bits apart,
-                    # verified exhaustively for doc_id < 200k only —
-                    # fail LOUDLY rather than let a larger corpus
-                    # silently diverge from the oracle (r14 review)
-                    raise ValueError(
-                        "corpus_curation_pipeline image leg: family-key "
-                        "separation verified for doc_id < 200000 only; "
-                        "re-verify the key spacing before larger corpora"
-                    )
                 fam = did - did % 3
                 px = cache.get(fam)
                 if px is None:
@@ -1210,10 +1198,31 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-join, AND packing — checkpoint so the minhash/ngram/CC text
     # lineage above runs ONCE, not once per downstream action
     survivors = survivors.localCheckpoint()
+    # the surv_img oracle's closed form (clusters == doc triples) rests
+    # on the family keys (fam*2654435761) mod 2^31 sitting >= 6 bits
+    # apart, verified exhaustively for doc_id < 200k only — refuse at
+    # PLAN TIME with one cheap agg on the already-checkpointed survivor
+    # frame instead of a runtime failure inside an executor task
+    # (r14 ADVICE)
+    max_doc_id = survivors.agg(F.max("doc_id")).first()[0]
+    if max_doc_id is not None and max_doc_id >= 200_000:
+        raise ValueError(
+            "corpus_curation_pipeline image leg: family-key separation "
+            f"verified for doc_id < 200000 only (max seen {max_doc_id}); "
+            "re-verify the key spacing before larger corpora"
+        )
     media = survivors.select("doc_id").mapInPandas(mk_img, img_payload_schema)
-    img_keep = image_survivors(media).select(
-        F.col("media_id").alias("doc_id")
+    held: list = []
+    img_keep = (
+        image_survivors(media, cleanup=held)
+        .select(F.col("media_id").alias("doc_id"))
+        # checkpoint the tiny id frame so the decoded-profile cache can
+        # be released NOW instead of riding LRU for the rest of the
+        # session (r14 ADVICE; bench reps of this entry accumulate)
+        .localCheckpoint()
     )
+    for frame in held:
+        frame.unpersist()
     survivors = survivors.join(img_keep, on="doc_id", how="semi")
     packed = pack_sequences(survivors, ["doc_id"], "n_tokens", target_tokens=2048, seed=23)
     return packed.groupBy("seq_id").agg(
@@ -2625,7 +2634,25 @@ def _mm_features_oracle() -> str:
                  [1 + CAST(CAST(doc_id AS BIGINT) % 4 AS INT)] AS mp4_codec,
              CAST(6 * (1 + CAST(doc_id AS BIGINT) % 4) AS BIGINT)
                  AS mp4_n_samples,
-             round(24.0 / (1 + CAST(doc_id AS BIGINT) % 3), 6) AS mp4_fps
+             round(24.0 / (1 + CAST(doc_id AS BIGINT) % 3), 6) AS mp4_fps,
+             -- r15 seek tables (closed forms over n = 6*(1+id%4)):
+             -- stss every k-th sample, k = 1+id%3 divides n, so
+             -- n_keyframes = n/k; stsz sizes base+1..base+n with
+             -- base = 100*(1+id%5) -> total = n*base + n(n+1)/2,
+             -- max = base+n; 1+id%2 chunk offsets (stco even ids,
+             -- co64 odd — both box walks on live rows)
+             CAST(6 * (1 + CAST(doc_id AS BIGINT) % 4)
+                  // (1 + CAST(doc_id AS BIGINT) % 3) AS BIGINT)
+                 AS mp4_n_keyframes,
+             CAST(6 * (1 + CAST(doc_id AS BIGINT) % 4)
+                  * (100 * (1 + CAST(doc_id AS BIGINT) % 5))
+                  + (6 * (1 + CAST(doc_id AS BIGINT) % 4))
+                    * (6 * (1 + CAST(doc_id AS BIGINT) % 4) + 1) // 2
+                 AS BIGINT) AS mp4_total_sample_bytes,
+             CAST(100 * (1 + CAST(doc_id AS BIGINT) % 5)
+                  + 6 * (1 + CAST(doc_id AS BIGINT) % 4)
+                 AS BIGINT) AS mp4_max_sample_bytes,
+             CAST(1 + CAST(doc_id AS BIGINT) % 2 AS BIGINT) AS mp4_n_chunks
       FROM documents
     ),
     -- late r13: the G.711 + WAV-tag tier. Constant code streams decode
@@ -2772,7 +2799,8 @@ def _mm_features_oracle() -> str:
            php.phash_near_pairs,
            vid.mp4_duration, vid.mp4_width, vid.mp4_height,
            vid.mp4_audio_tracks, vid.mp4_codec, vid.mp4_n_samples,
-           vid.mp4_fps,
+           vid.mp4_fps, vid.mp4_n_keyframes, vid.mp4_total_sample_bytes,
+           vid.mp4_max_sample_bytes, vid.mp4_n_chunks,
            mpg.mp3_mode, mpg.mp3_bitrate_kbps, mpg.mp3_sb_active,
            mpg.mp3_sb_rms, mpg.mp3_sb_peak,
            mp2.mp2_mode, mp2.mp2_sb_active, mp2.mp2_sb_rms,
@@ -3286,6 +3314,16 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
+                # r15 seek tables: n = 6*(1+id%4) samples; stsz sizes
+                # base+1..base+n (base = 100*(1+id%5)) -> total =
+                # n*base + n(n+1)/2, max = base+n; stss every k-th
+                # sample (k = 1+id%3, k | n always since 6 | n) ->
+                # n/k keyframes; 1+id%2 chunk offsets via stco on even
+                # ids and co64 on odd (both walk paths on live rows)
+                n = 6 * (1 + mid % 4)
+                base = 100 * (1 + mid % 5)
+                k = 1 + mid % 3
+                m = 1 + mid % 2
                 payloads.append(
                     encode_mp4_skeleton(
                         timescale=1000,
@@ -3293,8 +3331,12 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         video_dims=(16 * (1 + mid % 5), 16 * (1 + mid % 4)),
                         n_audio_tracks=mid % 3,
                         video_codec=codecs[mid % 4],
-                        video_stts=[(6 * (1 + mid % 4), 100 * (1 + mid % 3))],
+                        video_stts=[(n, 100 * (1 + mid % 3))],
                         media_timescale=2400,
+                        video_sample_sizes=[base + i for i in range(1, n + 1)],
+                        video_sync_samples=list(range(1, n + 1, k)),
+                        video_chunk_offsets=[64 * (j + 1) for j in range(m)],
+                        use_co64=mid % 2 == 1,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
@@ -3312,6 +3354,10 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("video_codec").alias("mp4_codec"),
         F.col("n_samples").alias("mp4_n_samples"),
         F.round("fps", 6).alias("mp4_fps"),
+        F.col("n_keyframes").alias("mp4_n_keyframes"),
+        F.col("total_sample_bytes").alias("mp4_total_sample_bytes"),
+        F.col("max_sample_bytes").alias("mp4_max_sample_bytes"),
+        F.col("n_chunks").alias("mp4_n_chunks"),
     )
 
     def mk_g711(it):
@@ -3580,6 +3626,10 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mp4_codec",
             "mp4_n_samples",
             "mp4_fps",
+            "mp4_n_keyframes",
+            "mp4_total_sample_bytes",
+            "mp4_max_sample_bytes",
+            "mp4_n_chunks",
             "mp3_mode",
             "mp3_bitrate_kbps",
             "mp3_sb_active",

@@ -856,6 +856,127 @@ def test_mp4_mvhd_version1():
         assert parse_mp4(payload)["duration_sec"] is None, cut
 
 
+def test_mp4_seek_tables():
+    """r15: stsz/stss/stco/co64 sample tables — the seek-relevant tier a
+    frame-sampling pipeline needs (keyframe density, per-sample byte
+    budget, chunk layout). Closed-form round trips through the skeleton
+    encoder, plus the truncation discipline: a declared entry count that
+    overruns its box yields None, never a partial sum presented as
+    complete (r14 ADVICE applied the same rule to stts)."""
+    from person_linkage_case_study_spark.multimodal.media import (
+        encode_mp4_skeleton,
+        parse_mp4,
+    )
+
+    sizes = [101, 250, 99, 310, 205]
+    m = parse_mp4(
+        encode_mp4_skeleton(
+            video_dims=(64, 48),
+            video_codec="avc1",
+            video_stts=[(5, 100)],
+            video_sample_sizes=sizes,
+            video_sync_samples=[1, 4],
+            video_chunk_offsets=[64, 1024, 9000],
+        )
+    )
+    assert m["n_samples"] == 5
+    assert m["total_sample_bytes"] == sum(sizes)
+    assert m["max_sample_bytes"] == max(sizes)
+    assert m["n_keyframes"] == 2
+    assert m["n_chunks"] == 3
+
+    # co64 walks the 8-byte-offset branch to the same chunk count
+    m = parse_mp4(
+        encode_mp4_skeleton(
+            video_dims=(64, 48), video_codec="avc1", video_stts=[(3, 100)],
+            video_sample_sizes=[10, 20, 30],
+            video_chunk_offsets=[1 << 33, 1 << 34], use_co64=True,
+        )
+    )
+    assert m["n_chunks"] == 2 and m["total_sample_bytes"] == 60
+
+    # fixed-size stsz short-circuits: total = size * count
+    m = parse_mp4(
+        encode_mp4_skeleton(
+            video_dims=(64, 48), video_codec="avc1", video_stts=[(4, 100)],
+            video_sample_size=50, video_chunk_offsets=[8],
+        )
+    )
+    assert m["total_sample_bytes"] == 200 and m["max_sample_bytes"] == 50
+
+    # absent stss => every sample is a sync sample (ISO 14496-12 §8.6.2)
+    m = parse_mp4(
+        encode_mp4_skeleton(
+            video_dims=(64, 48), video_codec="avc1", video_stts=[(7, 100)],
+            video_sample_sizes=[9] * 7,
+        )
+    )
+    assert m["n_keyframes"] == 7
+
+    # truncation discipline across all four boxes: chop the payload so
+    # the declared counts overrun — every affected stat must null out,
+    # and the walk itself must not throw
+    full = encode_mp4_skeleton(
+        video_dims=(64, 48), video_codec="avc1", video_stts=[(5, 100)],
+        video_sample_sizes=sizes, video_sync_samples=[1, 4],
+        video_chunk_offsets=[64, 1024],
+    )
+    # hand-build a corrupt stsz: declares 5 entries, carries 1
+    def box(tag: bytes, b: bytes) -> bytes:
+        return struct.pack(">I", len(b) + 8) + tag + b
+
+    bad_stsz = box(
+        b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 5) + struct.pack(">I", 7)
+    )
+    stsd = box(
+        b"stsd",
+        b"\x00" * 4 + struct.pack(">I", 1)
+        + struct.pack(">I", 16) + b"avc1" + b"\x00" * 8,
+    )
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">II", 5, 100))
+    bad_stss = box(b"stss", b"\x00" * 4 + struct.pack(">I", 9))
+    bad_stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", 4) + struct.pack(">I", 64))
+    stbl = box(b"stbl", stsd + stts + bad_stsz + bad_stss + bad_stco)
+    mdia = box(
+        b"mdia",
+        box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        + box(b"minf", stbl),
+    )
+    trak = box(
+        b"trak",
+        box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 64 << 16, 48 << 16)) + mdia,
+    )
+    payload = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", trak)
+    m = parse_mp4(payload)
+    assert m["n_samples"] == 5  # intact stts still parses
+    assert m["total_sample_bytes"] is None and m["max_sample_bytes"] is None
+    # corrupt stss must NOT fall back to "all sync" — the box exists but
+    # lies, so n_keyframes degrades to the all-sync reading only when the
+    # box is genuinely absent; here the declared count overruns, and the
+    # spec fallback would fabricate density from a corrupt table
+    assert m["n_keyframes"] is None
+    assert m["n_chunks"] is None
+
+    # stts overrun (the r14 ADVICE scenario): declared count overruns ->
+    # n_samples/fps None, not an undercounted prefix
+    bad_stts = box(
+        b"stts", b"\x00" * 4 + struct.pack(">I", 9) + struct.pack(">II", 5, 100)
+    )
+    stbl = box(b"stbl", stsd + bad_stts)
+    mdia = box(
+        b"mdia",
+        box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        + box(b"minf", stbl),
+    )
+    trak = box(
+        b"trak",
+        box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 64 << 16, 48 << 16)) + mdia,
+    )
+    payload = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", trak)
+    m = parse_mp4(payload)
+    assert m["n_samples"] is None and m["fps"] is None
+
+
 def test_extract_video_meta_spark(spark):
     """The video kernel over Spark: MP4-family rows land with duration /
     dims / track counts, non-video payloads NULL out."""
