@@ -2881,10 +2881,38 @@ def _mm_features_oracle() -> str:
 # G.711 + WAV-tag tier (g7 CTE — mu-law/A-law constant-code streams
 # whose full segment expansion is pure integer SQL, plus LIST/INFO
 # tags read back through extract_audio_tags).
-@query("mm_media_features", oracle=_mm_features_oracle())
-def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mm_tier_frames(spark: SparkSession, sf_dir: str):
+    """Build the mm_media_features verification tiers: ``(feats, tiers)``
+    where ``tiers`` is an ordered dict of per-tier DataFrames keyed by
+    media_id, every tier still flowing through its first-class extract_*
+    operator (extract_image_meta / resize_images / extract_gif_frames /
+    extract_audio_meta / extract_audio_tags / extract_image_profile /
+    extract_video_meta / extract_mp3_subband_features /
+    extract_mp3_sideinfo_stats — the operators this entry drives under
+    the oracle are unchanged).
+
+    r15 optimization restructure (guide §2.3/§2.4/§4):
+
+    - ONE synth ``mapInPandas`` node builds every tier's payload column
+      (r14 shape: 13 separate synth python nodes, each re-scanning the
+      documents parquet behind its own repartition — 45 parquet scans /
+      88 exchanges / ~60 python nodes in the sf0.1 plan). The payload
+      frame is ``localCheckpoint``'ed so the consuming extract branches
+      read materialized blocks instead of re-running synth lineage 15×.
+    - Partition counts derive from the corpus size with per-tier CPU
+      weights (measured single-thread kernel cost: FLAC ≈ 4 ms/row,
+      JPEG/MPEG-L1+L2/pHash ≈ 1-1.3 ms/row, metadata walks ≤ 0.3
+      ms/row). The measured per-python-task dispatch overhead on this
+      host is ~7-10 ms and largely serialized, so a 32-partition stage
+      of a trivial kernel cost ~0.7 s wall while 4 partitions cost
+      ~0.2 s — python-task count must track actual CPU. Caps are
+      ``defaultParallelism``, so on a real cluster every tier degrades
+      to full-width — nothing here is local[32]-specific.
+    """
     import numpy as np
     import pandas as pd
+
+    from pyspark.sql import types as T
 
     from .multimodal.media import (
         attach_media_payload,
@@ -2900,45 +2928,267 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media_payload(
         d, bytes_col="text", id_col="doc_id", media_type="text/plain", source_col="source"
     )
-    # r13: documents at bench SF arrives as ONE parquet split, so every
-    # codec kernel below ran serially (one mapInPandas task). Spread the
-    # payload rows across the executor cores first — hash-partitioned on
-    # media_id so the tier joins can reuse the exchange; at crawl scale
-    # the source arrives multi-split and this is a no-op-sized shuffle
-    media = media.repartition(
-        spark.sparkContext.defaultParallelism, "media_id"
-    )
-    feats = extract_media_features(media)
-    feats = feats.join(media.select("media_id", "source"), on="media_id")
+    par = spark.sparkContext.defaultParallelism
+    # corpus size (parquet metadata-only count, one cheap job) drives the
+    # partition ladder; the defaultParallelism cap keeps it scale-adaptive
+    n_docs = d.count()
 
-    def mk_png(it):
+    def parts(rows_per_task: int) -> int:
+        return max(2, min(par, -(-n_docs // rows_per_task)))
+
+    heavy_n = parts(150)  # FLAC encode+decode ≈ 4 ms/row
+    mid_n = parts(400)  # JPEG / MPEG L1+L2 / pHash-PNG ≈ 1-1.3 ms/row
+    light_n = parts(1250)  # metadata walks / tiny codecs ≤ 0.3 ms/row
+
+    # text-payload feature pass + source carry: light CPU. At crawl scale
+    # the source arrives multi-split and this is a no-op-sized shuffle.
+    media = media.repartition(light_n, "media_id")
+    feats = extract_media_features(media)
+    src = media.select("media_id", "source")
+
+    # ---- ONE synth pass: every tier's payload in one python node ----
+    # (each per-id body is byte-identical to the r14 per-tier closure;
+    # the closed-form design notes live in the oracle CTE comments)
+    pay_schema = T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [
+            T.StructField(c, T.BinaryType())
+            for c in (
+                "png_p", "rsz_p", "plt_p", "jpg_p", "anim_p", "flac_p",
+                "phs_p", "mp4_p", "g711_p", "mp1_p", "mp2_p", "mp3si_p",
+                "wav_p",
+            )
+        ]
+    )
+
+    def mk_payloads(it):
+        # heavyweight constants once per task (guide §4.5)
+        from .multimodal.flac import encode_flac
+        from .multimodal.media import (
+            add_wav_info,
+            encode_gif_animation,
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+            encode_mp3_frames,
+            encode_mp4_skeleton,
+        )
+        from .multimodal.mpeg_audio import (
+            design_alloc_table,
+            encode_layer1,
+            encode_layer2,
+        )
+        from .multimodal.phash import _dct_basis_n
+
+        plt_pal = np.stack(
+            [np.arange(86), 2 * np.arange(86), 3 * np.arange(86)], axis=1
+        ).astype(np.uint8)
+        anim_pal = np.stack(
+            [16 * np.arange(16) + 1, 8 * np.arange(16) + 3,
+             4 * np.arange(16) + 7], axis=1
+        ).astype(np.uint8)
+        flac_modes = ["independent", "left_side", "right_side", "mid_side"]
+        dct_a = _dct_basis_n(32)
+        mp4_codecs = ("avc1", "hev1", "mp4v", "av01")
+        l2_tab = design_alloc_table()
+        l2_rows = l2_tab["rows"]
+
         for pdf in it:
-            payloads = []
+            out = {f.name: [] for f in pay_schema.fields}
+            out["media_id"] = pdf["media_id"]
             for mid in pdf["media_id"]:
                 mid = int(mid)
+                # png tier: ramp v0..v0+N-1 stays < 256 (N <= 105)
                 w, h = 1 + mid % 7, 1 + mid % 5
                 c = 3 if mid % 2 == 0 else 1
-                v0 = mid % 150  # ramp v0..v0+N-1 stays < 256 (N <= 105)
-                px = (
-                    (v0 + np.arange(w * h * c)).astype(np.uint8).reshape(h, w, c)
+                v0 = mid % 150
+                out["png_p"].append(
+                    encode_png(
+                        (v0 + np.arange(w * h * c)).astype(np.uint8).reshape(h, w, c)
+                    )
                 )
-                payloads.append(encode_png(px))
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "payload": payloads}
-            )
+                # rsz tier: even dims + row-constant value v0+2y — the
+                # 2x box-average is exact
+                w, h = 2 * (1 + mid % 4), 2 * (1 + mid % 3)
+                c = 3 if mid % 2 == 0 else 1
+                row_vals = (v0 + 2 * np.arange(h, dtype=np.int64)) % 256
+                out["rsz_p"].append(
+                    encode_png(
+                        np.broadcast_to(
+                            row_vals[:, None, None], (h, w, c)
+                        ).astype(np.uint8)
+                    )
+                )
+                # palette tier (r10): indexed PNG, palette entry
+                # k = (k, 2k, 3k), index ramp i0..i0+N-1 — image mean is
+                # exactly 2*i0 + (N-1)
+                w, h = 1 + mid % 5, 1 + mid % 4
+                i0 = mid % 40
+                idx = (i0 + np.arange(w * h)).astype(np.uint8).reshape(h, w)
+                out["plt_p"].append(encode_png(idx, palette=plt_pal))
+                # jpg tier (r11-r13): 8x8-constant DC-only blocks decode
+                # bit-exactly; odd ids PROGRESSIVE (SOF2), ids % 5 == 0
+                # at 12-bit precision, restart_interval rotates mid % 4
+                wb, hb = 1 + mid % 3, 1 + mid % 2
+                v0j = mid % 97
+                vals = (v0j + 16 * np.arange(wb * hb)).reshape(hb, wb)
+                px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                enc = encode_jpeg_progressive if mid % 2 else encode_jpeg_baseline
+                out["jpg_p"].append(
+                    enc(
+                        px,
+                        restart_interval=mid % 4,
+                        precision=12 if mid % 5 == 0 else 8,
+                    )
+                )
+                # GIF animation tier (r13)
+                nf = 2 + mid % 3
+                frames = [
+                    {
+                        "indexes": np.full(
+                            (2 + mid % 2, 3 + mid % 2), (mid + k) % 16, np.uint8
+                        ),
+                        "delay_cs": 5 + (mid + k) % 7,
+                    }
+                    for k in range(nf)
+                ]
+                out["anim_p"].append(encode_gif_animation(frames, anim_pal))
+                # FLAC PCM tier (r13): phase-opposed ±A square waves,
+                # stereo decorrelation rotating over id % 4
+                amp = 1 + mid % 999
+                n = 192 * (1 + mid % 3) + 100  # short last frame, always
+                left = np.where(np.arange(n) % 2 == 0, amp, -amp)
+                st = np.stack([left, -left], axis=1).astype(np.int64)
+                out["flac_p"].append(
+                    encode_flac(
+                        st, 8000, block_size=192, subframe="fixed",
+                        order=1, stereo=flac_modes[mid % 4],
+                    )
+                )
+                # pHash tier (r13): 32x32 grayscale plane whose 64-bit
+                # DCT pHash is the doc_id-keyed sign pattern (derivation
+                # in the oracle's phs CTE comment)
+                v = (mid * 2654435761) % (1 << 31)
+                sign = np.zeros(64)
+                for p in range(31):
+                    b = (v >> p) & 1
+                    sign[1 + 2 * p] = 1.0 if b else -1.0
+                    sign[2 + 2 * p] = -1.0 if b else 1.0
+                sign[63] = -1.0
+                coef = np.zeros((32, 32))
+                coef[:8, :8] = (31.0 * sign).reshape(8, 8)
+                pxp = np.round(128.0 + dct_a.T @ coef @ dct_a).astype(np.uint8)
+                out["phs_p"].append(encode_png(pxp[:, :, None]))
+                # mp4 tier (r13/r14/r15): structural ISO-BMFF skeleton;
+                # seek tables closed-form in doc_id (stsz sizes
+                # base+1..base+n, stss every k-th sample, stco/co64 by
+                # parity — design notes in the vid CTE comment)
+                nmp = 6 * (1 + mid % 4)
+                base = 100 * (1 + mid % 5)
+                k = 1 + mid % 3
+                m = 1 + mid % 2
+                out["mp4_p"].append(
+                    encode_mp4_skeleton(
+                        timescale=1000,
+                        duration=500 * (1 + mid % 9),
+                        video_dims=(16 * (1 + mid % 5), 16 * (1 + mid % 4)),
+                        n_audio_tracks=mid % 3,
+                        video_codec=mp4_codecs[mid % 4],
+                        video_stts=[(nmp, 100 * (1 + mid % 3))],
+                        media_timescale=2400,
+                        video_sample_sizes=[base + i for i in range(1, nmp + 1)],
+                        video_sync_samples=list(range(1, nmp + 1, k)),
+                        video_chunk_offsets=[64 * (j + 1) for j in range(m)],
+                        use_co64=mid % 2 == 1,
+                    )
+                )
+                # G.711 + tags tier (late r13): constant-code streams,
+                # mu-law even / A-law odd, LIST/INFO tag chunk
+                codes = np.full((64, 1), mid % 256, np.uint8)
+                g_enc = "ulaw" if mid % 2 == 0 else "alaw"
+                out["g711_p"].append(
+                    add_wav_info(
+                        encode_wav(codes, 8000, encoding=g_enc),
+                        {"title": f"t{mid % 50}", "year": str(1900 + mid % 120)},
+                    )
+                )
+                # MPEG-1 Layer I tier (r14): one frame, one active
+                # subband, alternating max-code / zero-code samples
+                nch = 1 if mid % 2 == 0 else 2
+                a1 = 1 + mid % 14
+                nb = a1 + 1
+                sb = mid % 32
+                alloc = np.zeros((nch, 32), np.int64)
+                scf = np.zeros((nch, 32), np.int64)
+                codes1 = np.zeros((12, nch, 32), np.int64)
+                for ch in range(nch):
+                    alloc[ch, sb] = a1
+                    scf[ch, sb] = 3 * (mid % 9)
+                    codes1[::2, ch, sb] = (1 << nb) - 1
+                out["mp1_p"].append(
+                    encode_layer1(
+                        [{"alloc": alloc, "scf": scf, "codes": codes1}],
+                        mode="mono" if nch == 1 else "stereo",
+                        bitrate_kbps=64,
+                    )
+                )
+                # Layer II tier (r14): one active subband, grouped AND
+                # ungrouped quantization classes from the fixture table
+                sb2 = mid % l2_tab["sblimit"]
+                levels = l2_rows[sb2][1]
+                a2 = 1 + mid % len(levels)
+                nl = levels[a2 - 1]
+                alloc2 = np.zeros((nch, 32), np.int64)
+                scfsi = np.full((nch, 32), 2, np.int64)
+                scf2 = np.zeros((nch, 32, 3), np.int64)
+                codes2 = np.zeros((36, nch, 32), np.int64)
+                for ch in range(nch):
+                    alloc2[ch, sb2] = a2
+                    scf2[ch, sb2, :] = 3 * (mid % 9)
+                    codes2[::2, ch, sb2] = nl - 1
+                    codes2[1::2, ch, sb2] = (nl - 1) // 2
+                out["mp2_p"].append(
+                    encode_layer2(
+                        [{"alloc": alloc2, "scfsi": scfsi, "scf": scf2,
+                          "codes": codes2}],
+                        alloc_table=l2_tab,
+                        mode="mono" if nch == 1 else "stereo",
+                        bitrate_kbps=48,
+                    )
+                )
+                # Layer III side-info tier (r14)
+                out["mp3si_p"].append(
+                    encode_mp3_frames(
+                        3,
+                        channels=1 if mid % 2 == 0 else 2,
+                        global_gain=64 + mid % 128,
+                        short_blocks=(False, mid % 3 == 0),
+                    )
+                )
+                # WAV tier: ±A square wave — RMS = peak = A
+                ampw = 1 + mid % 9999
+                nw = 8 * (1 + mid % 16)
+                chw = 2 if mid % 3 == 0 else 1
+                wave = np.where(np.arange(nw) % 2 == 0, ampw, -ampw).astype(np.int16)
+                out["wav_p"].append(
+                    encode_wav(np.repeat(wave[:, None], chw, axis=1), sample_rate=8000)
+                )
+            yield pd.DataFrame(out)
 
-    from pyspark.sql import types as T
-
-    pngs = media.select("media_id").mapInPandas(
-        mk_png,
-        T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("payload", T.BinaryType()),
-            ]
-        ),
+    pf = (
+        media.select("media_id")
+        .repartition(heavy_n, "media_id")
+        .mapInPandas(mk_payloads, pay_schema)
+        .localCheckpoint()
     )
-    img = extract_image_meta(pngs).select(
+    # narrow views at each CPU weight: coalesce on the checkpointed frame
+    # is exchange-free and re-reads materialized blocks, never the synth
+    pf_mid = pf.coalesce(mid_n) if mid_n < heavy_n else pf
+    pf_light = pf.coalesce(light_n) if light_n < heavy_n else pf
+
+    def leg(view, col):
+        return view.select("media_id", F.col(col).alias("payload"))
+
+    img = extract_image_meta(leg(pf_light, "png_p")).select(
         "media_id",
         F.col("format").alias("img_format"),
         F.col("width").alias("img_width"),
@@ -2947,32 +3197,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pixel_mean", 6).alias("img_pixel_mean"),
     )
 
-    payload_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-
-    def mk_rsz_png(it):
-        # even dims + row-constant value v0+2y: 2x box-average is exact
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                w, h = 2 * (1 + mid % 4), 2 * (1 + mid % 3)
-                c = 3 if mid % 2 == 0 else 1
-                v0 = mid % 150
-                row_vals = (v0 + 2 * np.arange(h, dtype=np.int64)) % 256
-                px = np.broadcast_to(
-                    row_vals[:, None, None], (h, w, c)
-                ).astype(np.uint8)
-                payloads.append(encode_png(px))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    rsz = resize_images(
-        media.select("media_id").mapInPandas(mk_rsz_png, payload_schema), scale=2
-    ).select(
+    rsz = resize_images(leg(pf_light, "rsz_p"), scale=2).select(
         "media_id",
         F.col("width").alias("rsz_width"),
         F.col("height").alias("rsz_height"),
@@ -2980,26 +3205,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pixel_mean").alias("rsz_pixel_mean"),
     )
 
-    def mk_plt_png(it):
-        # r10 palette tier: indexed PNG, palette entry k = (k, 2k, 3k)
-        # (3k < 256 for k <= 85), index ramp i0..i0+N-1 — per-pixel RGB
-        # mean is 2k, so the image mean is exactly 2*i0 + (N-1)
-        pal = np.stack(
-            [np.arange(86), 2 * np.arange(86), 3 * np.arange(86)], axis=1
-        ).astype(np.uint8)
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                w, h = 1 + mid % 5, 1 + mid % 4
-                i0 = mid % 40
-                idx = (i0 + np.arange(w * h)).astype(np.uint8).reshape(h, w)
-                payloads.append(encode_png(idx, palette=pal))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    plt = extract_image_meta(
-        media.select("media_id").mapInPandas(mk_plt_png, payload_schema)
-    ).select(
+    plt = extract_image_meta(leg(pf_light, "plt_p")).select(
         "media_id",
         F.col("width").alias("plt_width"),
         F.col("height").alias("plt_height"),
@@ -3007,40 +3213,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pixel_mean").alias("plt_pixel_mean"),
     )
 
-    def mk_jpg(it):
-        # r11 JPEG tier: 8x8-constant blocks (block k holds v0 + 16k,
-        # v0 = mid % 97, <= 6 blocks so max 176 < 256) are DC-only at
-        # unit quant and decode bit-exactly; restart_interval rotates
-        # over mid % 4 so live rows exercise the RSTn reader path too.
-        # r12: odd ids encode PROGRESSIVE (SOF2) instead — same pixels,
-        # same closed form, so the hash proves the §G.2 multi-scan path.
-        # r13: ids % 5 == 0 encode at 12-BIT precision (SOF1 extended
-        # sequential / 12-bit SOF2) — constant blocks are DC-only at
-        # unit quant and reconstruct the same constants at any
-        # precision, so the SAME closed form proves the 12-bit path
-        from .multimodal.media import (
-            encode_jpeg_baseline,
-            encode_jpeg_progressive,
-        )
-
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                wb, hb = 1 + mid % 3, 1 + mid % 2
-                v0 = mid % 97
-                vals = (v0 + 16 * np.arange(wb * hb)).reshape(hb, wb)
-                px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
-                enc = encode_jpeg_progressive if mid % 2 else encode_jpeg_baseline
-                prec = 12 if mid % 5 == 0 else 8
-                payloads.append(
-                    enc(px, restart_interval=mid % 4, precision=prec)
-                )
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    jpg = extract_image_meta(
-        media.select("media_id").mapInPandas(mk_jpg, payload_schema)
-    ).select(
+    jpg = extract_image_meta(leg(pf_mid, "jpg_p")).select(
         "media_id",
         F.col("format").alias("jpg_format"),
         F.col("width").alias("jpg_width"),
@@ -3141,43 +3314,17 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["bmp_x_mean"].append(round(parse_bmp(xb)["pixel_mean"], 6))
             yield pd.DataFrame(out)
 
-    xtr = media.select("media_id").mapInPandas(
+    xtr = pf_mid.select("media_id").mapInPandas(
         mk_crawl,
         "media_id long, bmp_mean double, gif_frames int, gif_width int, "
         "gif_height int, gif_mean double, flac_duration double, "
         "opus_duration double, bmp_x_mean double",
     )
 
-    def mk_anim(it):
-        # r13 GIF animation tier (closed forms in the oracle's gan CTE)
-        from .multimodal.media import encode_gif_animation
-
-        anim_pal = np.stack(
-            [16 * np.arange(16) + 1, 8 * np.arange(16) + 3,
-             4 * np.arange(16) + 7], axis=1
-        ).astype(np.uint8)
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                nf = 2 + mid % 3
-                frames = [
-                    {
-                        "indexes": np.full((2 + mid % 2, 3 + mid % 2),
-                                           (mid + k) % 16, np.uint8),
-                        "delay_cs": 5 + (mid + k) % 7,
-                    }
-                    for k in range(nf)
-                ]
-                payloads.append(encode_gif_animation(frames, anim_pal))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
     from .multimodal.media import extract_gif_frames
 
     gan = (
-        extract_gif_frames(
-            media.select("media_id").mapInPandas(mk_anim, payload_schema)
-        )
+        extract_gif_frames(leg(pf_light, "anim_p"))
         .groupBy("media_id")
         .agg(
             F.max("n_frames").alias("anim_frames"),
@@ -3188,35 +3335,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def mk_flac(it):
-        # r13 FLAC PCM tier (closed forms in the oracle's fpc CTE):
-        # phase-opposed +/-A square waves through a REAL Rice-coded
-        # fixed-predictor encode (multimodal/flac.py), stereo
-        # decorrelation mode rotating over id % 4 so all four
-        # reconstruction paths run on live rows; decoded by
-        # extract_audio_meta's r13 FLAC sample tier
-        from .multimodal.flac import encode_flac
-
-        modes = ["independent", "left_side", "right_side", "mid_side"]
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                amp = 1 + mid % 999
-                n = 192 * (1 + mid % 3) + 100  # short last frame, always
-                left = np.where(np.arange(n) % 2 == 0, amp, -amp)
-                st = np.stack([left, -left], axis=1).astype(np.int64)
-                payloads.append(
-                    encode_flac(
-                        st, 8000, block_size=192, subframe="fixed",
-                        order=1, stereo=modes[mid % 4],
-                    )
-                )
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    fpc = extract_audio_meta(
-        media.select("media_id").mapInPandas(mk_flac, payload_schema)
-    ).select(
+    fpc = extract_audio_meta(leg(pf, "flac_p")).select(
         "media_id",
         F.col("rms").alias("flac_rms"),
         F.col("peak").alias("flac_peak"),
@@ -3224,41 +3343,26 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("duration_sec", 6).alias("flac_pcm_duration"),
     )
 
-    def mk_phash_img(it):
-        # r13 pHash tier: synthesize the 32x32 grayscale plane whose
-        # 64-bit DCT pHash is the doc_id-keyed sign pattern (closed-form
-        # derivation and the exactness proof live in the oracle's phs
-        # CTE comment): +/-31 on the 63 non-DC low-block positions — 31
-        # pluses placed pairwise by the bits of v = id*2654435761 mod
-        # 2^31, position 63 fixed minus — pixels = 128 + idct, in
-        # [6, 250] by construction so rounding never clips
-        from .multimodal.phash import _dct_basis_n
+    from .multimodal.media import extract_audio_tags
 
-        a = _dct_basis_n(32)
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                v = (mid * 2654435761) % (1 << 31)
-                sign = np.zeros(64)
-                for p in range(31):
-                    b = (v >> p) & 1
-                    sign[1 + 2 * p] = 1.0 if b else -1.0
-                    sign[2 + 2 * p] = -1.0 if b else 1.0
-                sign[63] = -1.0
-                coef = np.zeros((32, 32))
-                coef[:8, :8] = (31.0 * sign).reshape(8, 8)
-                px = np.round(128.0 + a.T @ coef @ a).astype(np.uint8)
-                payloads.append(encode_png(px[:, :, None]))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+    g7_media = leg(pf_light, "g711_p")
+    # the audio-meta and tags passes are separate pivot legs (r15) — the
+    # r14 shape joined them here, which added one more join level; the
+    # union-pivot in mm_media_features recombines them without a join
+    g7a = extract_audio_meta(g7_media).select(
+        "media_id", F.col("peak").alias("g711_peak")
+    )
+    g7b = extract_audio_tags(g7_media).select(
+        "media_id",
+        F.col("title").alias("wav_title"),
+        F.col("year").alias("wav_year"),
+    )
 
     # through the ONE-PASS profile kernel (r13), so the driver hash
     # also proves the combined decode->meta+features+phash path live
     from .multimodal.media import extract_image_profile
 
-    phs = extract_image_profile(
-        media.select("media_id").mapInPandas(mk_phash_img, payload_schema)
-    ).select("media_id", "phash")
+    phs = extract_image_profile(leg(pf_mid, "phs_p")).select("media_id", "phash")
 
     # r13 late: the banded join, driver-verified — partners within
     # hamming distance 2 per row via phash_near_dups (exact recall by
@@ -3282,7 +3386,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1 << (62 - 2 * pbit)),
         ).otherwise(F.lit(1 << (61 - 2 * pbit)))
         ph_terms = t if ph_terms is None else ph_terms + t
-    trip = media.select(
+    trip = pf_light.select(
         "media_id", (ph_terms + F.lit(-(1 << 63))).alias("phash")
     )
     pairs = phash_near_dups(trip, max_distance=2)
@@ -3299,53 +3403,9 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def mk_mp4(it):
-        # r13 video tier: a structural ISO-BMFF skeleton per document;
-        # mvhd ticks/timescale, tkhd dims, hdlr track counts all
-        # arithmetic in doc_id. r14: a real sample-table stack on the
-        # video trak — codec fourcc cycles a 4-entry list, stts carries
-        # 6*(1+id%4) samples at delta 100*(1+id%3) ticks against a 2400
-        # mdhd timescale, so n_samples and fps = 24/(1+id%3) are closed
-        # forms.
-        from .multimodal.media import encode_mp4_skeleton
-
-        codecs = ("avc1", "hev1", "mp4v", "av01")
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                # r15 seek tables: n = 6*(1+id%4) samples; stsz sizes
-                # base+1..base+n (base = 100*(1+id%5)) -> total =
-                # n*base + n(n+1)/2, max = base+n; stss every k-th
-                # sample (k = 1+id%3, k | n always since 6 | n) ->
-                # n/k keyframes; 1+id%2 chunk offsets via stco on even
-                # ids and co64 on odd (both walk paths on live rows)
-                n = 6 * (1 + mid % 4)
-                base = 100 * (1 + mid % 5)
-                k = 1 + mid % 3
-                m = 1 + mid % 2
-                payloads.append(
-                    encode_mp4_skeleton(
-                        timescale=1000,
-                        duration=500 * (1 + mid % 9),
-                        video_dims=(16 * (1 + mid % 5), 16 * (1 + mid % 4)),
-                        n_audio_tracks=mid % 3,
-                        video_codec=codecs[mid % 4],
-                        video_stts=[(n, 100 * (1 + mid % 3))],
-                        media_timescale=2400,
-                        video_sample_sizes=[base + i for i in range(1, n + 1)],
-                        video_sync_samples=list(range(1, n + 1, k)),
-                        video_chunk_offsets=[64 * (j + 1) for j in range(m)],
-                        use_co64=mid % 2 == 1,
-                    )
-                )
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
     from .multimodal.media import extract_video_meta
 
-    vid = extract_video_meta(
-        media.select("media_id").mapInPandas(mk_mp4, payload_schema)
-    ).select(
+    vid = extract_video_meta(leg(pf_light, "mp4_p")).select(
         "media_id",
         F.round("duration_sec", 6).alias("mp4_duration"),
         F.col("width").alias("mp4_width"),
@@ -3360,81 +3420,9 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunks").alias("mp4_n_chunks"),
     )
 
-    def mk_g711(it):
-        # late r13 G.711 + tags tier (closed forms in the g7 CTE):
-        # constant-code streams, mu-law on even ids / A-law on odd,
-        # wrapped with a LIST/INFO tag chunk
-        from .multimodal.media import add_wav_info, encode_wav as _ew
-
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                codes = np.full((64, 1), mid % 256, np.uint8)
-                enc = "ulaw" if mid % 2 == 0 else "alaw"
-                wav = _ew(codes, 8000, encoding=enc)
-                payloads.append(add_wav_info(wav, {
-                    "title": f"t{mid % 50}",
-                    "year": str(1900 + mid % 120),
-                }))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    from .multimodal.media import extract_audio_tags
-
-    g7_media = media.select("media_id").mapInPandas(mk_g711, payload_schema)
-    g7 = (
-        extract_audio_meta(g7_media)
-        .select("media_id", F.col("peak").alias("g711_peak"))
-        .join(
-            extract_audio_tags(g7_media).select(
-                "media_id",
-                F.col("title").alias("wav_title"),
-                F.col("year").alias("wav_year"),
-            ),
-            on="media_id",
-        )
-    )
-
-    def mk_mp3l1(it):
-        # r14 MPEG-1 Layer I tier (closed forms in the oracle's mpg
-        # CTE): one frame, one active subband (id % 32) carrying
-        # alternating max-code / zero-code samples at nb = 2 + id%14
-        # bits, scalefactor index 3·(id % 9) so the scalefactor is the
-        # dyadic 2^(1-k); mono on even ids, stereo with the same
-        # pattern in both channels on odd — every requantized value is
-        # an exact closed form of (nb, k). Bitrate pinned 64 kbps so
-        # the oracle's bitrate column is constant.
-        from .multimodal.mpeg_audio import encode_layer1
-
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                nch = 1 if mid % 2 == 0 else 2
-                a = 1 + mid % 14
-                nb = a + 1
-                sb = mid % 32
-                alloc = np.zeros((nch, 32), np.int64)
-                scf = np.zeros((nch, 32), np.int64)
-                codes = np.zeros((12, nch, 32), np.int64)
-                for ch in range(nch):
-                    alloc[ch, sb] = a
-                    scf[ch, sb] = 3 * (mid % 9)
-                    codes[::2, ch, sb] = (1 << nb) - 1
-                payloads.append(
-                    encode_layer1(
-                        [{"alloc": alloc, "scf": scf, "codes": codes}],
-                        mode="mono" if nch == 1 else "stereo",
-                        bitrate_kbps=64,
-                    )
-                )
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
     from .multimodal.mpeg_audio import extract_mp3_subband_features
 
-    mpg = extract_mp3_subband_features(
-        media.select("media_id").mapInPandas(mk_mp3l1, payload_schema)
-    ).select(
+    mpg = extract_mp3_subband_features(leg(pf_mid, "mp1_p")).select(
         "media_id",
         "mp3_mode",
         "mp3_bitrate_kbps",
@@ -3443,54 +3431,10 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sb_peak", 6).alias("mp3_sb_peak"),
     )
 
-    def mk_mp2(it):
-        # r14 Layer II tier (closed forms in the oracle's mp2 CTE): one
-        # frame, one active subband sb = id % 12 whose quantization
-        # class is the (id % len)-th entry of the fixture table's row
-        # (design_alloc_table: 15/7/3-class rows exercise grouped
-        # 3/5/9-step AND ungrouped codes, and 4/3/2-bit allocation
-        # fields). Even sample indices carry the class's MAX code
-        # ((nl-1)/nl after requantization), odd the exact-zero middle
-        # code; scfsi=2 folds to ONE scalefactor 3*(id%9) = the dyadic
-        # 2^(1-k). So peak = 2^(1-k)*(nl-1)/nl and, with 18 nonzero of
-        # 36*nch*32 entries, rms = peak/8 — identical mono/stereo.
-        from .multimodal.mpeg_audio import design_alloc_table, encode_layer2
-
-        tab = design_alloc_table()
-        rows_tab = tab["rows"]
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                nch = 1 if mid % 2 == 0 else 2
-                sb = mid % tab["sblimit"]
-                levels = rows_tab[sb][1]
-                a = 1 + mid % len(levels)
-                nl = levels[a - 1]
-                alloc = np.zeros((nch, 32), np.int64)
-                scfsi = np.full((nch, 32), 2, np.int64)
-                scf = np.zeros((nch, 32, 3), np.int64)
-                codes = np.zeros((36, nch, 32), np.int64)
-                for ch in range(nch):
-                    alloc[ch, sb] = a
-                    scf[ch, sb, :] = 3 * (mid % 9)
-                    codes[::2, ch, sb] = nl - 1
-                    codes[1::2, ch, sb] = (nl - 1) // 2
-                payloads.append(
-                    encode_layer2(
-                        [{"alloc": alloc, "scfsi": scfsi, "scf": scf,
-                          "codes": codes}],
-                        alloc_table=tab,
-                        mode="mono" if nch == 1 else "stereo",
-                        bitrate_kbps=48,
-                    )
-                )
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
     from .multimodal.mpeg_audio import design_alloc_table as _dat
 
     mp2 = extract_mp3_subband_features(
-        media.select("media_id").mapInPandas(mk_mp2, payload_schema),
+        leg(pf_mid, "mp2_p"),
         layer=2,
         alloc_table=_dat(),
     ).select(
@@ -3501,55 +3445,15 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sb_peak", 6).alias("mp2_sb_peak"),
     )
 
-    def mk_l3(it):
-        # r14 Layer III side-info tier (closed forms in the oracle's
-        # l3 CTE): real side-info regions with global_gain 64+id%128 in
-        # every (granule, channel) cell and granule 1 short-blocked
-        # when id%3==0 — so gain_mean = 64+id%128 and short_share =
-        # 0.5*(id%3==0) exactly, mono/stereo alternating by parity.
-        from .multimodal.media import encode_mp3_frames
-
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                payloads.append(
-                    encode_mp3_frames(
-                        3,
-                        channels=1 if mid % 2 == 0 else 2,
-                        global_gain=64 + mid % 128,
-                        short_blocks=(False, mid % 3 == 0),
-                    )
-                )
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
     from .multimodal.media import extract_mp3_sideinfo_stats
 
-    l3 = extract_mp3_sideinfo_stats(
-        media.select("media_id").mapInPandas(mk_l3, payload_schema)
-    ).select(
+    l3 = extract_mp3_sideinfo_stats(leg(pf_light, "mp3si_p")).select(
         "media_id",
         F.round("l3_gain_mean", 6).alias("l3_gain_mean"),
         F.round("l3_short_share", 6).alias("l3_short_share"),
     )
 
-    def mk_wav(it):
-        # +/-A square wave: every sample magnitude A => RMS = peak = A
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                amp = 1 + mid % 9999
-                n = 8 * (1 + mid % 16)
-                ch = 2 if mid % 3 == 0 else 1
-                wave = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(np.int16)
-                s = np.repeat(wave[:, None], ch, axis=1)
-                payloads.append(encode_wav(s, sample_rate=8000))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    aud = extract_audio_meta(
-        media.select("media_id").mapInPandas(mk_wav, payload_schema)
-    ).select(
+    aud = extract_audio_meta(leg(pf_light, "wav_p")).select(
         "media_id",
         F.col("channels").alias("audio_channels"),
         "sample_rate",
@@ -3559,23 +3463,55 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
     )
 
+    tiers = {
+        "src": src,
+        "img": img, "rsz": rsz, "plt": plt, "jpg": jpg, "xtr": xtr,
+        "gan": gan, "fpc": fpc, "g7a": g7a, "g7b": g7b, "phs": phs,
+        "php": php, "vid": vid, "mpg": mpg, "mp2": mp2, "l3": l3,
+        "aud": aud,
+    }
+    return feats, tiers
+
+
+@query("mm_media_features", oracle=_mm_features_oracle())
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: the r14 shape folded the tiers with a 16-level join chain —
+    # under AQE each level materialized its own shuffle stage, so the
+    # tiers executed near-serially (measured: FULL ≈ Σ tier walls). Every
+    # tier is 1:1 on media_id and owns disjoint columns, so the join tree
+    # collapses into ONE exchange: pad each tier to the full column set
+    # with typed NULLs, union, and groupBy(media_id) keeping the single
+    # non-null value per column (guide §2.4 — share one exchange). Rows
+    # are identical to the join form because every tier emits every id.
+    feats, tiers = _mm_tier_frames(spark, sf_dir)
+    legs = [feats] + list(tiers.values())
+    cols: "dict[str, object]" = {}
+    for fr in legs:
+        for f in fr.schema.fields:
+            if f.name == "media_id":
+                continue
+            if f.name in cols:  # a collision would silently merge tiers
+                raise ValueError(f"mm pivot: duplicate column {f.name}")
+            cols[f.name] = f.dataType
+
+    def pad(fr: DataFrame) -> DataFrame:
+        have = set(fr.columns)
+        return fr.select(
+            "media_id",
+            *[
+                (F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+                for c, t in cols.items()
+            ],
+        )
+
+    u = pad(legs[0])
+    for fr in legs[1:]:
+        u = u.unionAll(pad(fr))
+    out = u.groupBy("media_id").agg(
+        *[F.first(c, ignorenulls=True).alias(c) for c in cols]
+    )
     return (
-        feats.join(img, on="media_id")
-        .join(rsz, on="media_id")
-        .join(plt, on="media_id")
-        .join(jpg, on="media_id")
-        .join(xtr, on="media_id")
-        .join(gan, on="media_id")
-        .join(fpc, on="media_id")
-        .join(g7, on="media_id")
-        .join(phs, on="media_id")
-        .join(php, on="media_id")
-        .join(vid, on="media_id")
-        .join(mpg, on="media_id")
-        .join(mp2, on="media_id")
-        .join(l3, on="media_id")
-        .join(aud, on="media_id")
-        .select(
+        out.select(
             "media_id",
             "source",
             "n_bytes",
