@@ -3389,7 +3389,14 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
     trip = pf_light.select(
         "media_id", (ph_terms + F.lit(-(1 << 63))).alias("phash")
     )
-    pairs = phash_near_dups(trip, max_distance=2)
+    # fully-lazy variant (r15): trip is pure arithmetic over the
+    # checkpointed id frame, so re-executing it on both self-join sides
+    # is cheaper than the guard's persist + volume-agg job — and the
+    # candidate volume here is closed-form ~N by the planted-triple
+    # design, so the explosion guard has nothing to refuse
+    pairs = phash_near_dups(
+        trip, max_distance=2, max_candidate_pairs=None, nbits=64
+    )
     partners = (
         pairs.select(F.col("id_a").alias("media_id"))
         .unionAll(pairs.select(F.col("id_b").alias("media_id")))

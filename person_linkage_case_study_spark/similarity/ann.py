@@ -261,8 +261,18 @@ def embedding_near_dup_pairs(
     higher recall. The full cross product is never the silent default —
     ``allow_cross_join=True`` is an explicit opt-in for small corpora.
 
-    Pair scoring is the Arrow/numpy kernel (`_pair_cosine_udf`), one
-    vectorized batch per Arrow batch.
+    Blocked scoring runs through the semdedup bucket kernel
+    (``eps_similarity_edges_bucketed`` with the caller's blocks — r15,
+    guide §2.3): each vector is shipped ONCE per block membership into a
+    grouped BLAS cosine task instead of once per candidate pair through
+    a self-join + per-pair UDF (the r14 shape moved 2·dim doubles per
+    PAIR across the exchange; the bucket form moves them per ROW and
+    inherits the grid-split straggler/mega-block guards). Cosines are
+    rounded to 6dp by both kernels with Spark HALF_UP semantics; away
+    from exact 6dp knife-edges the emitted edges are identical (the
+    accepted summation-order class documented on the bucket kernel).
+    The explicit ``allow_cross_join=True`` small-corpus path keeps the
+    per-pair Arrow kernel (`_pair_cosine_udf`).
     """
     if block_col is None and not allow_cross_join:
         n = corpus.count()
@@ -271,25 +281,38 @@ def embedding_near_dup_pairs(
             corpus, n_centroids=k, iters=4, id_col=id_col, vec_col=vec_col
         )
         corpus = ivf_assign(corpus, centroids, vec_col=vec_col, cluster_col="__ivf_blk")
-        # both self-join sides embed the assignment kernel, and exchange
-        # reuse skips Python-UDF sub-plans (see minhash_candidate_pairs) —
-        # persist so the Arrow matmul runs one corpus pass, not two
+        # the bucket scorer's pinned exchange cannot be plan-deduplicated
+        # across its two branches when the blocks come from a Python node
+        # (see minhash_candidate_pairs) — persist so the Arrow matmul
+        # runs one corpus pass, not two
         from pyspark import StorageLevel
 
         corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
         block_col = "__ivf_blk"
+    if block_col is not None:
+        from .semdedup import eps_similarity_edges_bucketed
+
+        edges = eps_similarity_edges_bucketed(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            block_col=block_col,
+        )
+        # the bucket kernel emits (id_l, id_r) = (larger, smaller); this
+        # operator's contract is id_l < id_r — swap on the way out
+        return edges.select(
+            F.col("id_r").alias(f"{id_col}_l"),
+            F.col("id_l").alias(f"{id_col}_r"),
+            "cosine",
+        )
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
-    l = c.select(
-        F.col("id").alias("id_l"), F.col("vec").alias("vec_l"), *( ["blk"] if block_col else [] )
-    )
-    r = c.select(
-        F.col("id").alias("id_r"), F.col("vec").alias("vec_r"), *( ["blk"] if block_col else [] )
-    )
-    pairs = l.join(r, on="blk") if block_col else l.crossJoin(r)
+    l = c.select(F.col("id").alias("id_l"), F.col("vec").alias("vec_l"))
+    r = c.select(F.col("id").alias("id_r"), F.col("vec").alias("vec_r"))
+    pairs = l.crossJoin(r)
     cos = _pair_cosine_udf()
     return (
         pairs.filter(F.col("id_l") < F.col("id_r"))
