@@ -113,8 +113,17 @@ def minhash_signatures(
     seed: int = 42,
     hash_fn: str = "crc32",
     engine: str = "arrow",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) per document.
+
+    ``tokens_col`` (arrow engine only): name of a column already holding
+    the token array — skips the tokenize pass. At ``shingle_n=1`` a
+    caller may pass the DISTINCT token set: the unigram shingle set (and
+    hence the signature) is the same for any token array with that set
+    (``shingles_of_tokens`` emits the distinct tokens for size ≥ 2 and
+    the single/empty token join below, all order-invariant — the r15
+    collapsed pipeline's equivalence argument, ``dedup/pipeline.py``).
 
     ``hash_fn``: "crc32" (default, JVM-native) or "md5" (portable 32-bit
     base hash == DuckDB ``md5_number_lower & 0xFFFFFFFF`` — makes the
@@ -147,8 +156,10 @@ def minhash_signatures(
     consts = _permutation_constants(num_hashes, seed)
     if engine == "arrow":
         return _minhash_signatures_arrow(
-            df, text_col, id_col, consts, shingle_n, hash_fn
+            df, text_col, id_col, consts, shingle_n, hash_fn, tokens_col
         )
+    if tokens_col is not None:
+        raise ValueError("tokens_col is only supported by the arrow engine")
     # Tokenize BEFORE the exchange: the shingle slice-lambda re-evaluates
     # its input per shingle position, so it must reference a materialized
     # array attribute, not the regex split (measured 8× on sf0.1 docs).
@@ -187,6 +198,7 @@ def _minhash_signatures_arrow(
     consts: list[tuple[int, int]],
     shingle_n: int,
     hash_fn: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Zero-shuffle signature build: JVM shingle hashes → numpy min-reduce."""
     from pyspark.sql import types as T
@@ -227,12 +239,21 @@ def _minhash_signatures_arrow(
     # shingle position (measured 0.7s → 6.2s at sf0.1).
     # Spread raw rows for parallelism on single-file local inputs; this is
     # the plan's ONLY exchange and carries the narrow (id, text) projection.
-    spread = (
-        df.select(id_col, text_col)
-        .filter(F.col(text_col).isNotNull())
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    )
-    tok = spread.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    if tokens_col is not None:
+        # caller-materialized token arrays are already distributed (the
+        # producing aggregation/cache partitioned them); the raw-row
+        # spread below exists for single-file local scans, so it would
+        # be a pure extra exchange here
+        tok = df.select(
+            F.col(id_col), F.col(tokens_col).alias("__toks")
+        ).filter(F.col("__toks").isNotNull())
+    else:
+        spread = (
+            df.select(id_col, text_col)
+            .filter(F.col(text_col).isNotNull())
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        )
+        tok = spread.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     sh = shingles_of_tokens(F.col("__toks"), shingle_n)
     if hash_fn == "md5":
         # two-pass transform: interpreted lambdas have no CSE, so the

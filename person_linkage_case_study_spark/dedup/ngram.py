@@ -36,7 +36,7 @@ before any set arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..textops.analysis import tokens
@@ -62,6 +62,37 @@ _last_candidates_caches: list = []
 _caches_lock = __import__("threading").Lock()
 
 
+def register_cache_for_release(df: DataFrame) -> None:
+    """Enroll a persisted frame in the one-call-lag release contract:
+    it is unpersisted when the NEXT ``ngram_jaccard_pairs(candidates=)``
+    call (or ``release_previous_caches()``) starts. For composed
+    pipelines (``dedup.pipeline``) whose auxiliary caches must outlive
+    the lazy returned DataFrame but not the next invocation."""
+    with _caches_lock:
+        _last_candidates_caches.append(df)
+
+
+def release_previous_caches() -> None:
+    """Unpersist the previous invocation's registered caches NOW.
+
+    Composed pipelines must call this BEFORE persisting their own
+    frames: successive invocations build byte-identical logical plans,
+    and Spark's CacheManager keys cache entries BY plan — persisting
+    generation N+1 first is a no-op against generation N's entry
+    ("already cached"), after which the deferred release drops that one
+    shared entry and every consumer silently recomputes (measured: 3
+    concurrent single-task rebuilds of the group frame, ~10s of a 17s
+    wall, before the ordering was fixed in r15)."""
+    global _last_candidates_caches
+    with _caches_lock:
+        olds, _last_candidates_caches = _last_candidates_caches, []
+    for old in olds:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session of the old cache may already be gone
+
+
 def _token_sets(df: DataFrame, block_col: str, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
@@ -70,49 +101,89 @@ def _token_sets(df: DataFrame, block_col: str, text_col: str, id_col: str) -> Da
     )
 
 
-def _bitmap_encode(t: DataFrame, vocab_size: int) -> DataFrame:
-    """(id, blk, sz, bm array<long>) — token sets as fixed-width bitmaps.
-
-    The dictionary is dense-rank over the (small, counted) vocabulary; the
-    single-partition window is bounded by ``max_bitmap_vocab`` rows.  Docs
-    with no tokens keep an all-zero bitmap (sz = 0).
-    """
-    n_chunks = (vocab_size + 63) // 64
-    vocab = (
+def _collect_vocab(t: DataFrame, max_vocab: int) -> list[str] | None:
+    """The bitmap-path dictionary, collected to the driver: the sorted
+    distinct tokens IF there are ≤ ``max_vocab`` of them, else ``None``.
+    Bounded driver transfer (``limit(max_vocab + 1)``, ≤ 4097 rows at
+    the default cap — dimension-table scale, not data scale); one job
+    replaces the former separate ``distinct().count()`` probe AND the
+    single-partition ``row_number`` window that built the dictionary as
+    a second pass (r15: two serialized driver-latency jobs → one)."""
+    rows = (
         t.select(F.explode("toks").alias("tok"))
         .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("tok")) - 1)
+        .limit(max_vocab + 1)
+        .collect()
+    )
+    if len(rows) > max_vocab:
+        return None
+    return sorted(r["tok"] for r in rows)
+
+
+def _bitmap_encode(
+    t: DataFrame, vocab: list[str], extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, blk, sz, bm array<long>) — token sets as fixed-width bitmaps.
+
+    ``vocab`` is the driver-collected sorted dictionary (see
+    ``_collect_vocab``); ids are its indices. One broadcast join tags
+    each exploded token, then ONE groupBy builds all chunk words with
+    per-chunk ``bit_or`` aggregates (r15: was groupBy(chunk) +
+    map_from_entries regroup — two shuffles and an interpreted-HOF
+    reassembly). Docs with no tokens keep an all-zero bitmap (sz = 0:
+    ``bit_or`` sees only NULLs, coalesced to 0)."""
+    n_chunks = (len(vocab) + 63) // 64
+    vocab_df = t.sparkSession.createDataFrame(
+        [(tok, i) for i, tok in enumerate(vocab)], "tok string, tid int"
     )
     enc = (
-        t.select("id", "blk", F.size("toks").alias("sz"), F.explode_outer("toks").alias("tok"))
-        .join(F.broadcast(vocab), "tok", "left")
-        .groupBy("id", "blk", "sz", (F.col("tid") / 64).cast("int").alias("chunk"))
-        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))")).alias("w"))
-    )
-    return (
-        enc.groupBy("id", "blk", "sz")
+        t.select(
+            "id", "blk", *extra_cols,
+            F.size("toks").alias("sz"), F.explode_outer("toks").alias("tok"),
+        )
+        .join(F.broadcast(vocab_df), "tok", "left")
+        .groupBy("id", "blk", *extra_cols, "sz")
         .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.when(F.col("chunk").isNotNull(), F.struct("chunk", "w"))
-                )
-            ).alias("m")
+            *[
+                F.bit_or(
+                    F.when(
+                        (F.col("tid") / 64).cast("int") == c,
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))"),
+                    )
+                ).alias(f"__w{c}")
+                for c in range(n_chunks)
+            ]
         )
-        .select(
-            "id",
-            "blk",
-            "sz",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda c: F.coalesce(F.element_at("m", c), F.lit(0).cast("long")),
-            ).alias("bm"),
-        )
+    )
+    return enc.select(
+        "id",
+        "blk",
+        *extra_cols,
+        "sz",
+        F.array(
+            *[
+                F.coalesce(F.col(f"__w{c}"), F.lit(0).cast("long"))
+                for c in range(n_chunks)
+            ]
+        ).alias("bm"),
     )
 
 
-def _bitmap_intersection(left: str, right: str):
-    counts = F.zip_with(left, right, lambda a, b: F.bit_count(a.bitwiseAND(b)))
-    return F.aggregate(counts, F.lit(0), lambda acc, x: acc + x)
+def _bitmap_intersection(left: str, right: str, n_chunks: int):
+    """Σ bit_count(l[c] & r[c]), statically unrolled over the (plan-time
+    known, ≤ 64) chunk count — whole-stage-codegen integer arithmetic.
+    The former ``zip_with`` + ``aggregate`` HOF form was interpreted
+    per pair (lambda eval, no codegen): on 12.3M candidate pairs the
+    unroll is the difference between an expression and a per-row
+    interpreter loop (r15, guide §4.1 'prefer built-ins/codegen')."""
+    out = F.bit_count(
+        F.element_at(left, 1).bitwiseAND(F.element_at(right, 1))
+    )
+    for c in range(1, n_chunks):
+        out = out + F.bit_count(
+            F.element_at(left, c + 1).bitwiseAND(F.element_at(right, c + 1))
+        )
+    return out
 
 
 def _hashed_ids(tok_col) -> F.Column:
@@ -143,6 +214,8 @@ def ngram_jaccard_pairs(
     max_bitmap_vocab: int = DEFAULT_MAX_BITMAP_VOCAB,
     min_bitmap_pairs: int = DEFAULT_MIN_BITMAP_PAIRS,
     candidates: DataFrame | None = None,
+    tokens_col: str | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Token-set Jaccard ≥ threshold over one of two pair sources:
 
@@ -158,9 +231,26 @@ def ngram_jaccard_pairs(
       set comparisons through a few tasks.
 
     Exactly one of ``candidates`` / ``block_col`` must be given.
-    """
+
+    ``tokens_col`` (candidates path only): name of a column of ``df``
+    already holding the DISTINCT token array (``array_distinct(tokens
+    (text))`` equivalent). The scorer then skips its own tokenize pass
+    AND its token-set persist — the caller's (typically cached) column
+    is the source of truth; the narrow encoded payload is persisted
+    lazily and released on the next call as usual (r15, for composed
+    pipelines whose group-collapse already materialized the sets).
+
+    ``carry_cols`` (candidates path only): extra columns of ``df``
+    carried through the scoring joins onto each surviving pair as
+    ``{col}_l`` / ``{col}_r``. They ride the SAME two payload joins the
+    scorer already performs (post-candidate-distinct, pre-threshold —
+    never through an extra exchange), which is how the collapsed
+    pipeline attaches group member lists without two more joins and
+    their broadcast builds (r15)."""
     if (block_col is None) == (candidates is None):
         raise ValueError("pass exactly one of block_col / candidates")
+    if (tokens_col or carry_cols) and candidates is None:
+        raise ValueError("tokens_col / carry_cols require the candidates path")
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -171,54 +261,63 @@ def ngram_jaccard_pairs(
         # release the PREVIOUS call's payload cache (the returned
         # DataFrame is lazy, so a call can never release its own — the
         # handoff bounds the leak to ONE narrow frame per session)
-        global _last_candidates_caches
-        with _caches_lock:
-            olds, _last_candidates_caches = _last_candidates_caches, []
-        for old in olds:
-            try:
-                old.unpersist()
-            except Exception:
-                pass  # session of the old cache may already be gone
+        release_previous_caches()
 
         # token sets are cached FIRST: the vocab count, the dictionary
         # build, and the bitmap encode each consume them — uncached, the
         # corpus would be re-tokenized (regex split over full text, the
-        # expensive part at scale) three times
-        raw = df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(tokens(F.col(text_col))).alias("toks"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # expensive part at scale) three times. With ``tokens_col`` the
+        # caller already materialized (and typically cached) the sets,
+        # so no tokenize and no scorer-side set cache at all.
+        carry = tuple(carry_cols or ())
+        manage_raw = tokens_col is None
+        if manage_raw:
+            raw = df.select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+                *carry,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            raw = df.select(
+                F.col(id_col).alias("id"), F.col(tokens_col).alias("toks"), *carry
+            )
         t = raw
         # bitmap decision on vocab alone: counting the candidates would
         # execute the (expensive) candidate pipeline a second time, while
-        # the vocab count is one cheap pass over the cached token sets
-        vocab_size = t.select(F.explode("toks")).distinct().count()
-        use_bitmap = 0 < vocab_size <= max_bitmap_vocab
+        # the vocab probe is one cheap pass over the cached token sets
+        # (and doubles as the dictionary collect — see _collect_vocab)
+        vocab = _collect_vocab(t, max_bitmap_vocab)
+        use_bitmap = vocab is not None and len(vocab) > 0
+        n_chunks = (len(vocab) + 63) // 64 if use_bitmap else 0
         if use_bitmap:
-            t = _bitmap_encode(t.withColumn("blk", F.lit(0)), vocab_size).drop("blk")
-            payload = ["sz", "bm"]
+            t = _bitmap_encode(
+                t.withColumn("blk", F.lit(0)), vocab, extra_cols=carry
+            ).drop("blk")
+            payload = ["sz", "bm", *carry]
         else:
             # large vocab: hashed-id arrays — the pair payload through the
             # scoring join is packed 32-bit ints, never raw token strings
             # (the measured mult-8 shuffle-scratch ceiling; 64-bit ids
             # were tried and still overflowed — see _hashed_ids)
             t = t.select(
-                "id", _hashed_ids("toks").alias("hids")
+                "id", _hashed_ids("toks").alias("hids"), *carry
             ).withColumn("sz", F.size("hids"))
-            payload = ["sz", "hids"]
+            payload = ["sz", "hids", *carry]
         # the payload table feeds BOTH join sides, and neither plan-time
         # nor AQE exchange reuse deduplicates the two subtrees (each
-        # carries its own dictionary window) — without the persist the
+        # carries its own dictionary subtree) — without the persist the
         # encode pipeline genuinely executes twice (same trap as the
         # minhash signature self-join; measured 9.4s -> 6.0s at sf0.1 /
-        # 12.3M candidates). Populate it EAGERLY so the corpus-sized
-        # token-set cache can be dropped before this call returns —
-        # only the narrow (id, sz, ids/bitmap) frame survives the call,
-        # and lineage recompute after eviction re-derives it from the
-        # (uncached) token projection, correctness unaffected.
+        # 12.3M candidates). When this call tokenized the corpus itself,
+        # populate the payload EAGERLY so the corpus-sized token-set
+        # cache can be dropped before the call returns — only the
+        # narrow (id, sz, ids/bitmap) frame survives; with ``tokens_col``
+        # the sets belong to the caller and the payload fills lazily on
+        # the first action (no extra eager job).
         t = t.persist(StorageLevel.MEMORY_AND_DISK)
-        t.count()
-        raw.unpersist()
+        if manage_raw:
+            t.count()
+            raw.unpersist()
         with _caches_lock:
             _last_candidates_caches.append(t)
         cand = candidates.select(
@@ -253,11 +352,13 @@ def ngram_jaccard_pairs(
         # will amortize them
         est_pairs = n_rows * n_rows / (2 * max(n_blocks, 1))
         use_bitmap = est_pairs >= min_bitmap_pairs
+        vocab = None
         if use_bitmap:
-            vocab_size = t.select(F.explode("toks")).distinct().count()
-            use_bitmap = 0 < vocab_size <= max_bitmap_vocab
+            vocab = _collect_vocab(t, max_bitmap_vocab)
+            use_bitmap = vocab is not None and len(vocab) > 0
+        n_chunks = (len(vocab) + 63) // 64 if use_bitmap else 0
         if use_bitmap:
-            t = _bitmap_encode(t, vocab_size)
+            t = _bitmap_encode(t, vocab)
             payload = ["sz", "bm"]
         else:
             t = t.select(
@@ -294,10 +395,15 @@ def ngram_jaccard_pairs(
         )
 
     if use_bitmap:
-        pairs = pairs.withColumn("__inter", _bitmap_intersection("bm_l", "bm_r"))
+        pairs = pairs.withColumn(
+            "__inter", _bitmap_intersection("bm_l", "bm_r", n_chunks)
+        )
     else:
         pairs = pairs.withColumn("__inter", F.size(F.array_intersect("hids_l", "hids_r")))
     union = F.col("sz_l") + F.col("sz_r") - F.col("__inter")
+    carried = [
+        F.col(f"{c}_{side}") for c in (carry_cols or ()) for side in ("l", "r")
+    ]
     return (
         pairs.withColumn(
             "jaccard",
@@ -308,5 +414,6 @@ def ngram_jaccard_pairs(
             F.col("id_l").alias(f"{id_col}_l"),
             F.col("id_r").alias(f"{id_col}_r"),
             F.round("jaccard", 6).alias("jaccard"),
+            *carried,
         )
     )

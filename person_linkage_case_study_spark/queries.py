@@ -1024,22 +1024,17 @@ _CC_ORACLE = f"""
 @query("dedup_cluster_canonical", oracle=_CC_ORACLE)
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.cluster import canonical_documents
-    from .dedup.minhash import (
-        minhash_candidate_pairs,
-        minhash_signatures,
-        pick_bands,
-    )
-    from .dedup.ngram import ngram_jaccard_pairs
+    from .dedup.minhash import pick_bands
+    from .dedup.pipeline import near_dup_pairs_collapsed
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures(d, shingle_n=1)
     # exactness-gated like dedup_near_exact_pipeline: see the recall
-    # discussion there (1-1e-9 floor → b=32/r=2)
-    cands = minhash_candidate_pairs(
-        sigs, bands=pick_bands(0.8, num_hashes=64, min_recall=1 - 1e-9),
-        est_jaccard_threshold=None,
+    # discussion there (1-1e-9 floor → b=32/r=2); r15 identical-set
+    # collapse, same pair set (dedup/pipeline.py) → same components
+    pairs = near_dup_pairs_collapsed(
+        d, threshold=0.8, num_hashes=64,
+        bands=pick_bands(0.8, num_hashes=64, min_recall=1 - 1e-9),
     )
-    pairs = ngram_jaccard_pairs(d, candidates=cands, threshold=0.8)
     return canonical_documents(pairs.select("doc_id_l", "doc_id_r"))
 
 
@@ -1118,16 +1113,15 @@ def _curation_oracle() -> str:
 @query("corpus_curation_pipeline", oracle=_curation_oracle())
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.cluster import canonical_documents
-    from .dedup.minhash import minhash_candidate_pairs, minhash_signatures
-    from .dedup.ngram import ngram_jaccard_pairs
+    from .dedup.pipeline import near_dup_pairs_collapsed
     from .textops.analysis import add_quality_signals, tokens
     from .textops.packing import pack_sequences
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     q = add_quality_signals(d).filter("quality_ok").select("doc_id", "text")
-    sigs = minhash_signatures(q, shingle_n=1)
-    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
-    pairs = ngram_jaccard_pairs(q, candidates=cands, threshold=0.8)
+    # r15 identical-set collapse (dedup/pipeline.py): same pair set at
+    # shingle_n=1, so same clusters and same survivors
+    pairs = near_dup_pairs_collapsed(q, threshold=0.8, bands=32, num_hashes=64)
     canon = canonical_documents(pairs.select("doc_id_l", "doc_id_r"))
     survivors = (
         q.join(canon, on="doc_id", how="left")
@@ -1363,12 +1357,8 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_near_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup.minhash import (
-        minhash_candidate_pairs,
-        minhash_signatures,
-        pick_bands,
-    )
-    from .dedup.ngram import ngram_jaccard_pairs
+    from .dedup.minhash import pick_bands
+    from .dedup.pipeline import near_dup_pairs_collapsed
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # unigram shingles: the minhash estimates the same token-set Jaccard
@@ -1382,12 +1372,16 @@ def dedup_near_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes min_recall=0.999 instead and gets b=16/r=4 at half the
     # banding rows — measured on THIS corpus as 30,327/30,328 pairs
     # (one boundary pair missed, i.e. the floor is real, not slack).
-    sigs = minhash_signatures(d, shingle_n=1)
-    cands = minhash_candidate_pairs(
-        sigs, bands=pick_bands(0.8, num_hashes=64, min_recall=1 - 1e-9),
-        est_jaccard_threshold=None,
+    # r15: docs with identical distinct-token sets are collapsed to one
+    # representative before the band self-join and expanded back after
+    # scoring — output-identical at shingle_n=1 (see dedup/pipeline.py;
+    # equivalence pinned in tests/test_dedup.py and by this entry's
+    # full-quadratic oracle), pre-distinct band volume 334M → 165M and
+    # scored candidates 12.32M → 7.58M at sf0.1.
+    return near_dup_pairs_collapsed(
+        d, threshold=0.8, num_hashes=64,
+        bands=pick_bands(0.8, num_hashes=64, min_recall=1 - 1e-9),
     )
-    return ngram_jaccard_pairs(d, candidates=cands, threshold=0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -3501,12 +3495,21 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise ValueError(f"mm pivot: duplicate column {f.name}")
             cols[f.name] = f.dataType
 
+    # pad via ONE selectExpr per leg: the Column-object form was 18 legs
+    # × ~100 F.lit(None).cast(...).alias(...) chains ≈ 46k py4j round
+    # trips ≈ 6.4s of DRIVER time per plan build (cProfile r15) — the
+    # query spent as long talking to the JVM as executing. SQL strings
+    # batch each leg into a single gateway call.
     def pad(fr: DataFrame) -> DataFrame:
         have = set(fr.columns)
-        return fr.select(
+        return fr.selectExpr(
             "media_id",
             *[
-                (F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+                (
+                    f"`{c}`"
+                    if c in have
+                    else f"CAST(NULL AS {t.simpleString()}) AS `{c}`"
+                )
                 for c, t in cols.items()
             ],
         )
@@ -3515,7 +3518,7 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in legs[1:]:
         u = u.unionAll(pad(fr))
     out = u.groupBy("media_id").agg(
-        *[F.first(c, ignorenulls=True).alias(c) for c in cols]
+        *[F.expr(f"first(`{c}`, true) AS `{c}`") for c in cols]
     )
     return (
         out.select(

@@ -268,6 +268,65 @@ def test_candidates_path_equals_quadratic_at_high_threshold(spark):
     assert len(quad) > 0  # the injection produced true near-dups
 
 
+def test_collapsed_pipeline_equals_uncollapsed(spark):
+    """r15 optimization pin: `near_dup_pairs_collapsed` (identical
+    token-SET collapse → LSH on representatives → member expansion)
+    must return exactly the pair set of the uncollapsed
+    minhash→LSH→exact-Jaccard composition. The corpus stresses every
+    collapse edge: exact dup text, same-set different token ORDER,
+    same-set with repeated tokens, an empty/whitespace-text group (must
+    contribute NOTHING — union 0 ⇒ J = 0.0 by the scorer's convention),
+    a NULL-text doc, singletons, and true near-dups across groups."""
+    import random
+
+    from person_linkage_case_study_spark.dedup.pipeline import (
+        near_dup_pairs_collapsed,
+    )
+
+    rng = random.Random(77)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    doc_id = 0
+    for _ in range(15):
+        base = rng.sample(words, rng.randint(6, 15))
+        rows.append((doc_id, " ".join(base)))
+        doc_id += 1
+        # exact dup, shuffled-order dup, repeated-token dup: one GROUP
+        rows.append((doc_id, " ".join(base))); doc_id += 1
+        shuf = list(base); rng.shuffle(shuf)
+        rows.append((doc_id, " ".join(shuf))); doc_id += 1
+        rows.append((doc_id, " ".join(base + [base[0], base[-1]]))); doc_id += 1
+        # near dup in a different group
+        mutated = list(base)
+        mutated[rng.randrange(len(mutated))] = rng.choice(words)
+        rows.append((doc_id, " ".join(mutated))); doc_id += 1
+    rows += [(doc_id, ""), (doc_id + 1, "   "), (doc_id + 2, ""),
+             (doc_id + 3, None), (doc_id + 4, "lonely singleton doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(df, shingle_n=1)
+    cands = minhash_candidate_pairs(sigs, bands=32, est_jaccard_threshold=None)
+    direct = {
+        (r["doc_id_l"], r["doc_id_r"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, candidates=cands, threshold=0.8).collect()
+    }
+    collapsed_df = near_dup_pairs_collapsed(df, threshold=0.8, bands=32)
+    collapsed_rows = collapsed_df.collect()
+    collapsed = {
+        (r["doc_id_l"], r["doc_id_r"], round(r["jaccard"], 9))
+        for r in collapsed_rows
+    }
+    assert collapsed == direct
+    assert len(collapsed_rows) == len(collapsed)  # no duplicate pairs
+    assert len(direct) > 0
+    # same column names and types (nullability may tighten: the
+    # expansion's ids come from exploding non-null member arrays)
+    direct_schema = ngram_jaccard_pairs(df, candidates=cands, threshold=0.8).schema
+    assert [(f.name, f.dataType) for f in collapsed_df.schema] == [
+        (f.name, f.dataType) for f in direct_schema
+    ]
+
+
 def test_candidates_scoring_plan_is_shuffled_hash_for_large_vocab(spark):
     """Scale pin for the r5 mult-8 fix: on the hashed-id (large-vocab)
     path the candidate-scoring joins must be ShuffledHashJoin — a
