@@ -3182,38 +3182,38 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
     def leg(view, col):
         return view.select("media_id", F.col(col).alias("payload"))
 
-    img = extract_image_meta(leg(pf_light, "png_p")).select(
+    img = extract_image_meta(leg(pf_light, "png_p")).selectExpr(
         "media_id",
-        F.col("format").alias("img_format"),
-        F.col("width").alias("img_width"),
-        F.col("height").alias("img_height"),
-        F.col("channels").alias("img_channels"),
-        F.round("pixel_mean", 6).alias("img_pixel_mean"),
+        "format AS img_format",
+        "width AS img_width",
+        "height AS img_height",
+        "channels AS img_channels",
+        "round(pixel_mean, 6) AS img_pixel_mean",
     )
 
-    rsz = resize_images(leg(pf_light, "rsz_p"), scale=2).select(
+    rsz = resize_images(leg(pf_light, "rsz_p"), scale=2).selectExpr(
         "media_id",
-        F.col("width").alias("rsz_width"),
-        F.col("height").alias("rsz_height"),
-        F.col("channels").alias("rsz_channels"),
-        F.col("pixel_mean").alias("rsz_pixel_mean"),
+        "width AS rsz_width",
+        "height AS rsz_height",
+        "channels AS rsz_channels",
+        "pixel_mean AS rsz_pixel_mean",
     )
 
-    plt = extract_image_meta(leg(pf_light, "plt_p")).select(
+    plt = extract_image_meta(leg(pf_light, "plt_p")).selectExpr(
         "media_id",
-        F.col("width").alias("plt_width"),
-        F.col("height").alias("plt_height"),
-        F.col("channels").alias("plt_channels"),
-        F.col("pixel_mean").alias("plt_pixel_mean"),
+        "width AS plt_width",
+        "height AS plt_height",
+        "channels AS plt_channels",
+        "pixel_mean AS plt_pixel_mean",
     )
 
-    jpg = extract_image_meta(leg(pf_mid, "jpg_p")).select(
+    jpg = extract_image_meta(leg(pf_mid, "jpg_p")).selectExpr(
         "media_id",
-        F.col("format").alias("jpg_format"),
-        F.col("width").alias("jpg_width"),
-        F.col("height").alias("jpg_height"),
-        F.col("channels").alias("jpg_channels"),
-        F.round("pixel_mean", 6).alias("jpg_pixel_mean"),
+        "format AS jpg_format",
+        "width AS jpg_width",
+        "height AS jpg_height",
+        "channels AS jpg_channels",
+        "round(pixel_mean, 6) AS jpg_pixel_mean",
     )
 
     def mk_crawl(it):
@@ -3329,12 +3329,12 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
         )
     )
 
-    fpc = extract_audio_meta(leg(pf, "flac_p")).select(
+    fpc = extract_audio_meta(leg(pf, "flac_p")).selectExpr(
         "media_id",
-        F.col("rms").alias("flac_rms"),
-        F.col("peak").alias("flac_peak"),
-        F.col("n_frames").alias("flac_n_samples"),
-        F.round("duration_sec", 6).alias("flac_pcm_duration"),
+        "rms AS flac_rms",
+        "peak AS flac_peak",
+        "n_frames AS flac_n_samples",
+        "round(duration_sec, 6) AS flac_pcm_duration",
     )
 
     from .multimodal.media import extract_audio_tags
@@ -3343,13 +3343,13 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
     # the audio-meta and tags passes are separate pivot legs (r15) — the
     # r14 shape joined them here, which added one more join level; the
     # union-pivot in mm_media_features recombines them without a join
-    g7a = extract_audio_meta(g7_media).select(
-        "media_id", F.col("peak").alias("g711_peak")
+    g7a = extract_audio_meta(g7_media).selectExpr(
+        "media_id", "peak AS g711_peak"
     )
-    g7b = extract_audio_tags(g7_media).select(
+    g7b = extract_audio_tags(g7_media).selectExpr(
         "media_id",
-        F.col("title").alias("wav_title"),
-        F.col("year").alias("wav_year"),
+        "title AS wav_title",
+        "year AS wav_year",
     )
 
     # through the ONE-PASS profile kernel (r13), so the driver hash
@@ -3370,18 +3370,17 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
     # already driver-proven by the phs tier's decode path; this tier
     # verifies the JOIN, so a second 50k-image decode pass would buy
     # nothing but wall time)
-    vtrip = (
-        (F.col("media_id") - F.col("media_id") % 3) * F.lit(2654435761)
-    ) % F.lit(2147483648)
-    ph_terms = None
-    for pbit in range(31):
-        t = F.when(
-            F.shiftright(vtrip, pbit).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1 << (62 - 2 * pbit)),
-        ).otherwise(F.lit(1 << (61 - 2 * pbit)))
-        ph_terms = t if ph_terms is None else ph_terms + t
-    trip = pf_light.select(
-        "media_id", (ph_terms + F.lit(-(1 << 63))).alias("phash")
+    # one SQL string instead of a 31-step Column loop: the loop built
+    # ~200 py4j round trips per plan; the string is ONE gateway call and
+    # parses to the identical expression tree (r15 driver-time cut)
+    vtrip_sql = "((media_id - media_id % 3) * 2654435761) % 2147483648"
+    ph_terms_sql = " + ".join(
+        f"(CASE WHEN (shiftright({vtrip_sql}, {pbit}) & 1) = 1 "
+        f"THEN {1 << (62 - 2 * pbit)}L ELSE {1 << (61 - 2 * pbit)}L END)"
+        for pbit in range(31)
+    )
+    trip = pf_light.selectExpr(
+        "media_id", f"({ph_terms_sql}) + {-(1 << 63)}L AS phash"
     )
     # fully-lazy variant (r15): trip is pure arithmetic over the
     # checkpointed id frame, so re-executing it on both self-join sides
@@ -3406,30 +3405,30 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
 
     from .multimodal.media import extract_video_meta
 
-    vid = extract_video_meta(leg(pf_light, "mp4_p")).select(
+    vid = extract_video_meta(leg(pf_light, "mp4_p")).selectExpr(
         "media_id",
-        F.round("duration_sec", 6).alias("mp4_duration"),
-        F.col("width").alias("mp4_width"),
-        F.col("height").alias("mp4_height"),
-        F.col("n_audio_tracks").alias("mp4_audio_tracks"),
-        F.col("video_codec").alias("mp4_codec"),
-        F.col("n_samples").alias("mp4_n_samples"),
-        F.round("fps", 6).alias("mp4_fps"),
-        F.col("n_keyframes").alias("mp4_n_keyframes"),
-        F.col("total_sample_bytes").alias("mp4_total_sample_bytes"),
-        F.col("max_sample_bytes").alias("mp4_max_sample_bytes"),
-        F.col("n_chunks").alias("mp4_n_chunks"),
+        "round(duration_sec, 6) AS mp4_duration",
+        "width AS mp4_width",
+        "height AS mp4_height",
+        "n_audio_tracks AS mp4_audio_tracks",
+        "video_codec AS mp4_codec",
+        "n_samples AS mp4_n_samples",
+        "round(fps, 6) AS mp4_fps",
+        "n_keyframes AS mp4_n_keyframes",
+        "total_sample_bytes AS mp4_total_sample_bytes",
+        "max_sample_bytes AS mp4_max_sample_bytes",
+        "n_chunks AS mp4_n_chunks",
     )
 
     from .multimodal.mpeg_audio import extract_mp3_subband_features
 
-    mpg = extract_mp3_subband_features(leg(pf_mid, "mp1_p")).select(
+    mpg = extract_mp3_subband_features(leg(pf_mid, "mp1_p")).selectExpr(
         "media_id",
         "mp3_mode",
         "mp3_bitrate_kbps",
-        F.col("sb_active").alias("mp3_sb_active"),
-        F.round("sb_rms", 6).alias("mp3_sb_rms"),
-        F.round("sb_peak", 6).alias("mp3_sb_peak"),
+        "sb_active AS mp3_sb_active",
+        "round(sb_rms, 6) AS mp3_sb_rms",
+        "round(sb_peak, 6) AS mp3_sb_peak",
     )
 
     from .multimodal.mpeg_audio import design_alloc_table as _dat
@@ -3438,20 +3437,20 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
         leg(pf_mid, "mp2_p"),
         layer=2,
         alloc_table=_dat(),
-    ).select(
+    ).selectExpr(
         "media_id",
-        F.col("mp3_mode").alias("mp2_mode"),
-        F.col("sb_active").alias("mp2_sb_active"),
-        F.round("sb_rms", 6).alias("mp2_sb_rms"),
-        F.round("sb_peak", 6).alias("mp2_sb_peak"),
+        "mp3_mode AS mp2_mode",
+        "sb_active AS mp2_sb_active",
+        "round(sb_rms, 6) AS mp2_sb_rms",
+        "round(sb_peak, 6) AS mp2_sb_peak",
     )
 
     from .multimodal.media import extract_mp3_sideinfo_stats
 
-    l3 = extract_mp3_sideinfo_stats(leg(pf_light, "mp3si_p")).select(
+    l3 = extract_mp3_sideinfo_stats(leg(pf_light, "mp3si_p")).selectExpr(
         "media_id",
-        F.round("l3_gain_mean", 6).alias("l3_gain_mean"),
-        F.round("l3_short_share", 6).alias("l3_short_share"),
+        "round(l3_gain_mean, 6) AS l3_gain_mean",
+        "round(l3_short_share, 6) AS l3_short_share",
     )
 
     aud = extract_audio_meta(leg(pf_light, "wav_p")).select(
