@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -683,23 +683,40 @@ class PersonLinkageCascade:
             links, ["record_id_raw_input_file"], "match_probability"
         )
         if self.collect_stats:
-            # consumed by the n_multi count, the single-PIK filter, and
-            # the confirmed join — cache the window result once
+            # consumed by the n_multi count and the confirmed pipeline —
+            # cache the window result once
             best = best.persist(StorageLevel.MEMORY_AND_DISK)
             self._stats_caches.append(best)
-        pik_counts = best.groupBy("record_id_raw_input_file").agg(
-            F.count_distinct("pik").alias("num_unique_piks")
-        )
-        single = pik_counts.filter(F.col("num_unique_piks") <= 1).select(
-            "record_id_raw_input_file"
+        # single-PIK gate as a WINDOW over the same partition key the
+        # best-window and the keep_best row_number already use (r15,
+        # guide §2.4/§3.3): the former groupBy(count_distinct) + left_semi
+        # self-join put `best` under TWO consumers, and with stats off
+        # (nothing persisted) the whole module link pipeline — blocking,
+        # gammas, scoring — executed twice, once per semi-join side
+        # (measured: the duplicated subtree was both 1.25s broadcast
+        # builds in the sf0.1 plan). collect_set drops NULL piks exactly
+        # as count_distinct ignored them, so the kept record set is
+        # identical; one exchange now feeds max → gate → row_number.
+        w_rec = Window.partitionBy("record_id_raw_input_file")
+        gated = (
+            best.withColumn(
+                "__npik", F.size(F.collect_set("pik").over(w_rec))
+            )
+            .filter(F.col("__npik") <= 1)
+            .drop("__npik")
         )
         if self.collect_stats:
-            n_multi = pik_counts.filter(F.col("num_unique_piks") > 1).count()
+            n_multi = (
+                best.groupBy("record_id_raw_input_file")
+                .agg(F.count_distinct("pik").alias("num_unique_piks"))
+                .filter(F.col("num_unique_piks") > 1)
+                .count()
+            )
             self.confirm_stats.append(
                 ConfirmStats(cfg.name, n_deceased_dropped, n_multi)
             )
         confirmed = keep_best(
-            best.join(single, on="record_id_raw_input_file", how="left_semi"),
+            gated,
             keys=["record_id_raw_input_file"],
             order_by=[F.desc("match_probability")],
             tiebreak="record_id_census_2030",
