@@ -115,10 +115,11 @@ def estimate_pair_stats(
     left: DataFrame, right: DataFrame, block_on: Sequence[str]
 ) -> PairStats:
     """``(pairs, n_left, n_right, max_key_pairs)`` from one aggregation
-    pass: per-key counts on each side, full-outer joined so ONE tiny job
-    yields the inner-join pair total (Σ count_l × count_r where both
-    sides present — missing side coalesces to 0, contributing nothing,
-    exactly the inner-join sum), each side's non-NULL-key row total
+    pass: both sides tagged with indicator columns and unioned, so ONE
+    keyed hash aggregate yields the inner-join pair total
+    (Σ count_l × count_r; a key missing on one side aggregates that
+    side's indicator to 0, contributing nothing — exactly the
+    inner-join sum), each side's non-NULL-key row total
     (rows NULL in any blocking key skip the pass by equi-join semantics,
     so they are not input to the explosion either), and the hottest
     single key's pair product. The row totals feed
@@ -156,35 +157,47 @@ def estimate_pair_stats(
     not_null = F.lit(True)
     for k in keys:
         not_null = not_null & F.col(k).isNotNull()
-    lc = (
-        left.filter(not_null)
-        .groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("__cl"),
-            F.sum(_str_payload(left, exclude_keys=False)).alias("__sl"),
+    # one union + ONE keyed aggregation instead of per-side groupBys
+    # full-outer-joined (r15, guide §2.4): tagging each side with
+    # indicator columns makes the per-key (count_l, count_r, payload_l,
+    # payload_r) a single hash aggregate — two exchanges total (keyed
+    # partial→final, then the global collapse) where the join form paid
+    # two keyed exchanges PLUS a sort-merge join, all serialized under
+    # AQE (measured 1.03 s → 0.45 s warm per pass derivation at sf0.1).
+    # Arithmetic is identical: a key present on one side aggregates the
+    # other side's indicators to 0 (sum of zero-literals over existing
+    # rows, never NULL), contributing 0 pairs exactly as the coalesced
+    # full-outer row did.
+    tagged = left.filter(not_null).select(
+        *keys,
+        F.lit(1).alias("__l"),
+        F.lit(0).alias("__r"),
+        _str_payload(left, exclude_keys=False).alias("__pl"),
+        F.lit(0).cast("long").alias("__pr"),
+    ).unionByName(
+        right.filter(not_null).select(
+            *keys,
+            F.lit(0).alias("__l"),
+            F.lit(1).alias("__r"),
+            F.lit(0).cast("long").alias("__pl"),
+            _str_payload(right, exclude_keys=True).alias("__pr"),
         )
     )
-    rc = (
-        right.filter(not_null)
-        .groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("__cr"),
-            F.sum(_str_payload(right, exclude_keys=True)).alias("__sr"),
-        )
+    per_key = tagged.groupBy(*keys).agg(
+        F.sum("__l").alias("__cl"),
+        F.sum("__r").alias("__cr"),
+        F.sum("__pl").alias("__sl"),
+        F.sum("__pr").alias("__sr"),
     )
-    key_pairs = F.coalesce("__cl", F.lit(0)) * F.coalesce("__cr", F.lit(0))
-    row = (
-        lc.join(rc, on=keys, how="full_outer")
-        .agg(
-            F.sum(key_pairs).alias("pairs"),
-            F.sum("__cl").alias("nl"),
-            F.sum("__cr").alias("nr"),
-            F.max(key_pairs).alias("maxkp"),
-            F.sum("__sl").alias("sl"),
-            F.sum("__sr").alias("sr"),
-        )
-        .first()
-    )
+    key_pairs = F.col("__cl") * F.col("__cr")
+    row = per_key.agg(
+        F.sum(key_pairs).alias("pairs"),
+        F.sum("__cl").alias("nl"),
+        F.sum("__cr").alias("nr"),
+        F.max(key_pairs).alias("maxkp"),
+        F.sum("__sl").alias("sl"),
+        F.sum("__sr").alias("sr"),
+    ).first()
     return PairStats(
         int(row["pairs"] or 0),
         int(row["nl"] or 0),
