@@ -28,6 +28,24 @@ _MERSENNE_P = 4294967311
 # signed-64 overflow inside the JVM arithmetic
 _A_MAX = 2**31
 
+# signature-spread ladder (r16): rows per python task for the arrow
+# kernel's parallelism repartition. The r15 fixed defaultParallelism
+# spread anti-scaled at bench SF (5000 docs → 32 tasks of ~156 rows:
+# per-task dispatch overhead dominated; the driver's 8-core run beat the
+# 32-core run 2.6×). Measured ladder at sf0.1 (tools/profile_r16.py):
+# 1 part 1.16s / 2 0.66 / 4 0.52 / 8 0.43 / 16 0.51 / 32 0.62 — minimum
+# at ~625 rows/task, flat 4-16. 512 keeps every sf near the flat bottom
+# and the defaultParallelism cap restores full width at corpus scale
+# (the same rows_per_task-capped-at-par shape as the mm tier ladder,
+# queries.py _mm_tier_frames.parts()).
+_SPREAD_ROWS_PER_TASK = 512
+
+
+def _spread_parts(n_rows: int, parallelism: int) -> int:
+    """Partition count for the raw-row parallelism spread: corpus-derived
+    (ceil(n / _SPREAD_ROWS_PER_TASK)), capped at ``parallelism``, floor 2."""
+    return max(2, min(parallelism, -(-n_rows // _SPREAD_ROWS_PER_TASK)))
+
 
 def _permutation_constants(k: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
@@ -248,10 +266,17 @@ def _minhash_signatures_arrow(
             F.col(id_col), F.col(tokens_col).alias("__toks")
         ).filter(F.col("__toks").isNotNull())
     else:
+        # the spread width derives from corpus size (one cheap count job —
+        # metadata-only on a parquet scan), rows-per-task ladder capped at
+        # defaultParallelism: a fixed full-width spread anti-scaled at
+        # small corpora (r16; see _SPREAD_ROWS_PER_TASK), while the cap
+        # keeps crawl-scale behavior identical to the r15 shape
+        sc = df.sparkSession.sparkContext
+        n_parts = _spread_parts(df.count(), sc.defaultParallelism)
         spread = (
             df.select(id_col, text_col)
             .filter(F.col(text_col).isNotNull())
-            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .repartition(n_parts)
         )
         tok = spread.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     sh = shingles_of_tokens(F.col("__toks"), shingle_n)

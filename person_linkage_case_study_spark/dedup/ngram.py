@@ -216,6 +216,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     tokens_col: str | None = None,
     carry_cols: list[str] | None = None,
+    eager_payload: bool = False,
 ) -> DataFrame:
     """Token-set Jaccard ≥ threshold over one of two pair sources:
 
@@ -246,11 +247,23 @@ def ngram_jaccard_pairs(
     scorer already performs (post-candidate-distinct, pre-threshold —
     never through an extra exchange), which is how the collapsed
     pipeline attaches group member lists without two more joins and
-    their broadcast builds (r15)."""
+    their broadcast builds (r15).
+
+    ``eager_payload`` (candidates + ``tokens_col`` path only, r16):
+    populate the narrow encoded-payload cache with one count job before
+    returning, instead of lazily on the first action. On its own this
+    is a wash (same work, one more driver job); it exists so a composed
+    pipeline can run this call's whole chain (vocab collect → encode →
+    populate) in one thread CONCURRENTLY with an independent chain
+    (guide §2.6 — dedup/pipeline.py overlaps it with the LSH band
+    join), instead of the final action serializing the payload build
+    behind the candidate build."""
     if (block_col is None) == (candidates is None):
         raise ValueError("pass exactly one of block_col / candidates")
     if (tokens_col or carry_cols) and candidates is None:
         raise ValueError("tokens_col / carry_cols require the candidates path")
+    if eager_payload and tokens_col is None:
+        raise ValueError("eager_payload requires the tokens_col path")
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -278,9 +291,14 @@ def ngram_jaccard_pairs(
                 *carry,
             ).persist(StorageLevel.MEMORY_AND_DISK)
         else:
+            # NULL token arrays would silently yield sz = size(NULL) = -1,
+            # corrupting the size-ratio prefilter and the union math for
+            # any pair touching that id (r15 ADVICE) — drop them, same
+            # contract as minhash's tokens_col path and the text path's
+            # isNotNull filter
             raw = df.select(
                 F.col(id_col).alias("id"), F.col(tokens_col).alias("toks"), *carry
-            )
+            ).filter(F.col("toks").isNotNull())
         t = raw
         # bitmap decision on vocab alone: counting the candidates would
         # execute the (expensive) candidate pipeline a second time, while
@@ -318,6 +336,8 @@ def ngram_jaccard_pairs(
         if manage_raw:
             t.count()
             raw.unpersist()
+        elif eager_payload:
+            t.count()
         with _caches_lock:
             _last_candidates_caches.append(t)
         cand = candidates.select(

@@ -42,6 +42,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.concurrent import run_concurrent
 from ..textops.analysis import tokens
 from .minhash import minhash_candidate_pairs, minhash_signatures
 from .ngram import (
@@ -58,13 +59,45 @@ def near_dup_pairs_collapsed(
     threshold: float = 0.8,
     bands: int = 32,
     num_hashes: int = 64,
+    max_allpairs_pairs: int = 16_000_000,
 ) -> DataFrame:
     """(``{id_col}_l``, ``{id_col}_r``, jaccard) — identical to the
     uncollapsed minhash → LSH → exact-Jaccard composition at
     ``shingle_n=1`` (the only shingle width where the signature is a
     function of the token set; wider shingles would need the collapse
     key to be the shingle set while the scorer stays token-set-based,
-    so they are not supported here)."""
+    so they are not supported here).
+
+    ``threshold`` must be > 0: the direct composition's ``jaccard >=
+    threshold`` filter would emit J = 0.0 within-empty-set pairs at
+    threshold 0, which the collapsed pipeline's ``__nonempty`` guard
+    drops — the one threshold where the two diverge (r15 ADVICE).
+
+    **Route selection (r16).** After the collapse the pipeline knows the
+    representative count n (the group build is counted eagerly either
+    way). When ``n(n-1)/2 ≤ max_allpairs_pairs`` the LSH tier is pure
+    overhead and is SKIPPED: the scorer consumes the all-pairs candidate
+    stream (one broadcast-nested-loop cross of the rep ids — zero
+    exchanges; the exact-Jaccard filter is the selective step either
+    way). Measured at sf0.1 (event-log CPU accounting, r16): banding
+    kept 7.58M of the 7.74M possible rep pairs — a 2% prune — while its
+    signature kernel, 82.5M-row band join and pair DISTINCT burned
+    ~55-90 of the pipeline's ~95-165 steady-state CPU-seconds. Above the
+    budget (crawl scale, where banding actually prunes), the LSH route
+    runs unchanged, with the candidate build overlapped §2.6-style
+    against the scorer's vocab/payload chain. Result parity: the exact
+    scorer applies the same threshold to a SUPERSET of the banding
+    candidates, so outputs are identical wherever the banding meets its
+    recall contract (callers here derive b from min_recall=1-1e-9 ⇒
+    P[miss a boundary pair] ≈ 6.6e-15; the full-quadratic oracle pins
+    the all-pairs form as ground truth)."""
+    if not threshold > 0.0:
+        raise ValueError(
+            f"near_dup_pairs_collapsed requires threshold > 0 (got "
+            f"{threshold}): at 0.0 the uncollapsed composition emits "
+            "J=0.0 empty-token-set pairs the collapse's __nonempty "
+            "guard excludes"
+        )
     # release the previous invocation's caches BEFORE persisting this
     # one's: successive invocations build byte-identical plans, and a
     # late release would evict the one shared CacheManager entry out
@@ -90,32 +123,79 @@ def near_dup_pairs_collapsed(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    spark = df.sparkSession
+    # ONE eager job populates the group cache (the corpus tokenize +
+    # group shuffle) before anything fans out over it — an unpopulated
+    # shared parent touched by two concurrent chains would be computed
+    # once per chain (run_concurrent's contract) — and its row count is
+    # the route-selection input for free
+    spark.sparkContext.setJobDescription("dedup: token-set group build")
+    n_reps = groups.count()
+    spark.sparkContext.setJobDescription(None)
 
-    reps = groups.select(id_col, "__toks")
-    # signatures feed both sides of the band self-join; persist here
-    # (materialize=False) so this cache rides the same release-on-next-
-    # call registry as the scorer payload instead of leaking per rep
-    sigs = minhash_signatures(reps, id_col=id_col, num_hashes=num_hashes,
-                              shingle_n=1, tokens_col="__toks")
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = minhash_candidate_pairs(
-        sigs, id_col=id_col, bands=bands,
-        est_jaccard_threshold=None, materialize=False,
-    )
-    # member lists ride the scorer's own payload joins (carry_cols) —
-    # no expansion joins, no extra broadcast builds; they surface only
-    # on pairs that PASSED the threshold (tiny), where the explode
-    # expands each group pair into its doc pairs
-    scored = ngram_jaccard_pairs(
-        groups.select(id_col, "__toks", "__members"),
-        id_col=id_col, threshold=threshold,
-        candidates=cands, tokens_col="__toks", carry_cols=["__members"],
-    )
-    # the scorer call above just released the PREVIOUS invocation's
-    # caches; register this invocation's group/signature caches there so
-    # repeated calls (bench reps) stay bounded at one generation
-    register_cache_for_release(groups)
-    register_cache_for_release(sigs)
+    def _scorer(cands, eager: bool) -> DataFrame:
+        # member lists ride the scorer's own payload joins (carry_cols)
+        # — no expansion joins, no extra broadcast builds; they surface
+        # only on pairs that PASSED the threshold (tiny), where the
+        # explode expands each group pair into its doc pairs
+        return ngram_jaccard_pairs(
+            groups.select(id_col, "__toks", "__members"),
+            id_col=id_col, threshold=threshold,
+            candidates=cands, tokens_col="__toks", carry_cols=["__members"],
+            eager_payload=eager,
+        )
+
+    if n_reps * (n_reps - 1) // 2 <= max_allpairs_pairs:
+        # small-collapsed-corpus route (see docstring): candidates are
+        # ALL rep pairs — a broadcast-nested-loop cross of two id-only
+        # projections of the cached group frame. No signature kernel, no
+        # band shuffle, and above all no pair DISTINCT (pairs are unique
+        # by construction); the scorer's payload joins broadcast the
+        # (tiny, ≤ √(2·budget)-row) encoded frame, so the whole pair
+        # path is one codegen stage with zero exchanges.
+        ids_l = groups.select(F.col(id_col).alias(f"{id_col}_l"))
+        ids_r = groups.select(F.col(id_col).alias(f"{id_col}_r"))
+        cands = ids_l.crossJoin(F.broadcast(ids_r)).filter(
+            F.col(f"{id_col}_l") < F.col(f"{id_col}_r")
+        )
+        scored = _scorer(cands, eager=False)
+        register_cache_for_release(groups)
+    else:
+        reps = groups.select(id_col, "__toks")
+        # signatures feed both sides of the band self-join; persist here
+        # (materialize=False) so this cache rides the same release-on-
+        # next-call registry as the scorer payload instead of leaking
+        sigs = minhash_signatures(reps, id_col=id_col, num_hashes=num_hashes,
+                                  shingle_n=1, tokens_col="__toks")
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        cands = minhash_candidate_pairs(
+            sigs, id_col=id_col, bands=bands,
+            est_jaccard_threshold=None, materialize=False,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # §2.6 overlap (r16): the serialized driver-latency chain here
+        # was vocab collect → payload encode+populate → signature
+        # populate → band join → scoring. The two chains below are
+        # independent given the populated group cache (band-join
+        # candidates never touch the vocab/payload; the payload encode
+        # never touches signatures), so they run as concurrent jobs and
+        # the wall is their MAX. The candidate frame is persisted above
+        # so the eager build here is the one the final scoring join
+        # consumes (two longs per row — narrower than the band shuffle
+        # that produces it).
+        def _candidate_chain() -> None:
+            sigs.count()  # populate BEFORE the self-join's two stages race
+            cands.count()
+
+        _, scored = run_concurrent(
+            spark,
+            [_candidate_chain, lambda: _scorer(cands, eager=True)],
+            labels=["dedup: signatures + band-join candidates",
+                    "dedup: vocab + payload encode"],
+        )
+        register_cache_for_release(groups)
+        register_cache_for_release(sigs)
+        register_cache_for_release(cands)
 
     cross = (
         scored

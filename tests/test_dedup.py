@@ -310,6 +310,9 @@ def test_collapsed_pipeline_equals_uncollapsed(spark):
         (r["doc_id_l"], r["doc_id_r"], round(r["jaccard"], 9))
         for r in ngram_jaccard_pairs(df, candidates=cands, threshold=0.8).collect()
     }
+    # BOTH routes (r16): the default budget takes the all-pairs route on
+    # this corpus; max_allpairs_pairs=0 forces the LSH banding route —
+    # each must match the uncollapsed composition exactly
     collapsed_df = near_dup_pairs_collapsed(df, threshold=0.8, bands=32)
     collapsed_rows = collapsed_df.collect()
     collapsed = {
@@ -319,6 +322,13 @@ def test_collapsed_pipeline_equals_uncollapsed(spark):
     assert collapsed == direct
     assert len(collapsed_rows) == len(collapsed)  # no duplicate pairs
     assert len(direct) > 0
+    banded = {
+        (r["doc_id_l"], r["doc_id_r"], round(r["jaccard"], 9))
+        for r in near_dup_pairs_collapsed(
+            df, threshold=0.8, bands=32, max_allpairs_pairs=0
+        ).collect()
+    }
+    assert banded == direct
     # same column names and types (nullability may tighten: the
     # expansion's ids come from exploding non-null member arrays)
     direct_schema = ngram_jaccard_pairs(df, candidates=cands, threshold=0.8).schema
