@@ -2875,6 +2875,41 @@ def _mm_features_oracle() -> str:
 # G.711 + WAV-tag tier (g7 CTE — mu-law/A-law constant-code streams
 # whose full segment expansion is pure integer SQL, plus LIST/INFO
 # tags read back through extract_audio_tags).
+# previous invocation's persisted payload frame on the non-local path
+# below — released at the START of the next invocation so bench-style
+# repeated calls stay bounded at one cached generation (same ordering
+# discipline as dedup/ngram.py's cache registry: release BEFORE the new
+# persist, or the CacheManager would share one entry across generations)
+_MM_PAYLOAD_CACHE: list[DataFrame] = []
+
+
+def _materialize_payloads(pf: DataFrame) -> DataFrame:
+    """Materialize the one-pass synth payload frame so the 15 consuming
+    extract branches read stored blocks instead of re-running synth
+    lineage 15×.
+
+    Master-aware (r15 ADVICE): ``localCheckpoint`` truncates lineage
+    into NON-REPLICATED executor-local blocks — on a single-JVM local
+    master that is free and loss-proof (the executor IS the driver), but
+    on a real cluster (or local-cluster) an executor loss would make the
+    blocks unrecoverable and fail every consuming tier job. Off
+    single-JVM local, persist(MEMORY_AND_DISK) + one eager count gives
+    the same one-materialization read pattern with recomputable lineage;
+    an executor loss then costs a partial synth re-run, not the query."""
+    sc = pf.sparkSession.sparkContext
+    master = sc.master or ""
+    if master == "local" or master.startswith("local["):
+        return pf.localCheckpoint()
+    from pyspark import StorageLevel
+
+    while _MM_PAYLOAD_CACHE:
+        _MM_PAYLOAD_CACHE.pop().unpersist()
+    pf = pf.persist(StorageLevel.MEMORY_AND_DISK)
+    pf.count()
+    _MM_PAYLOAD_CACHE.append(pf)
+    return pf
+
+
 def _mm_tier_frames(spark: SparkSession, sf_dir: str):
     """Build the mm_media_features verification tiers: ``(feats, tiers)``
     where ``tiers`` is an ordered dict of per-tier DataFrames keyed by
@@ -2891,8 +2926,10 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
       (r14 shape: 13 separate synth python nodes, each re-scanning the
       documents parquet behind its own repartition — 45 parquet scans /
       88 exchanges / ~60 python nodes in the sf0.1 plan). The payload
-      frame is ``localCheckpoint``'ed so the consuming extract branches
-      read materialized blocks instead of re-running synth lineage 15×.
+      frame is materialized (``_materialize_payloads``: localCheckpoint
+      on single-JVM local masters, recomputable persist+count elsewhere)
+      so the consuming extract branches read stored blocks instead of
+      re-running synth lineage 15×.
     - Partition counts derive from the corpus size with per-tier CPU
       weights (measured single-thread kernel cost: FLAC ≈ 4 ms/row,
       JPEG/MPEG-L1+L2/pHash ≈ 1-1.3 ms/row, metadata walks ≤ 0.3
@@ -3168,11 +3205,10 @@ def _mm_tier_frames(spark: SparkSession, sf_dir: str):
                 )
             yield pd.DataFrame(out)
 
-    pf = (
+    pf = _materialize_payloads(
         media.select("media_id")
         .repartition(heavy_n, "media_id")
         .mapInPandas(mk_payloads, pay_schema)
-        .localCheckpoint()
     )
     # narrow views at each CPU weight: coalesce on the checkpointed frame
     # is exchange-free and re-reads materialized blocks, never the synth
@@ -3516,9 +3552,30 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = pad(legs[0])
     for fr in legs[1:]:
         u = u.unionAll(pad(fr))
-    out = u.groupBy("media_id").agg(
-        *[F.expr(f"first(`{c}`, true) AS `{c}`") for c in cols]
+    # INVARIANT (r15 verdict #7): every leg is exactly 1:1 on media_id —
+    # first(c, ignorenulls) below silently picks one row per column if a
+    # tier ever stopped being 1:1. The guard aggregates the union's
+    # per-id row count (= len(legs) iff all legs stay 1:1 and total) and
+    # folds an assert_true into n_bytes (+0 when healthy) so a violated
+    # invariant fails the job loudly instead of shipping a picked row;
+    # coalesce keeps column pruning from dropping the assert.
+    guard = F.coalesce(
+        F.assert_true(
+            F.count(F.lit(1)) == F.lit(len(legs)),
+            F.lit(
+                "mm pivot: a tier frame is no longer 1:1 on media_id — "
+                "first(ignorenulls) would silently pick one row"
+            ),
+        ).cast("bigint"),
+        F.lit(0),
     )
+    agg_cols = [
+        (F.expr("first(`n_bytes`, true)") + guard).alias("n_bytes")
+        if c == "n_bytes"
+        else F.expr(f"first(`{c}`, true) AS `{c}`")
+        for c in cols
+    ]
+    out = u.groupBy("media_id").agg(*agg_cols)
     return (
         out.select(
             "media_id",
