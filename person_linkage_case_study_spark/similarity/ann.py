@@ -249,6 +249,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_clusters: int = 64,
     allow_cross_join: bool = False,
+    **bucket_kwargs,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥ threshold), blocked on a
     partition column (e.g. a label or an IVF cluster) so pair volume is
@@ -273,7 +274,20 @@ def embedding_near_dup_pairs(
     accepted summation-order class documented on the bucket kernel).
     The explicit ``allow_cross_join=True`` small-corpus path keeps the
     per-pair Arrow kernel (`_pair_cosine_udf`).
+
+    The bucket kernel inherits its degenerate-input refusals
+    (``max_grid_tasks``/``max_bucket``): a mega-block whose chunk-pair
+    grid exceeds ``max_grid_tasks`` raises a typed ValueError naming the
+    remedies rather than running ~|block|²/2 pair scores. Extra keyword
+    arguments (``max_bucket=``, ``max_grid_tasks=``, ``pair_chunk=``)
+    are forwarded to ``eps_similarity_edges_bucketed`` so callers can
+    raise those ceilings through this API (r15 ADVICE).
     """
+    if bucket_kwargs and block_col is None and allow_cross_join:
+        raise ValueError(
+            "bucket kernel kwargs have no effect on the explicit "
+            f"cross-join path: {sorted(bucket_kwargs)}"
+        )
     if block_col is None and not allow_cross_join:
         n = corpus.count()
         k = max(2, min(n_clusters, n // 2))
@@ -298,6 +312,7 @@ def embedding_near_dup_pairs(
             vec_col=vec_col,
             threshold=threshold,
             block_col=block_col,
+            **bucket_kwargs,
         )
         # the bucket kernel emits (id_l, id_r) = (larger, smaller); this
         # operator's contract is id_l < id_r — swap on the way out

@@ -70,6 +70,44 @@ def test_embedding_near_dup_pairs(vectors):
     assert sum((i, 100 + i) in found_auto for i in range(5)) >= 4
 
 
+def test_near_dup_pairs_forwards_bucket_kwargs(vectors, spark):
+    from person_linkage_case_study_spark.similarity.ann import (
+        embedding_near_dup_pairs,
+    )
+
+    # a one-block 105-row corpus with max_bucket=8 → 13 chunks → 91
+    # chunk-pair tasks; max_grid_tasks=10 must now be reachable THROUGH
+    # this API and trip the bucket kernel's typed refusal (r15 ADVICE)
+    blocked = vectors.withColumn("blk", F.lit(1))
+    with pytest.raises(Exception, match="grid-split refused"):
+        embedding_near_dup_pairs(
+            blocked, block_col="blk", threshold=0.99,
+            max_bucket=8, max_grid_tasks=10,
+        ).collect()
+    # forwarded ceilings that DON'T trip produce the same pair set
+    base = {
+        (r["vec_id_l"], r["vec_id_r"])
+        for r in embedding_near_dup_pairs(
+            blocked, block_col="blk", threshold=0.99
+        ).collect()
+    }
+    widened = {
+        (r["vec_id_l"], r["vec_id_r"])
+        for r in embedding_near_dup_pairs(
+            blocked, block_col="blk", threshold=0.99,
+            max_bucket=8, max_grid_tasks=1000,
+        ).collect()
+    }
+    assert widened == base
+    for i in range(5):
+        assert (i, 100 + i) in base
+    # kwargs on the cross-join path are a caller bug — typed error
+    with pytest.raises(ValueError, match="no effect"):
+        embedding_near_dup_pairs(
+            vectors, threshold=0.99, allow_cross_join=True, max_bucket=8
+        )
+
+
 def test_ivf_centroids_deterministic_and_assign_total(vectors):
     from person_linkage_case_study_spark.similarity.ann import (
         ivf_assign,
