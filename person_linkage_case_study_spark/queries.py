@@ -1701,8 +1701,11 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # folded former emb_near_dup_pairs surface: label-blocked near-dup
     # degree per vector (synthetic embeddings are near-orthogonal, max
-    # intra-label cosine ≈0.47 — 0.3 yields a non-trivial pair set)
-    pairs = embedding_near_dup_pairs(e, block_col="label", threshold=0.3)
+    # intra-label cosine ≈0.47 — 0.3 yields a non-trivial pair set).
+    # dim=64 rides the bucket-kwargs passthrough so the kernel's
+    # max_bucket derivation skips its 1-row dim-probe JOB at construct
+    # time (r16 §4 driver-side: measured ~0.2s + a serialized job)
+    pairs = embedding_near_dup_pairs(e, block_col="label", threshold=0.3, dim=64)
     deg = (
         pairs.select(F.col("vec_id_l").alias("vec_id"))
         .unionAll(pairs.select(F.col("vec_id_r").alias("vec_id")))

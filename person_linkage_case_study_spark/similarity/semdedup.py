@@ -409,7 +409,6 @@ def eps_similarity_edges_bucketed(
     task memory is ≈ ``pair_chunk × 8`` bytes plus the bucket's rows."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
     keyed, join_keys, probed_dim = _keyed_buckets(
         corpus, id_col, vec_col, n_tables, n_planes, seed, quantize, dim,
@@ -547,49 +546,63 @@ def eps_similarity_edges_bucketed(
     # few tasks. A user-specified repartition is AQE-exempt; the window
     # and the small branch's groupBy().applyInPandas both reuse its
     # hash distribution, so this is still ONE exchange.
+    #
+    # Plan construction here is SQL strings (selectExpr — r16, guide §4
+    # driver-side): this kernel is built twice per semantic-dedup entry
+    # and its sizing/guard/grid chains were the other half of the
+    # construct-time py4j round trips (see the collapse-path comment in
+    # semantic_dedup). Every expression is a 1:1 translation of the
+    # former Column form (ceil's `/` is fractional in SQL exactly as in
+    # Column arithmetic; pmod/least/greatest/sequence are the same
+    # functions).
     from ..session import shuffle_partitions
 
     n_shuffle = shuffle_partitions(corpus.sparkSession)
     keyed = keyed.repartition(n_shuffle, *join_keys)
-    w = Window.partitionBy(*join_keys)
-    sized = keyed.withColumn("__bsz", F.count(F.lit(1)).over(w))
-    small = sized.filter(F.col("__bsz") <= cap).drop("__bsz")
+    jk = ", ".join(join_keys)
+    sized = keyed.selectExpr(
+        "*", f"count(1) OVER (PARTITION BY {jk}) AS __bsz"
+    )
+    small = sized.filter(f"__bsz <= {cap}").drop("__bsz")
     edges = small.groupBy(*join_keys).applyInPandas(score_bucket, out_schema)
 
-    big = sized.filter(F.col("__bsz") > cap)
-    n_chunks = F.ceil(F.col("__bsz") / F.lit(cap)).cast("int")
-    rn = F.row_number().over(Window.partitionBy(*join_keys).orderBy("__id"))
+    big = sized.filter(f"__bsz > {cap}")
+    n_chunks = f"CAST(ceil(__bsz / {cap}) AS INT)"
     # degenerate-input refusal (see docstring): evaluated per row in the
     # SAME projection that assigns chunks, so it fires before the explode
     # below replicates anything. Folded into __c (coalesce of the NULL
     # assert_true result) so column pruning can't drop it.
-    n_tasks = (n_chunks.cast("bigint") * (n_chunks.cast("bigint") + 1)) / F.lit(2)
-    guard = F.coalesce(
-        F.assert_true(
-            n_tasks <= F.lit(max_grid_tasks),
-            F.concat(
-                F.lit("semantic-dedup grid-split refused: one bucket/block of "),
-                F.col("__bsz").cast("string"),
-                F.lit(" rows would mint "),
-                n_tasks.cast("bigint").cast("string"),
-                F.lit(
-                    f" chunk-pair tasks (max_grid_tasks={max_grid_tasks})"
-                    " — ~|block|^2/2 pair scores, beyond any scorer."
-                    " Remedies: collapse_exact=True dissolves"
-                    " exact-duplicate mega-blocks; raise threshold; use a"
-                    " finer block_col; or raise max_grid_tasks if you"
-                    " really have the cluster-days."
-                ),
-            ),
-        ).cast("int"),
-        F.lit(0),
+    n_tasks = (
+        f"(CAST({n_chunks} AS BIGINT) * (CAST({n_chunks} AS BIGINT) + 1)) / 2"
+    )
+    msg = (
+        " chunk-pair tasks (max_grid_tasks=" + str(max_grid_tasks) + ")"
+        " — ~|block|^2/2 pair scores, beyond any scorer."
+        " Remedies: collapse_exact=True dissolves"
+        " exact-duplicate mega-blocks; raise threshold; use a"
+        " finer block_col; or raise max_grid_tasks if you"
+        " really have the cluster-days."
+    ).replace("'", "''")
+    guard = (
+        f"coalesce(CAST(assert_true({n_tasks} <= {max_grid_tasks},"
+        f" concat('semantic-dedup grid-split refused: one bucket/block of ',"
+        f" CAST(__bsz AS STRING), ' rows would mint ',"
+        f" CAST(CAST({n_tasks} AS BIGINT) AS STRING), '{msg}')) AS INT), 0)"
     )
     big = (
-        big.withColumn("__c", (F.pmod(rn - 1, n_chunks) + guard).cast("int"))
-        .withColumn("__p", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))))
-        .withColumn("__gc_i", F.least("__c", "__p"))
-        .withColumn("__gc_j", F.greatest("__c", "__p"))
-        .drop("__p", "__bsz")
+        big.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {jk} ORDER BY __id) AS __rn",
+        )
+        .selectExpr(
+            "*",
+            f"CAST(pmod(__rn - 1, {n_chunks}) + {guard} AS INT) AS __c",
+            f"explode(sequence(0, {n_chunks} - 1)) AS __p",
+        )
+        .selectExpr(
+            "*", "least(__c, __p) AS __gc_i", "greatest(__c, __p) AS __gc_j"
+        )
+        .drop("__rn", "__p", "__bsz")
     )
     # pin the grid exchange: AQE coalesces post-shuffle partitions by
     # INPUT bytes, and a grid group's bytes are ~cap rows while its
@@ -705,8 +718,6 @@ def semantic_dedup(
             )
         )
 
-    from pyspark.sql import Window
-
     blk = kwargs.get("block_col")
     proj = _project(corpus, id_col, vec_col, blk)
     if blk is None and kwargs.get("n_planes") is None:
@@ -721,50 +732,62 @@ def semantic_dedup(
         kwargs["n_planes"] = auto_planes(
             proj.count(), kwargs.get("target_occupancy", 64)
         )
+    # The collapse plan below is built from SQL strings (selectExpr /
+    # F.expr — r16, guide §4 applied driver-side): the Column-object
+    # form issued one py4j round trip per operator node and this
+    # operator runs TWICE inside the catalog's semantic-dedup entry;
+    # batching each projection into a single gateway call took the
+    # entry's construct phase from ~2515 to ~1250 round trips (measured
+    # tools/profile_r16.py). Expressions are 1:1 translations: SQL
+    # floating literals go through CAST('<repr>' AS DOUBLE) so they bind
+    # the exact IEEE double of the former F.lit(float(...)), never a
+    # DECIMAL literal.
+    #
     # 128-bit vector hash (two independent xxhash64 seeds) as the group
     # key: hash-aggregable map-side (an array<double> group key is not),
-    # collision odds ~n²/2¹²⁹ — negligible at any corpus size
-    keyed = proj.withColumn("__h1", F.xxhash64("__vec")).withColumn(
-        "__h2", F.xxhash64("__vec", F.lit(1))
-    )
-    grp_keys = (["__blk"] if blk else []) + ["__h1", "__h2"]
-    w = Window.partitionBy(*grp_keys)
-    # identical NONZERO vectors have cosine exactly 1.0 (the kernel's
+    # collision odds ~n²/2¹²⁹ — negligible at any corpus size.
+    # Identical NONZERO vectors have cosine exactly 1.0 (the kernel's
     # sqrt(a)·sqrt(a) ulp wobble dies in the 6-dp rounding); identical
-    # zero vectors have cosine 0.0 by the kernel's convention
-    nonzero = F.aggregate("__vec", F.lit(0.0), lambda a, x: a + x * x) > 0
-    group_cos = F.when(nonzero, F.lit(1.0)).otherwise(F.lit(0.0))
-    in_cluster = F.col("__blk").isNotNull() if blk else F.lit(True)
+    # zero vectors have cosine 0.0 by the kernel's convention.
+    part = ("__blk, " if blk else "") + "__h1, __h2"
+    thr = f"CAST('{float(threshold)!r}' AS DOUBLE)"
+    group_cos = (
+        "IF(aggregate(__vec, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x) > 0D,"
+        " 1.0D, 0.0D)"
+    )
+    in_cluster = "__blk IS NOT NULL" if blk else "TRUE"
     g = (
-        keyed.withColumn("__rep", F.min("__id").over(w))
-        .withColumn("__cnt", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "__collapsed",
-            (F.col("__cnt") > 1)
-            & (F.col("__id") != F.col("__rep"))
-            & (group_cos >= F.lit(float(threshold)))
-            & in_cluster,
+        proj.selectExpr(
+            "*", "xxhash64(__vec) AS __h1", "xxhash64(__vec, 1) AS __h2"
+        )
+        .selectExpr(
+            "*",
+            f"min(__id) OVER (PARTITION BY {part}) AS __rep",
+            f"count(1) OVER (PARTITION BY {part}) AS __cnt",
+        )
+        .selectExpr(
+            "*",
+            f"__cnt > 1 AND __id != __rep AND {group_cos} >= {thr} AND"
+            f" {in_cluster} AS __collapsed",
         )
     )
-    scored = g.filter(~F.col("__collapsed")).select(
-        F.col("__id").alias(id_col),
-        F.col("__vec").alias(vec_col),
-        *([F.col("__blk").alias(blk)] if blk else []),
+    scored = g.filter("NOT __collapsed").selectExpr(
+        f"__id AS `{id_col}`",
+        f"__vec AS `{vec_col}`",
+        *([f"__blk AS `{blk}`"] if blk else []),
     )
     edges = edge_fn(
         scored, id_col=id_col, vec_col=vec_col, threshold=threshold, **kwargs
     )
     dup = edges.groupBy("id_l").agg(F.min("id_r").alias("__w"))
-    rows = g.select("__id", "__rep", "__collapsed").withColumn(
-        "__lk",
-        F.when(F.col("__collapsed"), F.col("__rep")).otherwise(F.col("__id")),
+    rows = g.selectExpr(
+        "__id", "__rep", "__collapsed",
+        "IF(__collapsed, __rep, __id) AS __lk",
     )
     out = rows.join(dup, rows["__lk"] == dup["id_l"], "left")
-    dup_of = F.when(
-        F.col("__collapsed"), F.coalesce(F.col("__w"), F.col("__rep"))
-    ).otherwise(F.col("__w"))
-    return out.select(
-        F.col("__id").alias(id_col),
-        dup_of.isNull().alias("kept"),
-        dup_of.alias("dup_of"),
+    dup_of = "IF(__collapsed, coalesce(__w, __rep), __w)"
+    return out.selectExpr(
+        f"__id AS `{id_col}`",
+        f"{dup_of} IS NULL AS kept",
+        f"{dup_of} AS dup_of",
     )
