@@ -3533,28 +3533,28 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise ValueError(f"mm pivot: duplicate column {f.name}")
             cols[f.name] = f.dataType
 
-    # pad via ONE selectExpr per leg: the Column-object form was 18 legs
-    # × ~100 F.lit(None).cast(...).alias(...) chains ≈ 46k py4j round
-    # trips ≈ 6.4s of DRIVER time per plan build (cProfile r15) — the
-    # query spent as long talking to the JVM as executing. SQL strings
-    # batch each leg into a single gateway call.
-    def pad(fr: DataFrame) -> DataFrame:
+    # r15 batched each leg's NULL-pad into one selectExpr (46k → 2.9k
+    # py4j round trips). r16 goes the rest of the way: the left-deep
+    # `unionAll` chain re-ANALYZED a growing 18-leg plan at every level
+    # (Dataset creation analyzes eagerly — measured 0.5-2.0s of pad +
+    # union analysis per construct, cProfile), and the ~100 F.expr agg
+    # columns were ~100 more gateway calls. The whole pad → UNION ALL →
+    # pivot-aggregate is now ONE spark.sql() text over per-leg temp
+    # views: one round trip, one parse, ONE analysis of the final tree.
+    def pad_select(fr: DataFrame, view: str) -> str:
         have = set(fr.columns)
-        return fr.selectExpr(
-            "media_id",
-            *[
-                (
-                    f"`{c}`"
-                    if c in have
-                    else f"CAST(NULL AS {t.simpleString()}) AS `{c}`"
-                )
-                for c, t in cols.items()
-            ],
+        exprs = ", ".join(
+            f"`{c}`" if c in have else f"CAST(NULL AS {t.simpleString()}) AS `{c}`"
+            for c, t in cols.items()
         )
+        return f"SELECT media_id, {exprs} FROM {view}"
 
-    u = pad(legs[0])
-    for fr in legs[1:]:
-        u = u.unionAll(pad(fr))
+    selects = []
+    for i, fr in enumerate(legs):
+        view = f"__mm_leg_{i}"
+        fr.createOrReplaceTempView(view)
+        selects.append(pad_select(fr, view))
+    union_sql = "\nUNION ALL\n".join(selects)
     # INVARIANT (r15 verdict #7): every leg is exactly 1:1 on media_id —
     # first(c, ignorenulls) below silently picks one row per column if a
     # tier ever stopped being 1:1. The guard aggregates the union's
@@ -3562,23 +3562,20 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds an assert_true into n_bytes (+0 when healthy) so a violated
     # invariant fails the job loudly instead of shipping a picked row;
     # coalesce keeps column pruning from dropping the assert.
-    guard = F.coalesce(
-        F.assert_true(
-            F.count(F.lit(1)) == F.lit(len(legs)),
-            F.lit(
-                "mm pivot: a tier frame is no longer 1:1 on media_id — "
-                "first(ignorenulls) would silently pick one row"
-            ),
-        ).cast("bigint"),
-        F.lit(0),
+    guard = (
+        f"coalesce(CAST(assert_true(count(1) = {len(legs)},"
+        f" 'mm pivot: a tier frame is no longer 1:1 on media_id —"
+        f" first(ignorenulls) would silently pick one row') AS BIGINT), 0)"
     )
-    agg_cols = [
-        (F.expr("first(`n_bytes`, true)") + guard).alias("n_bytes")
+    agg_sql = ", ".join(
+        f"first(`{c}`, true) + {guard} AS `{c}`"
         if c == "n_bytes"
-        else F.expr(f"first(`{c}`, true) AS `{c}`")
+        else f"first(`{c}`, true) AS `{c}`"
         for c in cols
-    ]
-    out = u.groupBy("media_id").agg(*agg_cols)
+    )
+    out = spark.sql(
+        f"SELECT media_id, {agg_sql} FROM ({union_sql}) GROUP BY media_id"
+    )
     return (
         out.select(
             "media_id",
