@@ -101,6 +101,54 @@ class Comparison:
             expr = expr.when(cond, F.lit(gamma))
         return expr.otherwise(F.lit(0))
 
+    def compile_spark_sql(
+        self,
+        left_suffix: str = "_l",
+        right_suffix: str = "_r",
+        jw_col: str | None = None,
+    ) -> str | None:
+        """Spark-SQL mirror of :meth:`compile` — the same CASE, as ONE
+        parseable string so a pass's whole gamma projection lands in a
+        single selectExpr gateway call instead of one py4j round trip
+        per when()/lit() node (r16, guide §4 driver-side; measured
+        ~3500 construct-time round trips per cascade pass before).
+
+        Returns ``None`` when a level cannot be expressed as a plain
+        SQL string — a jaro_winkler level without a pre-materialized
+        ``jw_col`` (the Python-UDF object is not a registered SQL
+        function) or a ``custom`` level (whose ``sql`` template is
+        DuckDB dialect by contract) — in which case the caller falls
+        back to the Column form. Literal semantics are preserved
+        exactly: gamma ordinals are INT literals as with ``F.lit(int)``,
+        and the JW threshold binds through CAST('<repr>' AS DOUBLE) so
+        it is the identical IEEE double ``F.lit(float)`` bound (a bare
+        SQL float literal would be a DECIMAL)."""
+        l = f"`{self.col}{left_suffix}`"
+        r = f"`{self.col}{right_suffix}`"
+        non_null = [lv for lv in self.levels if lv.kind != "null"]
+        n = len(non_null)
+        arms = [f"WHEN {l} IS NULL OR {r} IS NULL THEN -1"]
+        for i, lv in enumerate(non_null):
+            gamma = n - 1 - i
+            if lv.kind == "exact":
+                arms.append(f"WHEN {l} = {r} THEN {gamma}")
+            elif lv.kind == "jaro_winkler":
+                if jw_col is None:
+                    return None
+                arms.append(
+                    f"WHEN `{jw_col}` >="
+                    f" CAST('{float(lv.threshold)!r}' AS DOUBLE) THEN {gamma}"
+                )
+            elif lv.kind == "banded":
+                arms.append(f"WHEN abs({l} - {r}) <= {lv.band} THEN {gamma}")
+            elif lv.kind == "custom":
+                return None
+            elif lv.kind == "else":
+                return "CASE " + " ".join(arms) + f" ELSE {gamma} END"
+            else:
+                raise ValueError(f"unknown level kind {lv.kind!r}")
+        return "CASE " + " ".join(arms) + " ELSE 0 END"
+
     def compile_sql(self, left_suffix: str = "_l", right_suffix: str = "_r") -> str:
         """Equivalent DuckDB SQL CASE expression (uses DuckDB's native
         ``jaro_winkler_similarity``, which our pandas UDF matches exactly —
@@ -173,14 +221,13 @@ def add_gammas(
                 "classpath (build with person_linkage_case_study_spark/jvm/build.sh)"
             )
     if jw_needed and jw_strategy == "jvm":
-        df = df.select(
+        # registered JVM function ⇒ one selectExpr string instead of a
+        # call_udf Column chain per comparison (r16 construct batching)
+        df = df.selectExpr(
             "*",
             *[
-                F.call_udf(
-                    JVM_JW_NAME,
-                    F.col(c.col + left_suffix),
-                    F.col(c.col + right_suffix),
-                ).alias(c.jw_col)
+                f"{JVM_JW_NAME}(`{c.col + left_suffix}`,"
+                f" `{c.col + right_suffix}`) AS `{c.jw_col}`"
                 for c in jw_needed
             ],
         )
@@ -210,17 +257,38 @@ def add_gammas(
                 for c in jw_needed
             ],
         )
-    df = df.select(
-        "*",
-        *[
-            c.compile(
-                left_suffix,
-                right_suffix,
-                jw_col=c.jw_col if c.needs_jw() else None,
-            ).alias(c.gamma_col)
-            for c in comparisons
-        ],
-    )
+    # one selectExpr for the whole gamma projection when every
+    # comparison is SQL-expressible (always true for the canonical
+    # exact/JW/banded shapes — JW levels read the pre-materialized
+    # column either way); Column-form fallback otherwise (custom
+    # levels carrying only a Column expr)
+    gamma_sqls = [
+        c.compile_spark_sql(
+            left_suffix, right_suffix,
+            jw_col=c.jw_col if c.needs_jw() else None,
+        )
+        for c in comparisons
+    ]
+    if all(s is not None for s in gamma_sqls):
+        df = df.selectExpr(
+            "*",
+            *[
+                f"{s} AS `{c.gamma_col}`"
+                for s, c in zip(gamma_sqls, comparisons)
+            ],
+        )
+    else:
+        df = df.select(
+            "*",
+            *[
+                c.compile(
+                    left_suffix,
+                    right_suffix,
+                    jw_col=c.jw_col if c.needs_jw() else None,
+                ).alias(c.gamma_col)
+                for c in comparisons
+            ],
+        )
     if drop_jw and jw_needed:
         df = df.drop(*[c.jw_col for c in jw_needed])
     return df

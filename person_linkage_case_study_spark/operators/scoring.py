@@ -151,6 +151,26 @@ def match_weight_sql(model: "LinkageModel") -> str:
     return " + ".join(parts)
 
 
+def _log2_bayes_factor_spark_sql(c: Comparison) -> str:
+    """Spark-SQL mirror of :func:`_log2_bayes_factor` (r16 construct
+    batching — see ``Comparison.compile_spark_sql``): the same CASE with
+    the same left-to-right arm order and the same double constants,
+    bound via CAST('<repr>' AS DOUBLE) so each literal is the identical
+    IEEE double the Column form's ``F.lit`` bound (bare SQL float
+    literals parse as DECIMAL). Raises like the Column form on
+    non-positive m/u."""
+    arms = ["WHEN `" + c.gamma_col + "` = -1 THEN CAST(0.0 AS DOUBLE)"]
+    for gamma in range(len(c.m)):
+        m, u = c.m[gamma], c.u[gamma]
+        if u <= 0 or m <= 0:
+            raise ValueError(f"m/u must be positive for {c.col} gamma={gamma}")
+        const = math.log2(m / u)
+        arms.append(
+            f"WHEN `{c.gamma_col}` = {gamma} THEN CAST('{const!r}' AS DOUBLE)"
+        )
+    return "CASE " + " ".join(arms) + " ELSE CAST(0.0 AS DOUBLE) END"
+
+
 def score_pairs(
     pairs: DataFrame,
     model: LinkageModel,
@@ -169,12 +189,19 @@ def score_pairs(
         if compute_gammas
         else pairs
     )
-    weight = F.lit(math.log2(model.prior_odds()))
-    for c in model.comparisons:
-        weight = weight + _log2_bayes_factor(c)
-    df = df.withColumn("match_weight", weight).withColumn(
-        "match_probability",
-        F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("match_weight"))),
+    # the FS sum as ONE selectExpr string (r16 construct batching): same
+    # left-associative addition order, same double constants (CAST of
+    # the shortest round-trip repr) as the former per-comparison Column
+    # chain, so match_weight is bit-identical — pinned by the oracle's
+    # value hash and the local-cluster link-identity rung
+    weight_sql = " + ".join(
+        [f"CAST('{math.log2(model.prior_odds())!r}' AS DOUBLE)"]
+        + [f"({_log2_bayes_factor_spark_sql(c)})" for c in model.comparisons]
+    )
+    df = df.selectExpr("*", f"{weight_sql} AS match_weight").selectExpr(
+        "*",
+        "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + power(CAST(2.0 AS DOUBLE), -match_weight)) AS match_probability",
     )
     if threshold_match_probability is not None:
         df = df.filter(F.col("match_probability") >= threshold_match_probability)

@@ -101,3 +101,59 @@ def test_bayes_factor_cut_columns():
     model = make_model()
     model.bayes_factor_cut_columns = 1000.0
     assert model.prior_odds() == pytest.approx((0.01 / 0.99) * 1000.0)
+
+
+def test_spark_sql_compilers_match_column_form(pairs, spark):
+    """r16 construct-batching pin: the Spark-SQL string compilers
+    (Comparison.compile_spark_sql, _log2_bayes_factor_spark_sql) must
+    produce BIT-IDENTICAL gammas and match weights to the Column-form
+    originals they replaced on the hot path (compile,
+    _log2_bayes_factor) — same CASE arm order, same IEEE double
+    literals via CAST('<repr>' AS DOUBLE)."""
+    from person_linkage_case_study_spark.operators.scoring import (
+        _log2_bayes_factor,
+        _log2_bayes_factor_spark_sql,
+    )
+
+    from person_linkage_case_study_spark.functions.similarity import (
+        jaro_winkler_udf,
+    )
+
+    model = make_model()
+    df = add_gammas(pairs, model.comparisons)  # SQL path (all expressible)
+
+    # column-form gammas computed explicitly via compile() over the same
+    # pre-materialized JW column
+    jwc = model.comparisons[0]
+    jw_needed = pairs.select(
+        "*",
+        jaro_winkler_udf(F.col("name_l"), F.col("name_r")).alias(jwc.jw_col),
+    )
+    manual = jw_needed.select(
+        "*",
+        *[
+            c.compile(jw_col=c.jw_col if c.needs_jw() else None).alias(c.gamma_col)
+            for c in model.comparisons
+        ],
+    ).drop(jwc.jw_col)
+    got_sql = [(r["gamma_name"], r["gamma_year"]) for r in df.collect()]
+    got_col = [(r["gamma_name"], r["gamma_year"]) for r in manual.collect()]
+    assert got_sql == got_col
+
+    # weights: SQL CASE sum vs Column when-chain sum, bit-identical
+    import math as _m
+
+    weight_col = F.lit(_m.log2(model.prior_odds()))
+    for c in model.comparisons:
+        weight_col = weight_col + _log2_bayes_factor(c)
+    via_col = [r["w"] for r in manual.withColumn("w", weight_col).collect()]
+    weight_sql = " + ".join(
+        [f"CAST('{_m.log2(model.prior_odds())!r}' AS DOUBLE)"]
+        + [f"({_log2_bayes_factor_spark_sql(c)})" for c in model.comparisons]
+    )
+    via_sql = [r["w"] for r in manual.selectExpr("*", f"{weight_sql} AS w").collect()]
+    assert via_sql == via_col  # exact equality, not approx
+
+    # score_pairs end-to-end emits the same weights as the Column math
+    end = [r["match_weight"] for r in score_pairs(pairs, model).collect()]
+    assert end == via_col
